@@ -1,0 +1,73 @@
+"""Table registry over a scale-factor directory of Parquet tables.
+
+Stands in for the reference's three DynamoDB tables plus Kafka topic
+(SURVEY.md §1.1): at scale these would be partitioned Parquet/Delta
+tables (partitioned by date/city) so partition pruning replaces the
+DynamoDB hash-key Query (reference
+api/.../CityStreamApiApplication.java:156-167). Here they are the
+driver-generated single-file tables under /root/testdata/sf*/.
+
+Parquet embeds its schema, so no inference pass happens; scans get
+predicate pushdown + column pruning from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region=5ish, nation=25ish rows even at 100 TB fact scale).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a DataFrame (lazy; scan-level pushdown applies)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts arrives as epoch-nanos long (see session.py nanosAsLong);
+        # truncate to µs — the same conversion DuckDB applies reading
+        # TIMESTAMP_NS — and expose a proper timestamp column.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer div — float division would lose precision on 1e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view and return the DataFrames.
+
+    Views let engine code use spark.sql(...) with the same table names
+    the DuckDB oracle sees.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

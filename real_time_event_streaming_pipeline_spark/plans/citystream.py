@@ -1,0 +1,399 @@
+"""CityStream parity queries (reference query surface, batch form).
+
+The reference's query capability = one Spark streaming job
+(consumer/.../SparkDynamoDBConsumer.java) + 7 REST endpoints doing
+hand-rolled relational ops over DynamoDB
+(api/.../CityStreamApiApplication.java). SURVEY.md §2.7 maps each
+endpoint to a declarative query; this module implements all of them as
+batch DataFrame plans over the driver `events` table, with the
+CityStream domain derived deterministically (FIXTURES.md §A).
+
+Streaming variants of the same plans live in
+``real_time_event_streaming_pipeline_spark.streaming`` — per SURVEY.md
+§7.0 the batch query is the source of truth and the streaming query is
+its incremental view (Structured Streaming SIGMOD'18 model).
+
+Determinism/oracle notes (SURVEY.md §7.3): timestamps are emitted as
+formatted strings (DuckDB-comparable, TZ-free), collect_list is sorted
+then joined, float aggregates are ROUND()ed, and every LIMIT is
+preceded by a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import (
+    ALERT_SEVERITIES,
+    MICRO_FMT_SPARK,
+    WINDOW_FMT_SPARK,
+    city_from_user,
+    event_key,
+    iso_ts,
+    partition_key,
+    severity_from_event,
+    ttl_from,
+)
+
+# ---------------------------------------------------------------------------
+# Shared enrichment: driver events -> CityStream event stream
+# ---------------------------------------------------------------------------
+
+
+def city_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + derived (city, severity, ts_iso) — the S2 parse/derive
+    stage (SparkDynamoDBConsumer.java:85-96) re-expressed over the
+    driver corpus. All expressions stay in whole-stage codegen."""
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.withColumn("city", city_from_user(F.col("user_id")))
+        .withColumn("severity", severity_from_event(F.col("event_id")))
+        .withColumn("ts_iso", iso_ts(F.col("ts")))
+    )
+
+
+# DuckDB twin of city_events(); every oracle below starts with this CTE.
+CITY_EVENTS_CTE = """
+WITH city_events AS (
+  SELECT
+    event_id, ts, user_id, event_type, value, props,
+    (['SF','NYC','LA','Chicago','Seattle','Boston'])[CAST(user_id % 6 AS INT) + 1] AS city,
+    (['low','medium','high','critical'])[CAST(event_id % 4 AS INT) + 1] AS severity,
+    strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso
+  FROM events
+),
+windowed AS (
+  SELECT *,
+    make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start
+  FROM city_events
+)
+"""
+
+
+def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: 5-min tumbling window agg (SparkDynamoDBConsumer.java:120-147),
+    batch form. groupBy(window, city, event_type) is a single hash
+    aggregate with map-side partial aggregation; the shuffle key
+    (window, city, event_type) is high-cardinality and unskewed, so the
+    plan scales linearly with input."""
+    return (
+        city_events(spark, sf_dir)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "city", "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.array_join(F.array_sort(F.collect_list("severity")), ",").alias("severities"),
+            F.date_format(F.max("ts"), MICRO_FMT_SPARK).alias("last_updated"),
+        )
+        .select(
+            F.date_format("w.start", WINDOW_FMT_SPARK).alias("window_start"),
+            "city",
+            "event_type",
+            "event_count",
+            "severities",
+            "last_updated",
+            partition_key(F.col("city"), F.col("event_type"), F.col("w.start")).alias(
+                "partition_key"
+            ),
+        )
+    )
+
+
+_WINDOWED_AGG_SQL = (
+    CITY_EVENTS_CTE
+    + """
+SELECT
+  strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+  city,
+  event_type,
+  count(*) AS event_count,
+  array_to_string(list_sort(list(severity)), ',') AS severities,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_updated,
+  city || '#' || event_type || '#' || strftime(window_start, '%Y-%m-%dT%H:%M:%S') AS partition_key
+FROM windowed
+GROUP BY window_start, city, event_type
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Queries (engine) + oracles (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def q_raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P6 + S2: projection, rename, concat-derived event key, JSON
+    prop extraction with an explicit schema (from_json — PERMISSIVE,
+    like the reference's parse at SparkDynamoDBConsumer.java:86-88)."""
+    ce = city_events(spark, sf_dir)
+    return ce.select(
+        F.col("event_id"),
+        F.col("ts_iso").alias("event_time"),
+        "city",
+        "event_type",
+        "severity",
+        F.round("value", 2).alias("value"),
+        F.from_json("props", "k INT")["k"].alias("props_k"),
+        event_key(F.col("city"), F.col("event_type"), F.col("ts_iso")).alias("event_key"),
+    )
+
+
+_RAW_EVENTS_SQL = (
+    CITY_EVENTS_CTE
+    + """
+SELECT
+  event_id,
+  ts_iso AS event_time,
+  city,
+  event_type,
+  severity,
+  round(value, 2) AS value,
+  CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS props_k,
+  city || '-' || event_type || '-' || ts_iso AS event_key
+FROM windowed
+"""
+)
+
+
+def q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W2 flagship: the reference's centerpiece windowed aggregation."""
+    return _windowed(spark, sf_dir)
+
+
+def q_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: IN-list severity filter (SparkDynamoDBConsumer.java:161) —
+    the alerts stream. Predicate is pushed into the parquet scan."""
+    ce = city_events(spark, sf_dir)
+    return ce.filter(F.col("severity").isin(*ALERT_SEVERITIES)).select(
+        "event_id", "city", "event_type", "severity", F.col("ts_iso").alias("event_time")
+    )
+
+
+_ALERTS_SQL = (
+    CITY_EVENTS_CTE
+    + """
+SELECT event_id, city, event_type, severity, ts_iso AS event_time
+FROM windowed
+WHERE severity IN ('high', 'critical')
+"""
+)
+
+
+def q_events_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /events/{city}: S8+O1+O4 — key-equality filter, sort desc by
+    time, limit. Correct top-k (sort-then-limit) per SURVEY.md §7.0;
+    Spark compiles this to TakeOrderedAndProject (no global sort)."""
+    ce = city_events(spark, sf_dir)
+    return (
+        ce.filter(F.col("city") == "SF")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(50)
+        .select(
+            "event_id",
+            F.col("ts_iso").alias("event_time"),
+            "city",
+            "event_type",
+            "severity",
+        )
+    )
+
+
+_EVENTS_BY_CITY_SQL = (
+    CITY_EVENTS_CTE
+    + """
+SELECT event_id, ts_iso AS event_time, city, event_type, severity
+FROM windowed
+WHERE city = 'SF'
+ORDER BY ts DESC, event_id DESC
+LIMIT 50
+"""
+)
+
+
+def q_summary_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /summary/{city}: A3 — the reference splits this into a Spark
+    partial agg + a hand-rolled Java final agg
+    (CityStreamApiApplication.java:114-123). Here it is one rollup over
+    the windowed agg: per-event_type totals + grand total."""
+    agg = _windowed(spark, sf_dir).filter(F.col("city") == "NYC")
+    return (
+        agg.rollup("event_type")
+        .agg(F.sum("event_count").alias("total_events"))
+        .select(
+            F.coalesce("event_type", F.lit("__TOTAL__")).alias("event_type"),
+            F.col("total_events").cast("long").alias("total_events"),
+        )
+    )
+
+
+_SUMMARY_CITY_SQL = (
+    CITY_EVENTS_CTE
+    + """
+, agg AS (
+  SELECT window_start, city, event_type, count(*) AS event_count
+  FROM windowed
+  WHERE city = 'NYC'
+  GROUP BY window_start, city, event_type
+)
+SELECT
+  coalesce(event_type, '__TOTAL__') AS event_type,
+  CAST(sum(event_count) AS BIGINT) AS total_events
+FROM agg
+GROUP BY ROLLUP(event_type)
+"""
+)
+
+
+def q_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /cities: A4+O3 — group-sum per city over the agg table."""
+    return (
+        _windowed(spark, sf_dir)
+        .groupBy("city")
+        .agg(F.sum("event_count").cast("long").alias("total_events"))
+    )
+
+
+_CITIES_SQL = (
+    CITY_EVENTS_CTE
+    + """
+, agg AS (
+  SELECT window_start, city, event_type, count(*) AS event_count
+  FROM windowed GROUP BY window_start, city, event_type
+)
+SELECT city, CAST(sum(event_count) AS BIGINT) AS total_events
+FROM agg GROUP BY city
+"""
+)
+
+
+def q_aggregations_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /aggregations?city&eventType&limit: P9 conjunctive predicate
+    + O2 sort desc by window_start + O4 limit."""
+    return (
+        _windowed(spark, sf_dir)
+        .filter((F.col("city") == "LA") & (F.col("event_type") == "purchase"))
+        .orderBy(F.desc("window_start"))
+        .limit(20)
+        .select("window_start", "city", "event_type", "event_count", "severities")
+    )
+
+
+_AGGREGATIONS_FILTERED_SQL = (
+    CITY_EVENTS_CTE
+    + """
+, agg AS (
+  SELECT
+    strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+    city, event_type,
+    count(*) AS event_count,
+    array_to_string(list_sort(list(severity)), ',') AS severities
+  FROM windowed
+  WHERE city = 'LA' AND event_type = 'purchase'
+  GROUP BY window_start, city, event_type
+)
+SELECT * FROM agg
+ORDER BY window_start DESC
+LIMIT 20
+"""
+)
+
+
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /stats: A5 global sum + A6 conditional counts, as one
+    two-row-per-metric union (reference computes these as two separate
+    store reads, CityStreamApiApplication.java:297-322)."""
+    ce = city_events(spark, sf_dir)
+    total = ce.agg(F.count("*").alias("value")).select(
+        F.lit("total_events").alias("metric"), F.col("value").cast("long")
+    )
+    alerts = (
+        ce.filter(F.col("severity").isin(*ALERT_SEVERITIES))
+        .groupBy("severity")
+        .agg(F.count("*").alias("value"))
+        .select(
+            F.concat(F.lit("alerts_"), F.col("severity")).alias("metric"),
+            F.col("value").cast("long"),
+        )
+    )
+    return total.unionByName(alerts)
+
+
+_STATS_SQL = (
+    CITY_EVENTS_CTE
+    + """
+SELECT 'total_events' AS metric, CAST(count(*) AS BIGINT) AS value FROM windowed
+UNION ALL
+SELECT 'alerts_' || severity AS metric, CAST(count(*) AS BIGINT) AS value
+FROM windowed WHERE severity IN ('high', 'critical') GROUP BY severity
+"""
+)
+
+
+def q_global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: global group-count (the reference's console 'dashboard'
+    query, complete mode — SparkDynamoDBConsumer.java:182-190)."""
+    return (
+        city_events(spark, sf_dir)
+        .groupBy("city", "event_type", "severity")
+        .agg(F.count("*").alias("event_count"))
+    )
+
+
+_GLOBAL_COUNTS_SQL = (
+    CITY_EVENTS_CTE
+    + """
+SELECT city, event_type, severity, count(*) AS event_count
+FROM windowed GROUP BY city, event_type, severity
+"""
+)
+
+
+def q_raw_with_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: TTL column (epoch + 30 days). Anchored on event time (not
+    wall clock) so it is deterministic and oracle-checkable."""
+    ce = city_events(spark, sf_dir)
+    return ce.select(
+        "event_id",
+        event_key(F.col("city"), F.col("event_type"), F.col("ts_iso")).alias("event_key"),
+        ttl_from(F.col("ts")).alias("ttl"),
+    )
+
+
+_RAW_WITH_TTL_SQL = (
+    CITY_EVENTS_CTE
+    + """
+SELECT
+  event_id,
+  city || '-' || event_type || '-' || ts_iso AS event_key,
+  CAST(floor(epoch(ts)) AS BIGINT) + 2592000 AS ttl
+FROM windowed
+"""
+)
+
+
+QUERIES = {
+    "cs_raw_events": q_raw_events,
+    "cs_windowed_agg": q_windowed_agg,
+    "cs_alerts": q_alerts,
+    "cs_events_by_city": q_events_by_city,
+    "cs_summary_city": q_summary_city,
+    "cs_cities": q_cities,
+    "cs_aggregations_filtered": q_aggregations_filtered,
+    "cs_stats": q_stats,
+    "cs_global_counts": q_global_counts,
+    "cs_raw_with_ttl": q_raw_with_ttl,
+}
+
+ORACLE = {
+    "cs_raw_events": _RAW_EVENTS_SQL,
+    "cs_windowed_agg": _WINDOWED_AGG_SQL,
+    "cs_alerts": _ALERTS_SQL,
+    "cs_events_by_city": _EVENTS_BY_CITY_SQL,
+    "cs_summary_city": _SUMMARY_CITY_SQL,
+    "cs_cities": _CITIES_SQL,
+    "cs_aggregations_filtered": _AGGREGATIONS_FILTERED_SQL,
+    "cs_stats": _STATS_SQL,
+    "cs_global_counts": _GLOBAL_COUNTS_SQL,
+    "cs_raw_with_ttl": _RAW_WITH_TTL_SQL,
+}
