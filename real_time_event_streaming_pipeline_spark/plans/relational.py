@@ -1,0 +1,697 @@
+"""Relational completeness layer (SURVEY.md §2.6).
+
+The reference contains no joins, set ops, window functions, or
+subqueries anywhere (verified against consumer/.../
+SparkDynamoDBConsumer.java:1-283 and api/.../
+CityStreamApiApplication.java:1-350) — but a complete engine needs
+them, and the driver oracle exercises them over the TPC-H-ish corpus.
+Everything here is a built-in Catalyst plan; no UDFs.
+
+Scale notes baked into each plan:
+- dimension joins (region/nation/supplier/customer at TPC-H ratios)
+  are broadcast — no shuffle of the fact table for the small side;
+- fact-fact joins shuffle on their equi-keys and rely on AQE for
+  skew splitting;
+- every top-k is expressed sort-then-limit so Spark plans
+  TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  never a global sort);
+- window functions partition on high-cardinality keys (custkey,
+  suppkey, user_id) so state per partition stays bounded.
+
+Determinism for the oracle hash: money aggregates ROUND()ed, LIMIT
+always behind a total order, timestamps emitted as formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+DATE_FMT = "yyyy-MM-dd"
+
+
+def _dstr(col: str | F.Column, alias: str) -> F.Column:
+    return F.date_format(col, DATE_FMT).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation over the fact table
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-filter-hashagg over the
+    biggest table. Filter + column pruning push into the parquet scan;
+    partial aggregation happens map-side so the shuffle carries only
+    (flag,status) groups."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 2) AS avg_qty,
+  round(avg(l_extendedprice), 2) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: customer⋈orders⋈lineitem, revenue top-10.
+    customer is broadcast (dimension-sized at every SF); orders⋈lineitem
+    shuffles on orderkey. Top-10 via TakeOrderedAndProject."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-06-30").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            _dstr("o_orderdate", "o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SHIPPING_PRIORITY_SQL = """
+SELECT
+  l_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: revenue by nation where customer
+    and supplier share the nation, one region, one year. region+nation
+    +supplier+customer all broadcast; the only shuffle is
+    lineitem⋈orders on orderkey."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-aware counting: orders per customer
+    including zero-order customers (count(o_orderkey), not count(*))."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+_CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS: customers having ≥1 URGENT order.
+    Semi-join shuffles only the key column of the probe side."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_CUSTOMERS_WITH_URGENT_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS: customers with no orders at all."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
+_CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+def q_setops_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over derived key sets, tagged so all
+    three land in one result: suppliers shipping high-quantity lines vs
+    suppliers shipping discounted lines."""
+    li = load(spark, sf_dir, "lineitem")
+    hi = li.filter(F.col("l_quantity") >= 48).select("l_suppkey").distinct()
+    disc = li.filter(F.col("l_discount") >= 0.09).select("l_suppkey").distinct()
+    return (
+        hi.union(disc).distinct().select(F.lit("union").alias("op"), "l_suppkey")
+        .unionByName(
+            hi.intersect(disc).select(F.lit("intersect").alias("op"), "l_suppkey")
+        )
+        .unionByName(
+            hi.exceptAll(disc).select(F.lit("except").alias("op"), "l_suppkey")
+        )
+    )
+
+
+_SETOPS_SUPPLIERS_SQL = """
+WITH hi AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_quantity >= 48),
+     disc AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_discount >= 0.09)
+SELECT 'union' AS op, l_suppkey FROM (SELECT l_suppkey FROM hi UNION SELECT l_suppkey FROM disc)
+UNION ALL
+SELECT 'intersect' AS op, l_suppkey FROM (SELECT l_suppkey FROM hi INTERSECT SELECT l_suppkey FROM disc)
+UNION ALL
+SELECT 'except' AS op, l_suppkey FROM (SELECT l_suppkey FROM hi EXCEPT SELECT l_suppkey FROM disc)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer by totalprice — the
+    scalable form of the reference's 'latest N per city' pattern
+    (CityStreamApiApplication.java:83-85 + limit; SURVEY.md §2.6).
+    row_number over (custkey) keeps state per group at k rows."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+_TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+  ) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def q_running_revenue_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: running revenue per supplier in ship order
+    (rows-frame cumulative sum). Deterministic frame order via
+    (shipdate, orderkey, linenumber)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).over(w), 2).alias(
+            "running_revenue"
+        ),
+    )
+
+
+_RUNNING_REVENUE_SQL = """
+SELECT
+  l_suppkey, l_orderkey, l_linenumber,
+  round(sum(l_extendedprice * (1 - l_discount)) OVER (
+    PARTITION BY l_suppkey
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ), 2) AS running_revenue
+FROM lineitem
+WHERE l_suppkey <= 10
+"""
+
+
+def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over the event stream: per-user gap to the
+    previous event in seconds."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev)).cast("long").alias("gap_seconds"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+_USER_EVENT_GAPS_SQL = """
+SELECT
+  user_id, event_id,
+  CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_seconds,
+  lead(event_type) OVER w AS next_event_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube, distinct aggs
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-pair, per-flag, grand
+    total — multi-level aggregation in one shuffle pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+_ROLLUP_RETURNS_SQL = """
+SELECT
+  coalesce(l_returnflag, '(all)') AS l_returnflag,
+  coalesce(l_linestatus, '(all)') AS l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user bucket): all 4 grouping sets."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("user_bucket").cast("string"), F.lit("(all)")).alias(
+                "user_bucket"
+            ),
+            "n",
+            "total_value",
+        )
+    )
+
+
+_CUBE_EVENTS_SQL = """
+SELECT
+  coalesce(event_type, '(all)') AS event_type,
+  coalesce(CAST(user_bucket AS VARCHAR), '(all)') AS user_bucket,
+  count(*) AS n,
+  round(sum(value), 2) AS total_value
+FROM (SELECT *, user_id % 10 AS user_bucket FROM events)
+GROUP BY CUBE(event_type, user_bucket)
+"""
+
+
+def q_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: exact distinct part/supplier counts per
+    return flag (expand + two-phase agg under the hood)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_DISTINCT_PARTS_SQL = """
+SELECT
+  l_returnflag,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(DISTINCT l_suppkey) AS n_suppliers,
+  count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Sketches differ across engines,
+    so there is deliberately NO oracle entry — the driver records a
+    rows-only check; the exact-distinct twin above is the accuracy
+    anchor. At 100 TB this replaces exact distinct for dashboards."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: user-bucket × event-type count matrix with an explicit
+    value list (explicit lists avoid the extra distinct-values job —
+    mandatory at scale)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 5).cast("long")
+    )
+    piv = (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_bucket", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+
+
+_PIVOT_EVENT_MATRIX_SQL = """
+SELECT
+  user_id % 5 AS user_bucket,
+  count(*) FILTER (event_type = 'click') AS n_click,
+  count(*) FILTER (event_type = 'error') AS n_error,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'signup') AS n_signup,
+  count(*) FILTER (event_type = 'view') AS n_view
+FROM events
+GROUP BY user_id % 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join, range join, sessionization (SURVEY.md §2.6 custom ops)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — Spark has no native one (pyspark_guide.md 'As-of /
+    range join'); composed as union + last_value(ignorenulls) over an
+    event-time window, which is shuffle-equivalent to a sort-merge
+    as-of and scales linearly: for each purchase event, the most
+    recent prior-or-equal view event of the same user.
+
+    The DuckDB oracle uses its native ASOF JOIN."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.col("event_id"), F.lit(1).alias("is_probe")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id"),
+        F.lit(0).alias("is_probe"),
+    )
+    merged = purchases.unionByName(views)
+    # order views before purchases at identical ts so ties count as "prior-or-equal"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.when(F.col("is_probe") == 0, F.col("event_id"))
+    view_ts = F.when(F.col("is_probe") == 0, F.col("ts"))
+    return (
+        merged.withColumn("last_view_id", F.last(view_id, ignorenulls=True).over(w))
+        .withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("last_view_id").alias("view_id"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_view_ts"))
+            .cast("long")
+            .alias("lag_seconds"),
+        )
+    )
+
+
+_ASOF_PURCHASE_VIEW_SQL = """
+SELECT
+  p.user_id,
+  p.event_id AS purchase_id,
+  v.event_id AS view_id,
+  CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS lag_seconds
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+def q_events_within_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: pairs of events by the same user within 10 minutes.
+    Expressed as equi-join on user_id + range predicate, so Spark plans
+    a hash/sort-merge join on the equi key and evaluates the range as a
+    post-join filter — never a cartesian product."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    b = ev.select(
+        F.col("user_id").alias("b_user"), F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_id") > F.col("a_id"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+_EVENTS_WITHIN_WINDOW_PAIRS_SQL = """
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_id > a.event_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY a.user_id
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (batch): gap > 30 min starts a new session —
+    lag + conditional cumsum (pyspark_guide.md 'Sessionization'). The
+    streaming twin uses session_window in streaming/pipeline.py."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(wsum))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("session_value"), 2).alias("total_value"),
+        )
+    )
+
+
+_USER_SESSIONS_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+       round(sum(session_value), 2) AS total_value
+FROM per_session GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_shipping_priority": q_shipping_priority,
+    "rel_local_supplier_volume": q_local_supplier_volume,
+    "rel_customer_order_counts": q_customer_order_counts,
+    "rel_customers_with_urgent_orders": q_customers_with_urgent_orders,
+    "rel_customers_without_orders": q_customers_without_orders,
+    "rel_setops_suppliers": q_setops_suppliers,
+    "rel_top_orders_per_customer": q_top_orders_per_customer,
+    "rel_running_revenue_by_supplier": q_running_revenue_by_supplier,
+    "rel_user_event_gaps": q_user_event_gaps,
+    "rel_rollup_returns": q_rollup_returns,
+    "rel_cube_events": q_cube_events,
+    "rel_distinct_parts_per_flag": q_distinct_parts_per_flag,
+    "rel_approx_distinct_users": q_approx_distinct_users,
+    "rel_pivot_event_matrix": q_pivot_event_matrix,
+    "rel_asof_purchase_view": q_asof_purchase_view,
+    "rel_events_within_window_pairs": q_events_within_window_pairs,
+    "rel_user_sessions": q_user_sessions,
+}
+
+ORACLE = {
+    "rel_pricing_summary": _PRICING_SUMMARY_SQL,
+    "rel_shipping_priority": _SHIPPING_PRIORITY_SQL,
+    "rel_local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,
+    "rel_customer_order_counts": _CUSTOMER_ORDER_COUNTS_SQL,
+    "rel_customers_with_urgent_orders": _CUSTOMERS_WITH_URGENT_SQL,
+    "rel_customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "rel_setops_suppliers": _SETOPS_SUPPLIERS_SQL,
+    "rel_top_orders_per_customer": _TOP_ORDERS_PER_CUSTOMER_SQL,
+    "rel_running_revenue_by_supplier": _RUNNING_REVENUE_SQL,
+    "rel_user_event_gaps": _USER_EVENT_GAPS_SQL,
+    "rel_rollup_returns": _ROLLUP_RETURNS_SQL,
+    "rel_cube_events": _CUBE_EVENTS_SQL,
+    "rel_distinct_parts_per_flag": _DISTINCT_PARTS_SQL,
+    # rel_approx_distinct_users: deliberately no oracle (sketch-based)
+    "rel_pivot_event_matrix": _PIVOT_EVENT_MATRIX_SQL,
+    "rel_asof_purchase_view": _ASOF_PURCHASE_VIEW_SQL,
+    "rel_events_within_window_pairs": _EVENTS_WITHIN_WINDOW_PAIRS_SQL,
+    "rel_user_sessions": _USER_SESSIONS_SQL,
+}
