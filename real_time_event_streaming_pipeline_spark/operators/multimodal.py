@@ -1,0 +1,90 @@
+"""Multimodal column plumbing (north-star extension).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct riding alongside. The Spark-side machinery — schema,
+partition-preserving mapInPandas, Arrow batch shapes — is real and
+tested; the actual media decode is stubbed (image/audio libs are not
+in this container) behind ``decode_stub`` which either raises
+NotImplementedError (default) or produces a deterministic fake
+feature vector (tests), as mandated by the build brief.
+
+At 100 TB: binary payloads stay columnar in parquet; metadata-only
+queries never read the blob column (column pruning), and decode runs
+as Arrow-batched mapInPandas with spark.sql.files.maxPartitionBytes
+sized so a batch of blobs fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, mean_byte double, content_md5 string"
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal table: payload = utf-8 bytes of the text
+    column, plus a typed metadata struct (what an image table would
+    carry as width/height/codec)."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.octet_length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def binary_meta(df_docs: DataFrame) -> DataFrame:
+    """Metadata + content-hash projection over the binary column —
+    pure built-ins, blob never leaves the JVM."""
+    b = attach_binary(df_docs)
+    return b.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.origin").alias("origin"),
+        F.md5("payload").alias("content_md5"),
+    )
+
+
+def decode_stub(payload: bytes, fake: bool) -> dict:
+    """The media decode seam. Real decode needs PIL/ffmpeg — absent in
+    this container, so this raises unless the deterministic fake is
+    requested (reference point for the plumbing tests)."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires an image/audio library not present in "
+            "this environment; run with fake=True for the deterministic stub"
+        )
+    return {"n_bytes": len(payload), "mean_byte": float(sum(payload)) / max(len(payload), 1)}
+
+
+def extract_features(df_docs: DataFrame, fake: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column via
+    mapInPandas — the decode path a real image pipeline would take
+    (resize / frame-sample plug in at the same seam)."""
+    b = attach_binary(df_docs).select("doc_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            feats = [decode_stub(p, fake) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "mean_byte": [round(f["mean_byte"], 4) for f in feats],
+                    "content_md5": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
+                }
+            )
+
+    return b.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths, as mandated:
+- brute-force cosine top-k — the exact baseline. Dot products run as
+  built-in higher-order functions (zip_with + aggregate) in double
+  precision, element order fixed, so the DuckDB oracle can reproduce
+  them bit-for-bit. The query side is broadcast; cost is
+  O(|queries|·|corpus|) scans with no shuffle of the corpus.
+- random-hyperplane LSH ANN — the scale path: 16-bit sign signatures
+  bucket the corpus; probe joins on bucket equality (multi-probe over
+  hamming-1 neighbors for recall). Hyperplanes are seeded-numpy
+  constants folded into the plan as literals, so signatures are
+  deterministic but not SQL-expressible → rows-only for the driver,
+  recall-tested in tests/ against the brute-force path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> Column:
+    """Σ a_i·b_i in double, left-to-right — matches the oracle's
+    list_sum(list_transform(...)) fold order."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self): broadcast the
+    query set against the corpus, rank per query."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def neardup_pairs(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force exact form).
+    O(n²) — correct baseline for the oracle; the LSH path below is the
+    100 TB strategy."""
+    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature(vec, planes: np.ndarray) -> Column:
+    """Sign-bit signature as a long: bit_i = [vec · plane_i > 0]."""
+    sig = None
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec, arr) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long")
+        sig = term if sig is None else sig + term
+    return sig
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    multiprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus by LSH signature, probe each
+    query's own bucket plus all buckets within hamming distance
+    ``multiprobe``, score only those candidates. Corpus-side work is
+    one projection + one equi-join — the pairwise scan never happens.
+
+    Plane count trades recall for candidate-set size: 2^n_planes
+    buckets should be ~corpus_size/expected_bucket_occupancy. On
+    near-orthogonal data (this corpus: max cosine ≈ 0.5) recall is
+    intrinsically modest; tests assert it beats random candidates."""
+    planes = _hyperplanes(dim, n_planes)
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")).withColumn(
+        "bucket", lsh_signature(F.col("n_vec"), planes)
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")).withColumn(
+        "sig", lsh_signature(F.col("q_vec"), planes)
+    )
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    probes = F.array(*[F.col("sig").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+    q = q.select("q_id", "q_vec", F.explode(probes).alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("long").alias("rank"))
+    )

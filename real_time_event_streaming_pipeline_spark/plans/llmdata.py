@@ -1,0 +1,296 @@
+"""LLM-data-pipeline queries (north-star extension, BASELINE.json):
+dedup, similarity search, text analysis, multimodal columns — exposed
+through the driver contract with DuckDB oracles wherever the
+semantics are SQL-expressible.
+
+Rows-only (deliberately no oracle — they hinge on Spark's xxhash64 or
+seeded hyperplanes DuckDB can't reproduce; validated against exact
+ground truth in tests/test_llmdata.py instead):
+  llm_dedup_minhash_lsh, llm_dedup_simhash_pairs, llm_emb_ann_lsh,
+  llm_multimodal_features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.n_tokens(t).alias("n_tokens"),
+        T.n_distinct_tokens(t).alias("n_distinct_tokens"),
+        T.avg_token_len(t).alias("avg_token_len"),
+        T.bpe_ish_token_count(t).alias("bpe_tokens"),
+    )
+
+
+_TEXT_STATS_SQL = """
+SELECT
+  doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+  list_sum(list_transform(string_split(text, ' '), t -> length(t)))::DOUBLE
+        / len(string_split(text, ' ')) AS avg_token_len,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.predicted_lang(t).alias("pred_lang"),
+        T.stopword_count(t, "en").alias("en_stopwords"),
+    )
+
+
+_LANG_ID_SQL = """
+WITH c AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das'))) AS c_de,
+    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and'))) AS c_en,
+    len(list_filter(string_split(text,' '), t -> t IN ('el','la','y','los'))) AS c_es,
+    len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','les'))) AS c_fr
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+  CASE WHEN greatest(c_de,c_en,c_es,c_fr) = 0 THEN 'und'
+       WHEN c_de = greatest(c_de,c_en,c_es,c_fr) THEN 'de'
+       WHEN c_en = greatest(c_de,c_en,c_es,c_fr) THEN 'en'
+       WHEN c_es = greatest(c_de,c_en,c_es,c_fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  c_en AS en_stopwords
+FROM c
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+_QUALITY_SQL = """
+WITH f AS (
+  SELECT doc_id,
+    len(string_split(text,' '))::DOUBLE AS n,
+    len(list_distinct(string_split(text,' ')))::DOUBLE AS nd,
+    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and')))::DOUBLE AS stop
+  FROM documents
+)
+SELECT doc_id,
+  0.4 * least(n / 64.0, 1.0) + 0.4 * (nd / n) + 0.2 * least((stop / n) * 4.0, 1.0) AS quality
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_copies", F.md5("text").alias("content_md5")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS content_md5
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_by_hash(load(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_HASH_SQL = """
+SELECT md5(text) AS content_md5, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), k=3, threshold=0.5, max_doc_freq=100
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(
+      CASE WHEN len(toks) < 3 THEN []
+           ELSE [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+      END)) AS shingle
+  FROM tok
+),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, n_common,
+  round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.5
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: xxhash64-based signatures (not SQL-reproducible);
+    recall vs exact Jaccard asserted in tests/test_llmdata.py."""
+    return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only, same reason as minhash."""
+    return D.simhash_neardup_pairs(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_COS_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_COS_DOT.format(a=a, b=a)}) * sqrt({_COS_DOT.format(a=b, b=b)}))"
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+scored AS (
+  SELECT q_id, n_id, {_cos_sql('q_vec', 'n_vec')} AS cos
+  FROM c, q WHERE n_id != q_id
+)
+SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+_EMB_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+"""
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: seeded hyperplanes; recall vs brute force asserted in
+    tests/test_llmdata.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.binary_meta(load(spark, sf_dir, "documents"))
+
+
+_MULTIMODAL_META_SQL = """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  'text/plain' AS mime,
+  source AS origin,
+  md5(text) AS content_md5
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Arrow-batched mapInPandas decode path with the
+    deterministic fake decoder (real decode is stubbed per brief)."""
+    return M.extract_features(load(spark, sf_dir, "documents"), fake=True)
+
+
+QUERIES = {
+    "llm_text_stats": q_text_stats,
+    "llm_lang_id": q_lang_id,
+    "llm_fingerprint": q_fingerprint,
+    "llm_quality": q_quality,
+    "llm_dedup_exact": q_dedup_exact,
+    "llm_dedup_exact_hash": q_dedup_exact_hash,
+    "llm_dedup_ngram_jaccard": q_ngram_jaccard,
+    "llm_dedup_minhash_lsh": q_minhash_lsh,
+    "llm_dedup_simhash_pairs": q_simhash_pairs,
+    "llm_emb_cosine_topk": q_cosine_topk,
+    "llm_emb_neardup": q_emb_neardup,
+    "llm_emb_ann_lsh": q_emb_ann_lsh,
+    "llm_multimodal_meta": q_multimodal_meta,
+    "llm_multimodal_features": q_multimodal_features,
+}
+
+ORACLE = {
+    "llm_text_stats": _TEXT_STATS_SQL,
+    "llm_lang_id": _LANG_ID_SQL,
+    "llm_fingerprint": _FINGERPRINT_SQL,
+    "llm_quality": _QUALITY_SQL,
+    "llm_dedup_exact": _DEDUP_EXACT_SQL,
+    "llm_dedup_exact_hash": _DEDUP_EXACT_HASH_SQL,
+    "llm_dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "llm_emb_cosine_topk": _COSINE_TOPK_SQL,
+    "llm_emb_neardup": _EMB_NEARDUP_SQL,
+    "llm_multimodal_meta": _MULTIMODAL_META_SQL,
+}
