@@ -1,0 +1,68 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Per-query time = wall clock of execute+collect (plan reuse warm, JVM
+startup excluded — the metric is query latency, not session boot).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_event_streaming_pipeline_spark.plans import all_queries
+from real_time_event_streaming_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "cs_windowed_agg",
+    "cs_cities",
+    "cs_stats",
+    "rel_pricing_summary",
+    "rel_shipping_priority",
+    "rel_local_supplier_volume",
+    "rel_top_orders_per_customer",
+    "rel_user_sessions",
+    "rel_asof_purchase_view",
+    "llm_text_stats",
+    "llm_dedup_exact_hash",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_minhash_lsh",
+    "llm_emb_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # warm-up: JVM/codegen/file-listing, not measured
+    queries["cs_cities"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (execute+collect, warm session)",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

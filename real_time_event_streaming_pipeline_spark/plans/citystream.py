@@ -42,16 +42,22 @@ from ..functions import (
 # ---------------------------------------------------------------------------
 
 
-def city_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events + derived (city, severity, ts_iso) — the S2 parse/derive
-    stage (SparkDynamoDBConsumer.java:85-96) re-expressed over the
-    driver corpus. All expressions stay in whole-stage codegen."""
-    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+def enrich_events(ev: DataFrame) -> DataFrame:
+    """S2 parse/derive stage (SparkDynamoDBConsumer.java:85-96) on any
+    DataFrame with the events schema — batch or streaming: the same
+    unresolved plan serves both (SURVEY.md §7.0 decision 1). All
+    expressions stay in whole-stage codegen."""
     return (
-        ev.withColumn("city", city_from_user(F.col("user_id")))
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("city", city_from_user(F.col("user_id")))
         .withColumn("severity", severity_from_event(F.col("event_id")))
         .withColumn("ts_iso", iso_ts(F.col("ts")))
     )
+
+
+def city_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form: driver events table + CityStream enrichment."""
+    return enrich_events(load(spark, sf_dir, "events"))
 
 
 # DuckDB twin of city_events(); every oracle below starts with this CTE.
@@ -72,14 +78,17 @@ windowed AS (
 """
 
 
-def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: 5-min tumbling window agg (SparkDynamoDBConsumer.java:120-147),
-    batch form. groupBy(window, city, event_type) is a single hash
-    aggregate with map-side partial aggregation; the shuffle key
-    (window, city, event_type) is high-cardinality and unskewed, so the
-    plan scales linearly with input."""
+def windowed_agg(enriched: DataFrame, watermark: str | None = None) -> DataFrame:
+    """A1: 5-min tumbling window agg (SparkDynamoDBConsumer.java:120-147)
+    over an enriched event DataFrame — batch or streaming (pass a
+    watermark for the streaming variant: state eviction bound, W1).
+    groupBy(window, city, event_type) is a single hash aggregate with
+    map-side partial aggregation; the shuffle key is high-cardinality
+    and unskewed, so the plan scales linearly with input."""
+    if watermark is not None:
+        enriched = enriched.withWatermark("ts", watermark)
     return (
-        city_events(spark, sf_dir)
+        enriched
         .groupBy(F.window("ts", "5 minutes").alias("w"), "city", "event_type")
         .agg(
             F.count("*").alias("event_count"),
@@ -158,7 +167,7 @@ FROM windowed
 
 def q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/W2 flagship: the reference's centerpiece windowed aggregation."""
-    return _windowed(spark, sf_dir)
+    return windowed_agg(city_events(spark, sf_dir))
 
 
 def q_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +225,7 @@ def q_summary_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg + a hand-rolled Java final agg
     (CityStreamApiApplication.java:114-123). Here it is one rollup over
     the windowed agg: per-event_type totals + grand total."""
-    agg = _windowed(spark, sf_dir).filter(F.col("city") == "NYC")
+    agg = windowed_agg(city_events(spark, sf_dir)).filter(F.col("city") == "NYC")
     return (
         agg.rollup("event_type")
         .agg(F.sum("event_count").alias("total_events"))
@@ -248,7 +257,7 @@ GROUP BY ROLLUP(event_type)
 def q_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /cities: A4+O3 — group-sum per city over the agg table."""
     return (
-        _windowed(spark, sf_dir)
+        windowed_agg(city_events(spark, sf_dir))
         .groupBy("city")
         .agg(F.sum("event_count").cast("long").alias("total_events"))
     )
@@ -271,7 +280,7 @@ def q_aggregations_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /aggregations?city&eventType&limit: P9 conjunctive predicate
     + O2 sort desc by window_start + O4 limit."""
     return (
-        _windowed(spark, sf_dir)
+        windowed_agg(city_events(spark, sf_dir))
         .filter((F.col("city") == "LA") & (F.col("event_type") == "purchase"))
         .orderBy(F.desc("window_start"))
         .limit(20)

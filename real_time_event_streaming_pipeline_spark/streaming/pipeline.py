@@ -1,0 +1,119 @@
+"""The CityStream streaming pipeline — the reference's 4 concurrent
+queries (consumer/.../SparkDynamoDBConsumer.java:110-196) rebuilt on
+Structured Streaming with the engine's shared batch plans:
+
+  Q1 raw events    — project + derive → append → upsert sink by event_key
+  Q2 windowed agg  — watermark + 5-min tumbling window → update →
+                     upsert sink by partition_key
+  Q3 alerts        — severity IN (high, critical) → append sink
+  Q4 counts        — global group-count → complete → memory/console
+
+Differences from the reference, by design (SURVEY.md §7.0):
+- windows are event-time on the typed ts column, not processing time
+  (the reference windows on current_timestamp() — §2.4 quirk);
+  pass use_event_time=False to reproduce the reference exactly.
+- sinks are bulk columnar upserts, not per-row putItem.
+
+Checkpointing: one checkpoint dir per query (reference S9/W7) —
+recovery is exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import ALERT_SEVERITIES, event_key
+from ..plans.citystream import enrich_events, windowed_agg
+from .sinks import append_parquet, upsert_parquet
+
+
+@dataclass
+class PipelineConfig:
+    out_dir: str
+    watermark: str = "10 minutes"  # reference: SparkDynamoDBConsumer.java:121
+    use_event_time: bool = True
+    counts_sink: str = "memory"  # "console" in production
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+    def checkpoint(self, name: str) -> str:
+        return os.path.join(self.out_dir, "_checkpoints", name)
+
+
+def _prepared(source: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    enriched = enrich_events(source)
+    if not cfg.use_event_time:
+        # reference-exact mode: window on ingest wall clock
+        # (SparkDynamoDBConsumer.java:89) — true late data impossible
+        enriched = enriched.withColumn("ts", F.current_timestamp())
+    return enriched
+
+
+def start_pipeline(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) -> dict:
+    """Start all four queries; returns {name: StreamingQuery}. Caller
+    owns termination (processAllAvailable for tests,
+    awaitAnyTermination in production like the reference's :196)."""
+    enriched = _prepared(source, cfg)
+    queries = {}
+
+    raw = enriched.select(
+        "event_id",
+        event_key(F.col("city"), F.col("event_type"), F.col("ts_iso")).alias("event_key"),
+        "city",
+        "event_type",
+        "severity",
+        "ts",
+        "value",
+    )
+    queries["raw_events"] = (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint("raw-events"))
+        .foreachBatch(upsert_parquet(cfg.path("raw_events"), ["event_key"], order_col="ts"))
+        .start()
+    )
+
+    agg = windowed_agg(enriched, watermark=cfg.watermark)
+    queries["aggregations"] = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", cfg.checkpoint("aggregations"))
+        .foreachBatch(
+            upsert_parquet(cfg.path("aggregations"), ["partition_key"], order_col="last_updated")
+        )
+        .start()
+    )
+
+    alerts = enriched.filter(F.col("severity").isin(*ALERT_SEVERITIES)).select(
+        "event_id", "city", "event_type", "severity", "ts"
+    )
+    queries["alerts"] = (
+        alerts.writeStream.outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint("alerts"))
+        .foreachBatch(append_parquet(cfg.path("alerts")))
+        .start()
+    )
+
+    counts = enriched.groupBy("city", "event_type", "severity").count()
+    writer = (
+        counts.writeStream.outputMode("complete")
+        .option("checkpointLocation", cfg.checkpoint("console"))
+    )
+    if cfg.counts_sink == "memory":
+        queries["counts"] = writer.format("memory").queryName("city_counts").start()
+    else:
+        queries["counts"] = writer.format("console").option("truncate", "false").start()
+
+    return queries
+
+
+def run_to_completion(queries: dict) -> None:
+    """Drain every pending micro-batch, then stop (test harness path;
+    production blocks on spark.streams.awaitAnyTermination())."""
+    for q in queries.values():
+        q.processAllAvailable()
+    for q in queries.values():
+        q.stop()

@@ -1,0 +1,131 @@
+"""LLM-data operators: ground-truth checks for the rows-only (non-SQL-
+expressible) paths, plus planted-fixture tests for dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_pipeline_spark.catalog import load
+from real_time_event_streaming_pipeline_spark.operators import dedup as D
+from real_time_event_streaming_pipeline_spark.operators import multimodal as M
+from real_time_event_streaming_pipeline_spark.operators import similarity as S
+from real_time_event_streaming_pipeline_spark.operators import text as T
+
+
+def test_exact_dedup_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "a b c", "s"), (3, "x y z", "s"), (4, "a b c", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.doc_id, r.n_copies) for r in D.exact_dedup(df).collect()}
+    assert got == {(1, 3), (3, 1)}
+    got2 = {(r.doc_id, r.n_copies) for r in D.exact_dedup_by_hash(df).collect()}
+    assert got2 == {(1, 3), (3, 1)}
+
+
+def test_shingles_short_doc_guard(spark):
+    """Docs shorter than k must yield no shingles (sequence(1,0) is
+    descending in Spark — the regression this guards)."""
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], "doc_id long, text string")
+    got = dict(
+        (r.doc_id, r.n) for r in df.select("doc_id", F.size(D.shingles("text", 3)).alias("n")).collect()
+    )
+    assert got == {1: 0, 2: 2}
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_small):
+    docs = load(spark, sf_small, "documents")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand = {(r.a_id, r.b_id) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert exact, "fixture should contain planted near-duplicates"
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"minhash LSH recall too low: {recall}"
+
+
+def test_minhash_est_jaccard_tracks_exact(spark, sf_small):
+    docs = load(spark, sf_small, "documents")
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    est = {
+        (r.a_id, r.b_id): r.est_jaccard for r in D.minhash_lsh_pairs(docs).collect()
+    }
+    errs = [abs(est[k] - exact[k]) for k in exact if k in est]
+    assert errs and sum(errs) / len(errs) < 0.25
+
+
+def test_simhash_close_for_neardups(spark, sf_small):
+    """Planted near-dups (exact jaccard ≥ 0.8) should collide to nearby
+    simhashes (hamming ≤ 6 of 32 bits)."""
+    docs = load(spark, sf_small, "documents")
+    near = D.ngram_jaccard_pairs(docs, threshold=0.8).select("a_id", "b_id")
+    sig = D.simhash(docs)
+    a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"))
+    b = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"))
+    joined = near.join(a, "a_id").join(b, "b_id").select(
+        F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))).alias("ham")
+    )
+    rows = joined.collect()
+    assert rows
+    assert all(r.ham <= 6 for r in rows)
+
+
+def test_ann_beats_random(spark, sf_small):
+    """LSH ANN candidates must be enriched for true neighbors vs random
+    pairs (recall on near-orthogonal data is modest by construction —
+    see similarity.py docstring — but it must be ≫ random)."""
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {(r.q_id, r.n_id) for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    ann = {(r.q_id, r.n_id) for r in S.lsh_ann_topk(emb, queries, k=5).collect()}
+    n_corpus = emb.count()
+    overlap = len(bf & ann) / len(bf)
+    random_rate = 5.0 / n_corpus
+    assert overlap > 10 * random_rate, (overlap, random_rate)
+
+
+def test_cosine_self_similarity(spark, sf_small):
+    emb = load(spark, sf_small, "embeddings").limit(5)
+    sim = emb.select(S.cosine(F.col("embedding"), F.col("embedding")).alias("c")).collect()
+    assert all(abs(r.c - 1.0) < 1e-9 for r in sim)
+
+
+def test_multimodal_features_fake_path(spark, sf_small):
+    docs = load(spark, sf_small, "documents")
+    feats = M.extract_features(docs, fake=True)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    meta = {r.doc_id: r.n_bytes for r in M.binary_meta(docs).collect()}
+    assert all(meta[r.doc_id] == r.n_bytes for r in rows)
+
+
+def test_multimodal_decode_stub_raises(spark, sf_small):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    docs = load(spark, sf_small, "documents").limit(2)
+    with _pytest.raises((Py4JJavaError, PythonException)) as ei:
+        M.extract_features(docs, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value)
+
+
+def test_lang_id_deterministic_argmax(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),   # en stopwords
+            (2, "le chat et la mer"),     # fr stopwords
+            (3, "zzz qqq www"),           # none -> und
+            (4, "la la la"),              # es/fr tie on 'la' -> es (code order)
+        ],
+        "doc_id long, text string",
+    )
+    got = dict(
+        (r.doc_id, r.lang)
+        for r in df.select("doc_id", T.predicted_lang(F.col("text")).alias("lang")).collect()
+    )
+    assert got == {1: "en", 2: "fr", 3: "und", 4: "es"}

@@ -1,0 +1,144 @@
+"""Streaming semantics: the Dataflow identity (streaming query ==
+incremental view of the batch query), upsert sink last-writer-wins,
+checkpoint recovery, output modes, and the S6 generator domains.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_pipeline_spark.plans.citystream import (
+    city_events,
+    windowed_agg,
+)
+from real_time_event_streaming_pipeline_spark.sources import (
+    city_event_stream,
+    events_file_stream,
+)
+from real_time_event_streaming_pipeline_spark.sources.generator import city_event_batch
+from real_time_event_streaming_pipeline_spark.streaming.pipeline import (
+    PipelineConfig,
+    run_to_completion,
+    start_pipeline,
+)
+from real_time_event_streaming_pipeline_spark.streaming.sinks import upsert_parquet
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_pipeline_matches_batch(spark, sf_small, tmp_path):
+    """End-to-end: run the 4-query pipeline over the file stream, then
+    check every sink equals its batch twin."""
+    cfg = PipelineConfig(out_dir=str(tmp_path))
+    src = events_file_stream(spark, sf_small)
+    queries = start_pipeline(spark, src, cfg)
+    run_to_completion(queries)
+
+    batch = city_events(spark, sf_small)
+
+    # Q2: windowed aggregations == batch windowed agg
+    got = spark.read.parquet(cfg.path("aggregations")).drop("_epoch")
+    want = windowed_agg(batch)
+    assert _rows(got) == _rows(want)
+
+    # Q1: raw events — one row per event_key upsert
+    raw = spark.read.parquet(cfg.path("raw_events"))
+    assert raw.count() == raw.select("event_key").distinct().count()
+    assert raw.count() == batch.select(
+        F.concat_ws("-", "city", "event_type", "ts_iso")
+    ).distinct().count()
+
+    # Q3: alerts == batch severity filter
+    alerts = spark.read.parquet(cfg.path("alerts"))
+    want_alerts = batch.filter(F.col("severity").isin("high", "critical"))
+    assert alerts.count() == want_alerts.count()
+
+    # Q4: complete-mode counts == batch group count
+    counts = spark.sql("SELECT * FROM city_counts")
+    want_counts = batch.groupBy("city", "event_type", "severity").count()
+    assert _rows(counts) == _rows(want_counts)
+
+
+def test_upsert_last_writer_wins(spark, tmp_path):
+    out = str(tmp_path / "t")
+    sink = upsert_parquet(out, ["k"], order_col="v")
+    sink(spark.createDataFrame([("a", 1), ("b", 1)], "k string, v int"), 0)
+    sink(spark.createDataFrame([("a", 99)], "k string, v int"), 1)
+    got = {(r.k, r.v) for r in spark.read.parquet(out).select("k", "v").collect()}
+    assert got == {("a", 99), ("b", 1)}
+
+
+def test_checkpoint_recovery(spark, sf_small, tmp_path):
+    """Stop the agg query mid-stream, restart from the same checkpoint,
+    verify the final table is complete and duplicate-free."""
+    cfg = PipelineConfig(out_dir=str(tmp_path))
+    src = events_file_stream(spark, sf_small)
+
+    def start_agg():
+        return (
+            windowed_agg(src.transform(_enrich), watermark=cfg.watermark)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", cfg.checkpoint("agg2"))
+            .foreachBatch(
+                upsert_parquet(cfg.path("agg2"), ["partition_key"], order_col="last_updated")
+            )
+            .start()
+        )
+
+    from real_time_event_streaming_pipeline_spark.plans.citystream import enrich_events as _enrich
+
+    q = start_agg()
+    q.processAllAvailable()
+    q.stop()
+    # restart on same checkpoint — no new data, must be a no-op
+    q2 = start_agg()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(cfg.path("agg2")).drop("_epoch")
+    want = windowed_agg(city_events(spark, sf_small))
+    assert _rows(got) == _rows(want)
+
+
+def test_generator_domains(spark):
+    """S6 parity: domains and description templates
+    (EventGeneratorService.java:23-53)."""
+    df = city_event_batch(spark, 200)
+    rows = df.collect()
+    cities = {r.city for r in rows}
+    types = {r.event_type for r in rows}
+    sevs = {r.severity for r in rows}
+    assert cities == {"SF", "NYC", "LA", "Chicago", "Seattle", "Boston"}
+    assert types == {"traffic", "weather", "incident", "construction"}
+    assert sevs == {"low", "medium", "high", "critical"}
+    r0 = next(r for r in rows if r.event_type == "traffic")
+    assert r0.description == f"{r0.severity} traffic congestion detected"
+    # ISO-8601 Z timestamps, lexicographically ordered (reference §1.3)
+    assert all(len(r.timestamp) == 20 and r.timestamp.endswith("Z") for r in rows)
+
+
+def test_rate_source_stream_starts(spark, tmp_path):
+    """The true streaming generator produces rows through a trigger."""
+    q = (
+        city_event_stream(spark, rows_per_second=100)
+        .writeStream.format("memory")
+        .queryName("gen_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 20
+    n = 0
+    while time.time() < deadline:
+        n = spark.sql("SELECT count(*) c FROM gen_smoke").first().c
+        if n > 0:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert n > 0
