@@ -71,9 +71,24 @@ def shingles(text, k: int = 3):
 
 
 def doc_shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) distinct pairs."""
+    """(doc_id, shingle) distinct pairs.
+
+    The input table often arrives in a handful of file-partitions; the
+    shingle expression is CPU-heavy per row, so repartition first to
+    spread the explode across all cores (at cluster scale: across
+    executors). Text is split once, not once per sub-expression."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = F.col("_toks")
+    sh = F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles("text", k))).alias("shingle"))
+        df.select(F.col(id_col), F.split("text", " ").alias("_toks"))
+        .repartition(n_part)
+        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
 
@@ -90,15 +105,21 @@ def ngram_jaccard_pairs(
     shingles with document frequency > max_doc_freq); verification =
     |∩| / (|A|+|B|-|∩|) ≥ threshold. Both stages are shuffles on keys,
     no cartesian anywhere.
+
+    Physical shape (matters at 100 TB): the exploded shingle set is
+    shuffled ONCE (window count over shingle = the df-cap filter),
+    persisted, and self-joined on that partitioning; per-doc sizes are
+    dimension-sized and broadcast, so the only other shuffle is the
+    (a_id, b_id) pair aggregation.
     """
-    sh = doc_shingles(df, k, id_col)
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_doc_freq)
-        .select("shingle")
+    w = Window.partitionBy("shingle")
+    sh = (
+        doc_shingles(df, k, id_col)
+        .withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") <= max_doc_freq)
+        .drop("_df")
+        .persist()
     )
-    sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
@@ -109,8 +130,14 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("n_common"))
     )
     return (
-        inter.join(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n")), "a_id")
-        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("b_n")), "b_id")
+        inter.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n"))),
+            "a_id",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("b_n"))),
+            "b_id",
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -159,7 +186,10 @@ def minhash_lsh_pairs(
     The join key is (band_index, hash-of-band) — pure equi-join.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, k, num_hashes, id_col)
+    # persist: the banded signature set feeds both sides of the
+    # candidate self-join — without it the signature aggregation
+    # (explode + 32 mins) runs twice
+    sig = minhash_signatures(df, k, num_hashes, id_col).persist()
     banded = sig.select(
         F.col(id_col),
         F.col("sig"),
@@ -206,9 +236,13 @@ def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over word tokens: per-bit ±1 vote sums from
     xxhash64(token), reassembled into one long. One explode + one
     groupBy; all expression-level."""
-    tok = df.select(
-        F.col(id_col), F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tok = (
+        df.select(F.col(id_col), F.array_distinct(F.split("text", " ")).alias("_toks"))
+        .repartition(n_part)
+        .select(F.col(id_col), F.explode("_toks").alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
     votes = tok.groupBy(id_col).agg(
         *[
             F.sum(

@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep parallelism-first coalescing effective for CPU-heavy
+        # mid-size shuffles (default 1MB floor coalesces a 13MB shuffle
+        # to <16 partitions, idling half the cores; at cluster scale the
+        # size-based target dominates and this floor is never binding)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
