@@ -13,7 +13,7 @@ def _modules():
     from . import citystream
 
     mods = [citystream]
-    for name in ("relational", "llmdata"):
+    for name in ("relational", "llmdata", "scalar"):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:

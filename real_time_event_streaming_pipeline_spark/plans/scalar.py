@@ -1,0 +1,301 @@
+"""Scalar-function surface + remaining reference operators.
+
+The reference itself uses only 11 scalar functions (SURVEY.md §2.2
+note); the engine ships Spark's whole built-in library — these queries
+pin the cross-engine semantics of the families the oracle can check
+(math, string, datetime, conditional, percentiles, unpivot), plus the
+two reference operators not yet covered: the Kafka producer frame
+(S5, KafkaProducerService.java:51-55) and producer metrics (A7,
+KafkaProducerService.java:124-145).
+
+Cross-engine float discipline: sqrt is IEEE-exact (raw); ln/log10/pow
+go through libm and may differ in the last ulp between JVM and C —
+those are rounded to 6 decimals. Exact-integer math stays raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .citystream import CITY_EVENTS_CTE, city_events
+
+
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
+        F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("tax_pct_floor"),
+        (F.col("l_quantity") % 7).alias("qty_mod7"),
+    )
+
+
+_FN_MATH_SQL = """
+SELECT
+  l_orderkey, l_linenumber,
+  sqrt(l_quantity) AS sqrt_qty,
+  round(ln(l_extendedprice), 6) AS ln_price,
+  round(log10(l_extendedprice), 6) AS log10_price,
+  round(power(l_discount, 2), 6) AS disc_sq,
+  abs(l_quantity - 25) AS abs_dev,
+  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+  CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+  l_quantity % 7 AS qty_mod7
+FROM lineitem
+"""
+
+
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+_FN_STRING_SQL = """
+SELECT
+  c_custkey,
+  upper(c_name) AS name_upper,
+  lower(c_mktsegment) AS seg_lower,
+  substring(c_name, 1, 8) AS name_prefix,
+  length(c_name) AS name_len,
+  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+  c_mktsegment || '|' || c_name AS tagged,
+  reverse(c_mktsegment) AS seg_rev,
+  trim('  x  ') AS trimmed
+FROM customer
+"""
+
+
+def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow_sun0"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).cast("long").alias("qtr"),
+    )
+
+
+_FN_DATETIME_SQL = """
+SELECT
+  o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS yr,
+  CAST(month(o_orderdate) AS BIGINT) AS mo,
+  CAST(day(o_orderdate) AS BIGINT) AS dom,
+  CAST(extract(dow FROM o_orderdate) AS BIGINT) AS dow_sun0,
+  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+  CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT) AS days_to_2002,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+  CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+FROM orders
+"""
+
+
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(p >= 300000, "large")
+        .when(p >= 100000, "medium")
+        .otherwise("small")
+        .alias("tier"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_or_open"),
+        F.greatest(p, F.lit(150000.0)).alias("floor_150k"),
+        F.least(p, F.lit(150000.0)).alias("cap_150k"),
+        F.isnull(F.nullif("o_orderpriority", F.lit("5-LOW"))).alias("is_low"),
+    )
+
+
+_FN_CONDITIONAL_SQL = """
+SELECT
+  o_orderkey,
+  CASE WHEN o_totalprice >= 300000 THEN 'large'
+       WHEN o_totalprice >= 100000 THEN 'medium'
+       ELSE 'small' END AS tier,
+  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+  greatest(o_totalprice, 150000.0) AS floor_150k,
+  least(o_totalprice, 150000.0) AS cap_150k,
+  nullif(o_orderpriority, '5-LOW') IS NULL AS is_low
+FROM orders
+"""
+
+
+def q_fn_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles + dispersion per group (the
+    approx_percentile twin is in rel_approx_distinct_users territory:
+    sketch-based, rows-only)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("qty_p50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("qty_p90"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.round(F.stddev("l_quantity"), 4).alias("qty_std"),
+        F.round(F.variance("l_quantity"), 4).alias("qty_var"),
+    )
+
+
+_FN_PERCENTILES_SQL = """
+SELECT
+  l_returnflag,
+  CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS qty_p50,
+  CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS qty_p90,
+  min(l_quantity) AS qty_min,
+  max(l_quantity) AS qty_max,
+  round(stddev_samp(l_quantity), 4) AS qty_std,
+  round(var_samp(l_quantity), 4) AS qty_var
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip: the wide event-type count matrix
+    melted back to (user_bucket, event_type, n) long form."""
+    from .relational import EVENT_TYPES, q_pivot_event_matrix
+
+    wide = q_pivot_event_matrix(spark, sf_dir)
+    return wide.unpivot(
+        "user_bucket",
+        [f"n_{t}" for t in EVENT_TYPES],
+        "event_type",
+        "n",
+    ).withColumn("event_type", F.expr("substring(event_type, 3)"))
+
+
+_FN_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT
+    user_id % 5 AS user_bucket,
+    count(*) FILTER (event_type = 'click') AS n_click,
+    count(*) FILTER (event_type = 'error') AS n_error,
+    count(*) FILTER (event_type = 'purchase') AS n_purchase,
+    count(*) FILTER (event_type = 'signup') AS n_signup,
+    count(*) FILTER (event_type = 'view') AS n_view
+  FROM events GROUP BY user_id % 5
+)
+SELECT user_bucket, substring(name, 3) AS event_type, n
+FROM (UNPIVOT wide ON n_click, n_error, n_purchase, n_signup, n_view INTO NAME name VALUE n)
+"""
+
+
+def q_kafka_producer_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: the Kafka write frame — key = city (per-city partition
+    ordering, KafkaProducerService.java:51-55), value = JSON of the
+    event struct. This exact DataFrame feeds
+    .writeStream.format('kafka') in production."""
+    ce = city_events(spark, sf_dir)
+    return ce.select(
+        F.col("city").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("city"),
+                F.col("event_type"),
+                F.col("severity"),
+                F.col("ts_iso").alias("timestamp"),
+                F.col("event_id"),
+            )
+        ).alias("value"),
+    )
+
+
+_KAFKA_FRAME_SQL = (
+    CITY_EVENTS_CTE
+    + """
+SELECT
+  city AS key,
+  to_json(struct_pack(
+    city := city,
+    event_type := event_type,
+    severity := severity,
+    "timestamp" := ts_iso,
+    event_id := event_id
+  )) AS value
+FROM windowed
+"""
+)
+
+
+def q_producer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: the producer's running metrics (count, min/max/avg latency
+    proxy, events/sec over the span — KafkaProducerService.java:124-145)
+    as one aggregation; the live-streaming twin uses df.observe() in
+    streaming/metrics.py."""
+    ce = city_events(spark, sf_dir)
+    span = F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+    return ce.agg(
+        F.count("*").alias("events_total"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.round(F.avg("value"), 4).alias("value_avg"),
+        span.cast("long").alias("span_seconds"),
+        (F.count("*") / span.cast("double")).alias("events_per_sec"),
+    )
+
+
+_PRODUCER_METRICS_SQL = (
+    CITY_EVENTS_CTE
+    + """
+SELECT
+  count(*) AS events_total,
+  min(value) AS value_min,
+  max(value) AS value_max,
+  round(avg(value), 4) AS value_avg,
+  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS span_seconds,
+  count(*) / CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS DOUBLE) AS events_per_sec
+FROM windowed
+"""
+)
+
+
+QUERIES = {
+    "fn_math": q_fn_math,
+    "fn_string": q_fn_string,
+    "fn_datetime": q_fn_datetime,
+    "fn_conditional": q_fn_conditional,
+    "fn_percentiles": q_fn_percentiles,
+    "fn_unpivot": q_fn_unpivot,
+    "cs_kafka_producer_frame": q_kafka_producer_frame,
+    "cs_producer_metrics": q_producer_metrics,
+}
+
+ORACLE = {
+    "fn_math": _FN_MATH_SQL,
+    "fn_string": _FN_STRING_SQL,
+    "fn_datetime": _FN_DATETIME_SQL,
+    "fn_conditional": _FN_CONDITIONAL_SQL,
+    "fn_percentiles": _FN_PERCENTILES_SQL,
+    "fn_unpivot": _FN_UNPIVOT_SQL,
+    "cs_kafka_producer_frame": _KAFKA_FRAME_SQL,
+    "cs_producer_metrics": _PRODUCER_METRICS_SQL,
+}

@@ -1,0 +1,108 @@
+"""Streaming extensions: observed metrics, custom stateful operator,
+session windows, late-data metric surface."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_pipeline_spark.plans.citystream import (
+    city_events,
+    enrich_events,
+)
+from real_time_event_streaming_pipeline_spark.sources import events_file_stream
+from real_time_event_streaming_pipeline_spark.streaming.metrics import (
+    progress_metrics,
+    with_observed_metrics,
+)
+from real_time_event_streaming_pipeline_spark.streaming.stateful import (
+    running_user_profile,
+)
+
+
+def test_observed_metrics_and_progress(spark, sf_small, tmp_path):
+    src = enrich_events(events_file_stream(spark, sf_small))
+    observed = with_observed_metrics(src)
+    q = (
+        observed.writeStream.format("memory")
+        .queryName("obs_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    m = progress_metrics(q)
+    q.stop()
+    assert m["observed"] is not None
+    assert m["observed"]["rows"] > 0
+    assert m["late_rows_dropped"] == 0  # stateless query drops nothing
+
+
+def test_stateful_running_profile_matches_batch(spark, sf_small, tmp_path):
+    """Final state after draining the stream == batch aggregation."""
+    src = enrich_events(events_file_stream(spark, sf_small))
+    q = (
+        running_user_profile(src)
+        .writeStream.format("memory")
+        .queryName("user_profile")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode emits one row per user per batch: take the latest per user
+    got = (
+        spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM user_profile) WHERE rn = 1"""
+        )
+        .collect()
+    )
+    batch = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in city_events(spark, sf_small)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert len(got) == len(batch)
+    for r in got:
+        n, total = batch[r.user_id]
+        assert r.n_events == n
+        assert abs(r.total_value - total) < 1e-6
+
+
+def test_session_window_streaming(spark, sf_small, tmp_path):
+    """session_window (streaming) session counts == batch lag/cumsum
+    sessionization (rel_user_sessions semantics, 30-min gap)."""
+    src = enrich_events(events_file_stream(spark, sf_small))
+    sess = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT user_id, count(*) AS n_sessions FROM sessions_stream GROUP BY user_id")
+        .collect()
+    )
+    from real_time_event_streaming_pipeline_spark.plans.relational import q_user_sessions
+
+    want = {r.user_id: r.n_sessions for r in q_user_sessions(spark, sf_small).collect()}
+    got_map = {r.user_id: r.n_sessions for r in got}
+    # append mode only emits windows closed by the watermark; with a
+    # bounded file stream the final watermark leaves the tail session
+    # open per user — allow exactly that off-by-one-or-equal slack.
+    assert set(got_map) <= set(want)
+    for uid, n in got_map.items():
+        assert n in (want[uid], want[uid] - 1), (uid, n, want[uid])
