@@ -142,7 +142,7 @@ def q_raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "city",
         "event_type",
         "severity",
-        F.round("value", 2).alias("value"),
+        F.col("value"),
         F.from_json("props", "k INT")["k"].alias("props_k"),
         event_key(F.col("city"), F.col("event_type"), F.col("ts_iso")).alias("event_key"),
     )
@@ -157,7 +157,7 @@ SELECT
   city,
   event_type,
   severity,
-  round(value, 2) AS value,
+  value,
   CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS props_k,
   city || '-' || event_type || '-' || ts_iso AS event_key
 FROM windowed

@@ -36,6 +36,22 @@ def _dstr(col: str | F.Column, alias: str) -> F.Column:
     return F.date_format(col, DATE_FMT).alias(alias)
 
 
+def _exact_sum(expr, scale: int):
+    """Order-independent money sum: convert each term to integer
+    units (a deterministic function of a double that is identical in
+    every engine), sum exactly, divide once. Floating-point sums are
+    NOT reproducible across engines or even across partitionings —
+    this removes the dependence entirely (SURVEY.md §7.3)."""
+    unit = 10 ** scale
+    e = F.floor(expr * unit + F.lit(0.5)).cast("long")
+    return F.sum(e) / F.lit(float(unit))
+
+
+def _exact_sum_sql(expr: str, scale: int) -> str:
+    unit = 10 ** scale
+    return f"sum(CAST(floor(({expr}) * {unit} + 0.5) AS BIGINT)) / {unit}.0"
+
+
 # ---------------------------------------------------------------------------
 # Aggregation over the fact table
 # ---------------------------------------------------------------------------
@@ -47,41 +63,35 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation happens map-side so the shuffle carries only
     (flag,status) groups."""
     li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum("l_quantity").alias("sum_qty"),  # integer-valued: exact
+            _exact_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _exact_sum(disc_price, 4).alias("sum_disc_price"),
+            _exact_sum(charge, 6).alias("sum_charge"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (_exact_sum(F.col("l_extendedprice"), 2) / n).alias("avg_price"),
+            (_exact_sum(F.col("l_discount"), 2) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
 
-_PRICING_SUMMARY_SQL = """
+_PRICING_SUMMARY_SQL = f"""
 SELECT
   l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  round(avg(l_quantity), 2) AS avg_qty,
-  round(avg(l_extendedprice), 2) AS avg_price,
-  round(avg(l_discount), 4) AS avg_disc,
+  sum(l_quantity) AS sum_qty,
+  {_exact_sum_sql("l_extendedprice", 2)} AS sum_base_price,
+  {_exact_sum_sql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+  {_exact_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+  sum(l_quantity) / count(*) AS avg_qty,
+  {_exact_sum_sql("l_extendedprice", 2)} / count(*) AS avg_price,
+  {_exact_sum_sql("l_discount", 2)} / count(*) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-12-01'
@@ -111,7 +121,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -129,7 +139,7 @@ _SHIPPING_PRIORITY_SQL = """
 SELECT
   l_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -165,7 +175,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -173,7 +183,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LOCAL_SUPPLIER_VOLUME_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -325,24 +335,30 @@ def q_running_revenue_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # exact-arithmetic form: windowed double sums are NOT reproducible
+    # across engines (DuckDB aggregates window frames via segment
+    # trees — different fold order, last-ulp drift), so convert each
+    # term to integer ten-thousandths first (deterministic function of
+    # an identical double), sum exactly, divide once at the end.
+    term_e4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).over(w), 2).alias(
-            "running_revenue"
-        ),
+        (F.sum(term_e4).over(w) / F.lit(10000.0)).alias("running_revenue"),
     )
 
 
 _RUNNING_REVENUE_SQL = """
 SELECT
   l_suppkey, l_orderkey, l_linenumber,
-  round(sum(l_extendedprice * (1 - l_discount)) OVER (
+  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) OVER (
     PARTITION BY l_suppkey
     ORDER BY l_shipdate, l_orderkey, l_linenumber
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ), 2) AS running_revenue
+  ) / 10000.0 AS running_revenue
 FROM lineitem
 WHERE l_suppkey <= 10
 """
@@ -411,7 +427,7 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.cube("event_type", "user_bucket")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), _exact_sum(F.col("value"), 2).alias("total_value"))
         .select(
             F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
             F.coalesce(F.col("user_bucket").cast("string"), F.lit("(all)")).alias(
@@ -428,7 +444,7 @@ SELECT
   coalesce(event_type, '(all)') AS event_type,
   coalesce(CAST(user_bucket AS VARCHAR), '(all)') AS user_bucket,
   count(*) AS n,
-  round(sum(value), 2) AS total_value
+  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
 FROM (SELECT *, user_id % 10 AS user_bucket FROM events)
 GROUP BY CUBE(event_type, user_bucket)
 """
@@ -613,18 +629,19 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = (
         ev.withColumn("new_sess", new_sess)
         .withColumn("session_id", F.sum("new_sess").over(wsum))
+        .withColumn("value_e2", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
     )
     return (
         sessions.groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.sum("value_e2").alias("session_value_e2"),
         )
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
-            F.round(F.sum("session_value"), 2).alias("total_value"),
+            (F.sum("session_value_e2") / F.lit(100.0)).alias("total_value"),
         )
     )
 
@@ -639,17 +656,18 @@ WITH gaps AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2,
     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM gaps
 ),
 per_session AS (
-  SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+  SELECT user_id, session_id, count(*) AS n_events, sum(value_e2) AS session_value_e2
   FROM sess GROUP BY user_id, session_id
 )
 SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
-       round(sum(session_value), 2) AS total_value
+       sum(session_value_e2) / 100.0 AS total_value
 FROM per_session GROUP BY user_id
 """
 

@@ -253,11 +253,14 @@ def q_producer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/metrics.py."""
     ce = city_events(spark, sf_dir)
     span = F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+    # exact-units average: double sums are not reproducible across
+    # engines/partitionings (see relational._exact_sum)
+    value_e2 = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return ce.agg(
         F.count("*").alias("events_total"),
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
-        F.round(F.avg("value"), 4).alias("value_avg"),
+        (F.sum(value_e2) / F.lit(100.0) / F.count("*")).alias("value_avg"),
         span.cast("long").alias("span_seconds"),
         (F.count("*") / span.cast("double")).alias("events_per_sec"),
     )
@@ -270,7 +273,7 @@ SELECT
   count(*) AS events_total,
   min(value) AS value_min,
   max(value) AS value_max,
-  round(avg(value), 4) AS value_avg,
+  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 / count(*) AS value_avg,
   CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS span_seconds,
   count(*) / CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS DOUBLE) AS events_per_sec
 FROM windowed

@@ -25,7 +25,9 @@ def with_observed_metrics(df: DataFrame, name: str = OBSERVATION_NAME) -> DataFr
     return df.observe(
         name,
         F.count(F.lit(1)).alias("rows"),
-        F.round(F.sum("value"), 4).alias("value_sum"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / F.lit(100.0)).alias(
+            "value_sum"
+        ),
         F.min("ts").alias("ts_min"),
         F.max("ts").alias("ts_max"),
     )

@@ -27,13 +27,18 @@ TABLES = (
 ).split()
 
 
+STRICT = False
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # mirror a tolerant hash: round to 6 significant-ish decimals
+        if STRICT:
+            return repr(v)  # bitwise: any ulp difference fails
+        # tolerant mode: round to 6 significant-ish decimals
         return f"{v:.6g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
@@ -47,8 +52,11 @@ def df_multiset(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global STRICT
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
