@@ -358,6 +358,40 @@ FROM windowed GROUP BY city, event_type, severity
 )
 
 
+def q_alerts_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /alerts?city&hours: P10 — range predicate on time (reference
+    computes cutoff = now − N hours as an ISO string and compares
+    lexicographically, CityStreamApiApplication.java:149-162). Here the
+    cutoff anchors on the corpus max event time (deterministic): alerts
+    in the last 48 h, newest first, page of 50."""
+    ce = city_events(spark, sf_dir)
+    alerts = ce.filter(F.col("severity").isin(*ALERT_SEVERITIES))
+    cutoff = alerts.agg(
+        (F.max("ts") - F.expr("INTERVAL 48 HOURS")).alias("cutoff")
+    )
+    return (
+        alerts.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(50)
+        .select("event_id", "city", "event_type", "severity", F.col("ts_iso").alias("event_time"))
+    )
+
+
+_ALERTS_RECENT_SQL = (
+    CITY_EVENTS_CTE
+    + """
+SELECT event_id, city, event_type, severity, ts_iso AS event_time
+FROM windowed
+WHERE severity IN ('high', 'critical')
+  AND ts >= (SELECT max(ts) - INTERVAL 48 HOUR FROM windowed
+             WHERE severity IN ('high', 'critical'))
+ORDER BY ts DESC, event_id DESC
+LIMIT 50
+"""
+)
+
+
 def q_raw_with_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14: TTL column (epoch + 30 days). Anchored on event time (not
     wall clock) so it is deterministic and oracle-checkable."""
@@ -391,6 +425,7 @@ QUERIES = {
     "cs_aggregations_filtered": q_aggregations_filtered,
     "cs_stats": q_stats,
     "cs_global_counts": q_global_counts,
+    "cs_alerts_recent": q_alerts_recent,
     "cs_raw_with_ttl": q_raw_with_ttl,
 }
 
@@ -404,5 +439,6 @@ ORACLE = {
     "cs_aggregations_filtered": _AGGREGATIONS_FILTERED_SQL,
     "cs_stats": _STATS_SQL,
     "cs_global_counts": _GLOBAL_COUNTS_SQL,
+    "cs_alerts_recent": _ALERTS_RECENT_SQL,
     "cs_raw_with_ttl": _RAW_WITH_TTL_SQL,
 }

@@ -617,6 +617,52 @@ GROUP BY a.user_id
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube): totals by
+    (flag, status), by flag alone, and by status alone — but NOT the
+    grand total (which cube would add)."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT
+          coalesce(l_returnflag, '(all)') AS l_returnflag,
+          coalesce(l_linestatus, '(all)') AS l_linestatus,
+          count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT
+  coalesce(l_returnflag, '(all)') AS l_returnflag,
+  coalesce(l_linestatus, '(all)') AS l_linestatus,
+  count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+"""
+
+
+def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (operators.skew): same result
+    as a plain groupBy, but the first shuffle spreads hot keys over 16
+    salts. Oracle = the plain aggregation, proving salting is
+    semantics-preserving."""
+    from ..operators.skew import salted_count_sum
+
+    ev = load(spark, sf_dir, "events")
+    return salted_count_sum(ev, ["event_type"], value_col="value")
+
+
+_SKEW_SALTED_COUNTS_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS value_sum
+FROM events GROUP BY event_type
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (batch): gap > 30 min starts a new session —
     lag + conditional cumsum (pyspark_guide.md 'Sessionization'). The
@@ -691,6 +737,8 @@ QUERIES = {
     "rel_asof_purchase_view": q_asof_purchase_view,
     "rel_events_within_window_pairs": q_events_within_window_pairs,
     "rel_user_sessions": q_user_sessions,
+    "rel_grouping_sets": q_grouping_sets,
+    "rel_skew_salted_counts": q_skew_salted_counts,
 }
 
 ORACLE = {
@@ -712,4 +760,6 @@ ORACLE = {
     "rel_asof_purchase_view": _ASOF_PURCHASE_VIEW_SQL,
     "rel_events_within_window_pairs": _EVENTS_WITHIN_WINDOW_PAIRS_SQL,
     "rel_user_sessions": _USER_SESSIONS_SQL,
+    "rel_grouping_sets": _GROUPING_SETS_SQL,
+    "rel_skew_salted_counts": _SKEW_SALTED_COUNTS_SQL,
 }
