@@ -281,6 +281,82 @@ FROM windowed
 )
 
 
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over the token arrays."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("head3"),
+        F.size(F.array_intersect(F.array_distinct(toks), F.array(F.lit("join"), F.lit("scan"), F.lit("sort"))))
+        .cast("long")
+        .alias("n_ops_words"),
+    )
+
+
+_FN_ARRAY_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT
+  doc_id,
+  len(toks) AS n,
+  list_contains(toks, 'spark') AS has_spark,
+  toks[1] AS first_tok,
+  toks[-1] AS last_tok,
+  array_to_string(toks[1:3], ' ') AS head3,
+  len(list_intersect(list_distinct(toks), ['join', 'scan', 'sort'])) AS n_ops_words
+FROM tok
+"""
+
+
+def q_fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with position (the tokenize → per-token-row
+    shape every text pipeline needs)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "tok"
+    )
+
+
+_FN_POSEXPLODE_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100),
+pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM tok)
+SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM pos
+"""
+
+
+def q_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-parser surface: scalar subquery + IN subquery (Catalyst
+    decorrelates/rewrites to joins). The scalar avg uses exact integer
+    units so the comparison threshold is engine-independent."""
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (
+            SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 / count(*)
+            FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+_SQL_SUBQUERIES_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (
+    SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 / count(*)
+    FROM orders)
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
 QUERIES = {
     "fn_math": q_fn_math,
     "fn_string": q_fn_string,
@@ -288,6 +364,9 @@ QUERIES = {
     "fn_conditional": q_fn_conditional,
     "fn_percentiles": q_fn_percentiles,
     "fn_unpivot": q_fn_unpivot,
+    "fn_array": q_fn_array,
+    "fn_posexplode": q_fn_posexplode,
+    "rel_sql_subqueries": q_sql_subqueries,
     "cs_kafka_producer_frame": q_kafka_producer_frame,
     "cs_producer_metrics": q_producer_metrics,
 }
@@ -299,6 +378,9 @@ ORACLE = {
     "fn_conditional": _FN_CONDITIONAL_SQL,
     "fn_percentiles": _FN_PERCENTILES_SQL,
     "fn_unpivot": _FN_UNPIVOT_SQL,
+    "fn_array": _FN_ARRAY_SQL,
+    "fn_posexplode": _FN_POSEXPLODE_SQL,
+    "rel_sql_subqueries": _SQL_SUBQUERIES_SQL,
     "cs_kafka_producer_frame": _KAFKA_FRAME_SQL,
     "cs_producer_metrics": _PRODUCER_METRICS_SQL,
 }

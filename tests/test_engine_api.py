@@ -1,0 +1,57 @@
+"""CityStreamEngine facade: parameterized endpoint behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_pipeline_spark.engine import CityStreamEngine
+from real_time_event_streaming_pipeline_spark.functions import CITIES
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_small):
+    return CityStreamEngine(spark, sf_small)
+
+
+def test_events_parameterized(eng):
+    rows = eng.events("Boston", limit=7).collect()
+    assert 0 < len(rows) <= 7
+    assert all(r.city == "Boston" for r in rows)
+    times = [r.event_time for r in rows]
+    assert times == sorted(times, reverse=True)
+
+
+def test_summary_total_consistent(eng):
+    rows = {r.event_type: r.total_events for r in eng.summary("LA").collect()}
+    total = rows.pop("__TOTAL__")
+    assert total == sum(rows.values()) and total > 0
+
+
+def test_alerts_city_and_hours(eng):
+    rows = eng.alerts(city="SF", hours=24, limit=10).collect()
+    assert all(r.city == "SF" and r.severity in ("high", "critical") for r in rows)
+    all_cities = eng.alerts(hours=1_000_000).collect()  # unbounded window
+    assert {r.city for r in all_cities} <= set(CITIES)
+
+
+def test_cities_ranked(eng):
+    rows = eng.cities().collect()
+    assert [r.city for r in rows] and len(rows) == 6
+    counts = [r.total_events for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_aggregations_filtered(eng):
+    rows = eng.aggregations("NYC", "view", limit=5).collect()
+    assert 0 < len(rows) <= 5
+    assert all(r.city == "NYC" and r.event_type == "view" for r in rows)
+
+
+def test_stats_and_metrics(eng):
+    stats = {r.metric: r.value for r in eng.stats().collect()}
+    assert stats["total_events"] > 0
+    assert "alerts_high" in stats and "alerts_critical" in stats
+    m = eng.producer_metrics().first()
+    assert m.events_total == stats["total_events"]
+    assert m.events_per_sec > 0
