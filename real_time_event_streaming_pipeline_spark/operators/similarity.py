@@ -82,6 +82,60 @@ def neardup_pairs(
     )
 
 
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the other mandated scale path besides
+    LSH: partition the corpus into Voronoi cells around centroids,
+    probe only the n_probe nearest cells per query.
+
+    Centroids here are a deterministic sample (the first n_centroids
+    vectors by id — at scale: k-means on a sample). Cell assignment is
+    one broadcast-join projection over the corpus (linear); the probe
+    joins on cell id, so scored candidates ≈ corpus × n_probe/n_centroids."""
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in emb.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    ]
+
+    def nearest_cells(vec, n: int):
+        scored = F.array(
+            *[
+                F.struct(
+                    (-dot(vec, F.array(*[F.lit(float(x)) for x in cvec]))).alias("negdot"),
+                    F.lit(cid).alias("cell"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")).withColumn(
+        "cell", nearest_cells(F.col("n_vec"), 1)[0]["cell"]
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")).withColumn(
+        "cells", nearest_cells(F.col("q_vec"), n_probe)
+    )
+    q = q.select("q_id", "q_vec", F.explode(F.col("cells")["cell"]).alias("cell"))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -240,6 +240,13 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF scale path (centroid probe); recall vs brute
+    force asserted in tests/test_llmdata.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -278,6 +285,7 @@ QUERIES = {
     "llm_emb_cosine_topk": q_cosine_topk,
     "llm_emb_neardup": q_emb_neardup,
     "llm_emb_ann_lsh": q_emb_ann_lsh,
+    "llm_emb_ann_ivf": q_emb_ann_ivf,
     "llm_multimodal_meta": q_multimodal_meta,
     "llm_multimodal_features": q_multimodal_features,
 }

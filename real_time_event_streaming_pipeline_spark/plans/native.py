@@ -31,6 +31,29 @@ def parse_city_events(json_lines: DataFrame, col: str = "value") -> DataFrame:
     )
 
 
+def parse_city_events_with_dlq(
+    json_lines: DataFrame, col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Parse with a dead-letter queue — the reference silently nulls
+    malformed records (PERMISSIVE, no DLQ — SURVEY.md §1.4); at scale
+    you want the rejects. Returns (good, dlq): good rows parsed fully
+    (a record missing `city` counts as bad), dlq keeps the raw payload
+    for replay."""
+    parsed = json_lines.withColumn(
+        "data", F.from_json(F.col(col).cast("string"), CITY_EVENT_JSON_SCHEMA)
+    )
+    good = (
+        parsed.filter(F.col("data").isNotNull() & F.col("data.city").isNotNull())
+        .select("data.*")
+        .withColumn("ts", F.to_timestamp("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    )
+    dlq = parsed.filter(F.col("data").isNull() | F.col("data.city").isNull()).select(
+        F.col(col).cast("string").alias("raw"),
+        F.current_timestamp().alias("rejected_at"),
+    )
+    return good, dlq
+
+
 def native_windowed_agg(events: DataFrame, watermark: str | None = None) -> DataFrame:
     """A1 over the native schema: identical shape to
     citystream.windowed_agg but city/severity come from the record."""
