@@ -718,6 +718,132 @@ FROM per_session GROUP BY user_id
 """
 
 
+def q_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure scan-side agg — every predicate (date
+    range, discount band, quantity cap) reaches the parquet scan; the
+    whole query is one codegen stage + a 1-row exact-unit sum."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue_delta"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_REVENUE_DELTA_SQL = """
+SELECT
+  sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue_delta,
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: orders with ≥1 line shipped after the order
+    date (semi-join), counted per priority class."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_PRIORITY_LATE_ORDERS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returned lines per customer,
+    top 20. customer is broadcast; top-20 via TakeOrderedAndProject."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "lost_revenue"
+            )
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_TOP_RETURN_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# Knuth's multiplicative-hash constant — deterministic, engine-neutral
+_SPLIT_MULT = 2654435761
+
+
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test split by key hash — the training-pipeline
+    requirement rand() can't satisfy (same row → same split on every
+    engine, every run, any partitioning). Multiplicative hash mod 100:
+    80/10/10."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split")).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_DETERMINISTIC_SPLIT_SQL = f"""
+SELECT
+  CASE WHEN (doc_id * {_SPLIT_MULT}) % 100 < 80 THEN 'train'
+       WHEN (doc_id * {_SPLIT_MULT}) % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split,
+  count(*) AS n_docs,
+  min(doc_id) AS min_id,
+  max(doc_id) AS max_id
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_shipping_priority": q_shipping_priority,
@@ -739,6 +865,10 @@ QUERIES = {
     "rel_user_sessions": q_user_sessions,
     "rel_grouping_sets": q_grouping_sets,
     "rel_skew_salted_counts": q_skew_salted_counts,
+    "rel_revenue_delta": q_revenue_delta,
+    "rel_priority_late_orders": q_priority_late_orders,
+    "rel_top_return_customers": q_top_return_customers,
+    "rel_deterministic_split": q_deterministic_split,
 }
 
 ORACLE = {
@@ -762,4 +892,8 @@ ORACLE = {
     "rel_user_sessions": _USER_SESSIONS_SQL,
     "rel_grouping_sets": _GROUPING_SETS_SQL,
     "rel_skew_salted_counts": _SKEW_SALTED_COUNTS_SQL,
+    "rel_revenue_delta": _REVENUE_DELTA_SQL,
+    "rel_priority_late_orders": _PRIORITY_LATE_ORDERS_SQL,
+    "rel_top_return_customers": _TOP_RETURN_CUSTOMERS_SQL,
+    "rel_deterministic_split": _DETERMINISTIC_SPLIT_SQL,
 }
