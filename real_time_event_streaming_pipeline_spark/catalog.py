@@ -36,6 +36,25 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Confs the engine REQUIRES for correct results, applied defensively at
+# load time because the driver may hand us a session built without our
+# factory: nanos parquet support (the events table is TIMESTAMP_NANOS —
+# a bare read throws PARQUET_TYPE_ILLEGAL) and a UTC session TZ (every
+# timestamp-string output would silently shift under a local TZ).
+# Both are runtime-settable SQL confs.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_defaults(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in some deployments; session factory set it
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -45,6 +64,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy; scan-level pushdown applies)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_defaults(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts arrives as epoch-nanos long (see session.py nanosAsLong);
