@@ -37,8 +37,11 @@ HEADLINE = [
 
 
 def main() -> None:
+    import re
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else -1.0  # unknown layout: still emit JSON
     spark = get_spark("bench")
     queries = all_queries()
 
@@ -63,7 +66,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )

@@ -57,17 +57,22 @@ def exact_dedup_by_hash(
     )
 
 
+def _shingle_expr(toks, k: int):
+    """k-word shingles from a token-array column. Explicit < k guard:
+    sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty — it
+    would fabricate shingles for short docs."""
+    return F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
 def shingles(text, k: int = 3):
     """k-word shingles as an array column (higher-order functions —
     stays in codegen)."""
-    # explicit < k guard: sequence(1, 0) in Spark is the DESCENDING
-    # [1, 0], not empty — it would fabricate shingles for short docs
-    return F.expr(
-        f"if(size(split({text}, ' ')) < {k},"
-        f" cast(array() as array<string>),"
-        f" transform(sequence(1, size(split({text}, ' ')) - {k - 1}),"
-        f" i -> concat_ws(' ', slice(split({text}, ' '), i, {k}))))"
-    )
+    return _shingle_expr(F.split(text, " "), k)
 
 
 def doc_shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFrame:
@@ -78,17 +83,13 @@ def doc_shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFrame
     spread the explode across all cores (at cluster scale: across
     executors). Text is split once, not once per sub-expression."""
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    toks = F.col("_toks")
-    sh = F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
-    )
     return (
         df.select(F.col(id_col), F.split("text", " ").alias("_toks"))
         .repartition(n_part)
-        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_shingle_expr(F.col("_toks"), k))).alias("shingle"),
+        )
     )
 
 
@@ -107,10 +108,11 @@ def ngram_jaccard_pairs(
     no cartesian anywhere.
 
     Physical shape (matters at 100 TB): the exploded shingle set is
-    shuffled ONCE (window count over shingle = the df-cap filter),
-    persisted, and self-joined on that partitioning; per-doc sizes are
-    dimension-sized and broadcast, so the only other shuffle is the
-    (a_id, b_id) pair aggregation.
+    shuffled ONCE (window count over shingle = the df-cap filter) and
+    self-joined on that partitioning; the per-doc size join uses plain
+    equi-joins so Catalyst/AQE picks broadcast only when the corpus is
+    actually small (a forced broadcast of a per-document table would
+    OOM the driver at scale).
     """
     w = Window.partitionBy("shingle")
     sh = (
@@ -118,7 +120,6 @@ def ngram_jaccard_pairs(
         .withColumn("_df", F.count("*").over(w))
         .filter(F.col("_df") <= max_doc_freq)
         .drop("_df")
-        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
@@ -131,11 +132,11 @@ def ngram_jaccard_pairs(
     )
     return (
         inter.join(
-            F.broadcast(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n"))),
+            sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n")),
             "a_id",
         )
         .join(
-            F.broadcast(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("b_n"))),
+            sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("b_n")),
             "b_id",
         )
         .withColumn(
@@ -186,10 +187,7 @@ def minhash_lsh_pairs(
     The join key is (band_index, hash-of-band) — pure equi-join.
     """
     rows_per_band = num_hashes // bands
-    # persist: the banded signature set feeds both sides of the
-    # candidate self-join — without it the signature aggregation
-    # (explode + 32 mins) runs twice
-    sig = minhash_signatures(df, k, num_hashes, id_col).persist()
+    sig = minhash_signatures(df, k, num_hashes, id_col)
     banded = sig.select(
         F.col(id_col),
         F.col("sig"),
@@ -263,19 +261,28 @@ def simhash_neardup_pairs(
     df: DataFrame, bits: int = 32, max_hamming: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
     """Candidate pairs with hamming(simhash) ≤ max_hamming, blocked on
-    16-bit halves (a pair within distance ≤3 must agree on at least one
-    half if distance is concentrated; standard multi-block trick —
-    blocks = max_hamming+1 would be exact, 2 blocks is the cheap demo)."""
+    max_hamming+1 disjoint bit-blocks: by pigeonhole, ≤ max_hamming
+    differing bits cannot touch every block, so some block matches
+    exactly and the blocked equi-join has NO false negatives."""
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
     sig = simhash(df, bits, id_col)
-    lo = (F.col("simhash") % (1 << 16)).cast("long")
-    hi = F.shiftright(F.col("simhash"), 16).cast("long")
+    mask = (1 << block_bits) - 1
     blocked = sig.select(
         F.col(id_col),
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("blk"), lo.alias("key")),
-                F.struct(F.lit(1).alias("blk"), hi.alias("key")),
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("simhash"), b * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("long")
+                        .alias("key"),
+                    )
+                    for b in range(n_blocks)
+                ]
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.blk", "bk.key")

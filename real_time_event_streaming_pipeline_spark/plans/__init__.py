@@ -10,15 +10,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from . import citystream
+    # hard imports: a broken module must fail the registry loudly, not
+    # silently shrink the driver contract to whatever still imports
+    from . import citystream, llmdata, relational, scalar
 
-    mods = [citystream]
-    for name in ("relational", "llmdata", "scalar"):
-        try:
-            mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
-        except ImportError:
-            pass
-    return mods
+    return [citystream, relational, llmdata, scalar]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -189,23 +189,21 @@ WHERE severity IN ('high', 'critical')
 )
 
 
+def _engine(spark: SparkSession, sf_dir: str):
+    """Oracle-pinned endpoint queries delegate to the user-facing
+    facade (engine.CityStreamEngine) with fixed parameters, so the
+    code users call IS the code the oracle checks (local import —
+    engine.py imports this module)."""
+    from ..engine import CityStreamEngine
+
+    return CityStreamEngine(spark, sf_dir)
+
+
 def q_events_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /events/{city}: S8+O1+O4 — key-equality filter, sort desc by
     time, limit. Correct top-k (sort-then-limit) per SURVEY.md §7.0;
     Spark compiles this to TakeOrderedAndProject (no global sort)."""
-    ce = city_events(spark, sf_dir)
-    return (
-        ce.filter(F.col("city") == "SF")
-        .orderBy(F.desc("ts"), F.desc("event_id"))
-        .limit(50)
-        .select(
-            "event_id",
-            F.col("ts_iso").alias("event_time"),
-            "city",
-            "event_type",
-            "severity",
-        )
-    )
+    return _engine(spark, sf_dir).events("SF", limit=50)
 
 
 _EVENTS_BY_CITY_SQL = (
@@ -225,15 +223,7 @@ def q_summary_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg + a hand-rolled Java final agg
     (CityStreamApiApplication.java:114-123). Here it is one rollup over
     the windowed agg: per-event_type totals + grand total."""
-    agg = windowed_agg(city_events(spark, sf_dir)).filter(F.col("city") == "NYC")
-    return (
-        agg.rollup("event_type")
-        .agg(F.sum("event_count").alias("total_events"))
-        .select(
-            F.coalesce("event_type", F.lit("__TOTAL__")).alias("event_type"),
-            F.col("total_events").cast("long").alias("total_events"),
-        )
-    )
+    return _engine(spark, sf_dir).summary("NYC")
 
 
 _SUMMARY_CITY_SQL = (
@@ -256,11 +246,7 @@ GROUP BY ROLLUP(event_type)
 
 def q_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /cities: A4+O3 — group-sum per city over the agg table."""
-    return (
-        windowed_agg(city_events(spark, sf_dir))
-        .groupBy("city")
-        .agg(F.sum("event_count").cast("long").alias("total_events"))
-    )
+    return _engine(spark, sf_dir).cities()
 
 
 _CITIES_SQL = (
@@ -279,12 +265,8 @@ FROM agg GROUP BY city
 def q_aggregations_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /aggregations?city&eventType&limit: P9 conjunctive predicate
     + O2 sort desc by window_start + O4 limit."""
-    return (
-        windowed_agg(city_events(spark, sf_dir))
-        .filter((F.col("city") == "LA") & (F.col("event_type") == "purchase"))
-        .orderBy(F.desc("window_start"))
-        .limit(20)
-        .select("window_start", "city", "event_type", "event_count", "severities")
+    return _engine(spark, sf_dir).aggregations("LA", "purchase", limit=20).select(
+        "window_start", "city", "event_type", "event_count", "severities"
     )
 
 
@@ -312,20 +294,7 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /stats: A5 global sum + A6 conditional counts, as one
     two-row-per-metric union (reference computes these as two separate
     store reads, CityStreamApiApplication.java:297-322)."""
-    ce = city_events(spark, sf_dir)
-    total = ce.agg(F.count("*").alias("value")).select(
-        F.lit("total_events").alias("metric"), F.col("value").cast("long")
-    )
-    alerts = (
-        ce.filter(F.col("severity").isin(*ALERT_SEVERITIES))
-        .groupBy("severity")
-        .agg(F.count("*").alias("value"))
-        .select(
-            F.concat(F.lit("alerts_"), F.col("severity")).alias("metric"),
-            F.col("value").cast("long"),
-        )
-    )
-    return total.unionByName(alerts)
+    return _engine(spark, sf_dir).stats()
 
 
 _STATS_SQL = (
@@ -364,18 +333,7 @@ def q_alerts_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically, CityStreamApiApplication.java:149-162). Here the
     cutoff anchors on the corpus max event time (deterministic): alerts
     in the last 48 h, newest first, page of 50."""
-    ce = city_events(spark, sf_dir)
-    alerts = ce.filter(F.col("severity").isin(*ALERT_SEVERITIES))
-    cutoff = alerts.agg(
-        (F.max("ts") - F.expr("INTERVAL 48 HOURS")).alias("cutoff")
-    )
-    return (
-        alerts.join(F.broadcast(cutoff))
-        .filter(F.col("ts") >= F.col("cutoff"))
-        .orderBy(F.desc("ts"), F.desc("event_id"))
-        .limit(50)
-        .select("event_id", "city", "event_type", "severity", F.col("ts_iso").alias("event_time"))
-    )
+    return _engine(spark, sf_dir).alerts(hours=48, limit=50)
 
 
 _ALERTS_RECENT_SQL = (

@@ -694,7 +694,7 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _USER_SESSIONS_SQL = """
 WITH gaps AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER w IS NULL
            OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
          THEN 1 ELSE 0 END AS new_sess
@@ -704,7 +704,7 @@ WITH gaps AS (
 sess AS (
   SELECT user_id, ts,
     CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2,
-    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM gaps
 ),

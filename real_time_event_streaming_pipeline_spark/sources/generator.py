@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import CITIES, SEVERITIES
+from ..functions import CITIES, SEVERITIES, _pick
 
 EVENT_TYPES = ("traffic", "weather", "incident", "construction")
 
@@ -27,9 +27,25 @@ DESCRIPTIONS = {
 }
 
 
-def _pick(domain: tuple[str, ...], key) -> F.Column:
-    return F.element_at(
-        F.array(*[F.lit(v) for v in domain]), (key % len(domain)).cast("int") + 1
+def _city_event_projection(rate: DataFrame) -> DataFrame:
+    """Map a (timestamp, value) frame — rate source or range twin —
+    onto the CityEvent shape. One definition so the streaming path and
+    the batch ground-truth twin cannot drift."""
+    v = F.col("value")
+    city = _pick(CITIES, v)
+    etype = _pick(EVENT_TYPES, F.floor(v / len(CITIES)).cast("long"))
+    sev = _pick(SEVERITIES, F.floor(v / (len(CITIES) * len(EVENT_TYPES))).cast("long"))
+    desc_map = F.create_map(
+        *[x for t, d in DESCRIPTIONS.items() for x in (F.lit(t), F.lit(d))]
+    )
+    return rate.select(
+        city.alias("city"),
+        etype.alias("event_type"),
+        sev.alias("severity"),
+        F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        F.concat_ws(" ", sev, desc_map[etype]).alias("description"),
+        F.col("timestamp").alias("event_time"),
+        v.alias("seq"),
     )
 
 
@@ -42,22 +58,7 @@ def city_event_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFra
         .option("rowsPerSecond", rows_per_second)
         .load()
     )  # columns: timestamp, value
-    v = F.col("value")
-    city = _pick(CITIES, v)
-    etype = _pick(EVENT_TYPES, F.floor(v / len(CITIES)).cast("long"))
-    sev = _pick(SEVERITIES, F.floor(v / (len(CITIES) * len(EVENT_TYPES))).cast("long"))
-    desc_map = F.create_map(
-        *[x for t, d in DESCRIPTIONS.items() for x in (F.lit(t), F.lit(d))]
-    )
-    return rate.select(
-        city.alias("city"),
-        etype.alias("event_type"),
-        sev.alias("severity"),
-        F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
-        F.concat_ws(" ", sev, desc_map[etype]).alias("description"),
-        F.col("timestamp").alias("event_time"),
-        v.alias("seq"),
-    )
+    return _city_event_projection(rate)
 
 
 def city_event_batch(spark: SparkSession, n: int = 1000) -> DataFrame:
@@ -65,23 +66,9 @@ def city_event_batch(spark: SparkSession, n: int = 1000) -> DataFrame:
     by tests to assert the domain mapping without a streaming trigger."""
     rate = spark.range(n).select(
         F.col("id").alias("value"),
-        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("id") * 5)).alias(
-            "timestamp"
-        ),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("id") * 5)
+        ).alias("timestamp"),
     )
-    v = F.col("value")
-    city = _pick(CITIES, v)
-    etype = _pick(EVENT_TYPES, F.floor(v / len(CITIES)).cast("long"))
-    sev = _pick(SEVERITIES, F.floor(v / (len(CITIES) * len(EVENT_TYPES))).cast("long"))
-    desc_map = F.create_map(
-        *[x for t, d in DESCRIPTIONS.items() for x in (F.lit(t), F.lit(d))]
-    )
-    return rate.select(
-        city.alias("city"),
-        etype.alias("event_type"),
-        sev.alias("severity"),
-        F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
-        F.concat_ws(" ", sev, desc_map[etype]).alias("description"),
-        F.col("timestamp").alias("event_time"),
-        v.alias("seq"),
-    )
+    return _city_event_projection(rate)

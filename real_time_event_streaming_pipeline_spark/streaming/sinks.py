@@ -36,6 +36,8 @@ def upsert_parquet(
     """
 
     def write(batch: DataFrame, epoch_id: int) -> None:
+        import shutil
+
         spark = batch.sparkSession
         incoming = batch.withColumn("_epoch", F.lit(int(epoch_id)))
         if os.path.exists(out_dir):
@@ -50,10 +52,13 @@ def upsert_parquet(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # materialize before overwriting the dir we just read
+        # write once to a staging dir (can't overwrite the dir being
+        # read), then swap directories — one table write per epoch
         tmp = out_dir.rstrip("/") + ".tmp"
         deduped.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(out_dir)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
 
     return write
 
