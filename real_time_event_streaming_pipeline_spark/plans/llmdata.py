@@ -247,6 +247,136 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact n-gram near-dup pairs (the
+    iterative min-label-propagation loop in operators/clustering.py).
+    Oracle: DuckDB recursive CTE computing min reachable id — the
+    'iterative algorithm' case SURVEY.md §5.2 allows to skip SQL, done
+    in SQL anyway."""
+    from ..operators.clustering import dedup_clusters
+
+    pairs = D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), k=3, threshold=0.5, max_doc_freq=100
+    )
+    return dedup_clusters(pairs)
+
+
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(
+      CASE WHEN len(toks) < 3 THEN []
+           ELSE [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+      END)) AS shingle
+  FROM tok
+),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.5
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach AS (
+  SELECT u AS vertex, u AS label FROM edges
+  UNION
+  SELECT e.u AS vertex, r.label
+  FROM reach r JOIN edges e ON e.v = r.vertex
+),
+cc AS (SELECT vertex, min(label) AS component FROM reach GROUP BY vertex)
+SELECT component AS representative,
+       count(*) AS cluster_size,
+       array_to_string(list_sort(list(CAST(vertex AS VARCHAR))), ',') AS members
+FROM cc GROUP BY component
+"""
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: the full training-corpus cleaning pass as ONE
+    declarative plan — quality gate, language gate, exact dedup (keep
+    min id), deterministic train/val/test assignment, per-split stats.
+    At 100 TB this is a scan + one dedup shuffle + one agg shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        T.quality_score(t).alias("quality"),
+        T.predicted_lang(t).alias("pred_lang"),
+        T.n_tokens(t).alias("n_tokens"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    deduped = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("quality").alias("quality"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        deduped.select(F.col("doc_id"), split.alias("split"), "quality", "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum(F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long"))
+                / F.lit(10000.0)
+                / F.count("*")
+            ).alias("avg_quality"),
+        )
+    )
+
+
+_CORPUS_PIPELINE_SQL = """
+WITH scored AS (
+  SELECT doc_id, text,
+    0.4 * least(len(string_split(text,' '))::DOUBLE / 64.0, 1.0)
+      + 0.4 * (len(list_distinct(string_split(text,' ')))::DOUBLE / len(string_split(text,' ')))
+      + 0.2 * least((len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and')))::DOUBLE
+                     / len(string_split(text,' '))) * 4.0, 1.0) AS quality,
+    len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das'))) AS c_de,
+    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and'))) AS c_en,
+    len(list_filter(string_split(text,' '), t -> t IN ('el','la','y','los'))) AS c_es,
+    len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','les'))) AS c_fr,
+    len(string_split(text,' ')) AS n_tokens
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE quality >= 0.5
+    AND greatest(c_de,c_en,c_es,c_fr) > 0
+    AND c_en = greatest(c_de,c_en,c_es,c_fr)
+    AND NOT (c_de = greatest(c_de,c_en,c_es,c_fr))
+),
+deduped AS (
+  SELECT min(doc_id) AS doc_id, min(quality) AS quality, min(n_tokens) AS n_tokens
+  FROM kept GROUP BY text
+)
+SELECT
+  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split,
+  count(*) AS n_docs,
+  sum(n_tokens) AS total_tokens,
+  sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) / 10000.0 / count(*) AS avg_quality
+FROM deduped
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -286,6 +416,8 @@ QUERIES = {
     "llm_emb_neardup": q_emb_neardup,
     "llm_emb_ann_lsh": q_emb_ann_lsh,
     "llm_emb_ann_ivf": q_emb_ann_ivf,
+    "llm_dedup_clusters": q_dedup_clusters,
+    "llm_corpus_pipeline": q_corpus_pipeline,
     "llm_multimodal_meta": q_multimodal_meta,
     "llm_multimodal_features": q_multimodal_features,
 }
@@ -300,5 +432,7 @@ ORACLE = {
     "llm_dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "llm_emb_cosine_topk": _COSINE_TOPK_SQL,
     "llm_emb_neardup": _EMB_NEARDUP_SQL,
+    "llm_dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "llm_corpus_pipeline": _CORPUS_PIPELINE_SQL,
     "llm_multimodal_meta": _MULTIMODAL_META_SQL,
 }
