@@ -33,6 +33,8 @@ HEADLINE = [
     "llm_dedup_ngram_jaccard",
     "llm_dedup_minhash_lsh",
     "llm_emb_cosine_topk",
+    "llm_dedup_clusters",
+    "llm_corpus_pipeline",
 ]
 
 

@@ -26,13 +26,22 @@ def connected_components(
 ) -> DataFrame:
     """(vertex, component) for every vertex in `pairs`; component =
     min vertex id reachable. Converges when no label changes."""
+    # materialize the edge set ONCE — without this every iteration
+    # re-evaluates the (potentially expensive) upstream pair-generation
+    # plan, and label lineage grows a join per round until planning
+    # itself dominates. localCheckpoint truncates lineage; cluster
+    # deployments would use checkpoint() on reliable storage.
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
-    labels = edges.select("u").distinct().select(
-        F.col("u").alias("vertex"), F.col("u").alias("component")
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("vertex"), F.col("u").alias("component"))
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         # candidate label per vertex: min over (own label, neighbors' labels)
@@ -44,6 +53,7 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -37,6 +37,10 @@ class PipelineConfig:
     watermark: str = "10 minutes"  # reference: SparkDynamoDBConsumer.java:121
     use_event_time: bool = True
     counts_sink: str = "memory"  # "console" in production
+    # available_now=True drains everything already in the source then
+    # stops on its own — the batch-backfill trigger (the reference has
+    # only ASAP micro-batches)
+    available_now: bool = False
 
     def path(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
@@ -52,6 +56,12 @@ def _prepared(source: DataFrame, cfg: PipelineConfig) -> DataFrame:
         # (SparkDynamoDBConsumer.java:89) — true late data impossible
         enriched = enriched.withColumn("ts", F.current_timestamp())
     return enriched
+
+
+def _start(writer, cfg: PipelineConfig):
+    if cfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def start_pipeline(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) -> dict:
@@ -70,31 +80,31 @@ def start_pipeline(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) 
         "ts",
         "value",
     )
-    queries["raw_events"] = (
+    queries["raw_events"] = _start(
         raw.writeStream.outputMode("append")
         .option("checkpointLocation", cfg.checkpoint("raw-events"))
-        .foreachBatch(upsert_parquet(cfg.path("raw_events"), ["event_key"], order_col="ts"))
-        .start()
+        .foreachBatch(upsert_parquet(cfg.path("raw_events"), ["event_key"], order_col="ts")),
+        cfg,
     )
 
     agg = windowed_agg(enriched, watermark=cfg.watermark)
-    queries["aggregations"] = (
+    queries["aggregations"] = _start(
         agg.writeStream.outputMode("update")
         .option("checkpointLocation", cfg.checkpoint("aggregations"))
         .foreachBatch(
             upsert_parquet(cfg.path("aggregations"), ["partition_key"], order_col="last_updated")
-        )
-        .start()
+        ),
+        cfg,
     )
 
     alerts = enriched.filter(F.col("severity").isin(*ALERT_SEVERITIES)).select(
         "event_id", "city", "event_type", "severity", "ts"
     )
-    queries["alerts"] = (
+    queries["alerts"] = _start(
         alerts.writeStream.outputMode("append")
         .option("checkpointLocation", cfg.checkpoint("alerts"))
-        .foreachBatch(append_parquet(cfg.path("alerts")))
-        .start()
+        .foreachBatch(append_parquet(cfg.path("alerts"))),
+        cfg,
     )
 
     counts = enriched.groupBy("city", "event_type", "severity").count()
@@ -103,9 +113,9 @@ def start_pipeline(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) 
         .option("checkpointLocation", cfg.checkpoint("console"))
     )
     if cfg.counts_sink == "memory":
-        queries["counts"] = writer.format("memory").queryName("city_counts").start()
+        queries["counts"] = _start(writer.format("memory").queryName("city_counts"), cfg)
     else:
-        queries["counts"] = writer.format("console").option("truncate", "false").start()
+        queries["counts"] = _start(writer.format("console").option("truncate", "false"), cfg)
 
     return queries
 
