@@ -810,6 +810,57 @@ LIMIT 20
 """
 
 
+def q_resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: per-event_type hourly
+    counts on a dense hour spine — empty hours appear as zero rows
+    (the shape dashboards and forecasting inputs need; a bare groupBy
+    silently drops them). The spine is sequence()+explode crossed with
+    the type dimension, then a left join picks up observed counts.
+    Spine size = hours x types — broadcastable at any horizon."""
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+    ).crossJoin(ev.select("event_type").distinct())
+    return (
+        spine.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+_RESAMPLE_HOURLY_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+full_spine AS (
+  SELECT s.hour, t.event_type FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT
+  strftime(f.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+  f.event_type,
+  coalesce(h.n, 0) AS n
+FROM full_spine f
+LEFT JOIN hourly h ON h.hour = f.hour AND h.event_type = f.event_type
+"""
+
+
 # Knuth's multiplicative-hash constant — deterministic, engine-neutral
 _SPLIT_MULT = 2654435761
 
@@ -869,6 +920,7 @@ QUERIES = {
     "rel_priority_late_orders": q_priority_late_orders,
     "rel_top_return_customers": q_top_return_customers,
     "rel_deterministic_split": q_deterministic_split,
+    "rel_resample_hourly_gapfill": q_resample_hourly_gapfill,
 }
 
 ORACLE = {
@@ -896,4 +948,5 @@ ORACLE = {
     "rel_priority_late_orders": _PRIORITY_LATE_ORDERS_SQL,
     "rel_top_return_customers": _TOP_RETURN_CUSTOMERS_SQL,
     "rel_deterministic_split": _DETERMINISTIC_SPLIT_SQL,
+    "rel_resample_hourly_gapfill": _RESAMPLE_HOURLY_SQL,
 }
