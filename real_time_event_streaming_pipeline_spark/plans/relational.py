@@ -861,6 +861,63 @@ LEFT JOIN hourly h ON h.hour = f.hour AND h.event_type = f.event_type
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery: lines whose
+    quantity is below 50%% of their part's average — Catalyst
+    decorrelates the per-part average into an aggregate + join, so the
+    'per-row subquery' costs one extra shuffle, not one query per row."""
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               count(*) AS n_small_lines,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE) AS small_revenue
+        FROM lineitem l1
+        WHERE l_quantity < 0.5 * (
+            SELECT avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey
+        """
+    )
+
+
+_SMALL_QUANTITY_REVENUE_SQL = """
+SELECT l_partkey,
+       count(*) AS n_small_lines,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE) AS small_revenue
+FROM lineitem l1
+WHERE l_quantity < 0.5 * (
+    SELECT avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY l_partkey
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped histogram: distribution of customers by how
+    many orders they have (including zero) — outer join + two stacked
+    aggregations."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+_ORDER_COUNT_DISTRIBUTION_SQL = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+"""
+
+
 # Knuth's multiplicative-hash constant — deterministic, engine-neutral
 _SPLIT_MULT = 2654435761
 
@@ -921,6 +978,8 @@ QUERIES = {
     "rel_top_return_customers": q_top_return_customers,
     "rel_deterministic_split": q_deterministic_split,
     "rel_resample_hourly_gapfill": q_resample_hourly_gapfill,
+    "rel_small_quantity_revenue": q_small_quantity_revenue,
+    "rel_order_count_distribution": q_order_count_distribution,
 }
 
 ORACLE = {
@@ -949,4 +1008,6 @@ ORACLE = {
     "rel_top_return_customers": _TOP_RETURN_CUSTOMERS_SQL,
     "rel_deterministic_split": _DETERMINISTIC_SPLIT_SQL,
     "rel_resample_hourly_gapfill": _RESAMPLE_HOURLY_SQL,
+    "rel_small_quantity_revenue": _SMALL_QUANTITY_REVENUE_SQL,
+    "rel_order_count_distribution": _ORDER_COUNT_DISTRIBUTION_SQL,
 }
