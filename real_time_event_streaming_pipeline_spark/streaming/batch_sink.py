@@ -20,3 +20,20 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8
+) -> None:
+    """Bucketed table layout: rows are hash-clustered AND sorted by the
+    join key at write time, so later equi-joins between tables bucketed
+    on the same key run with NO shuffle and NO sort — the write pays
+    once what every join would otherwise pay (the 100 TB answer for
+    repeated orderkey joins; see SCALING.md roadmap)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
