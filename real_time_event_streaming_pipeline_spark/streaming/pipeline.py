@@ -120,6 +120,58 @@ def start_pipeline(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) 
     return queries
 
 
+def start_reference_simulation(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    rows_per_second: int = 50,
+    wire: DataFrame | None = None,
+) -> dict:
+    """The reference, end to end: synthetic producer (S6 rate source)
+    → CityEvent JSON serialize → S2 fixed-schema parse → native
+    windowed agg → upsert sink, plus the raw append sink. This is the
+    whole producer→Kafka→consumer→store loop of the reference
+    collapsed into one Spark app (the Kafka hop is a serialize/parse
+    round trip here; swap the middle two lines for kafka write/read
+    in prod).
+
+    `wire` overrides the live producer with any streaming DataFrame
+    carrying a JSON `value` column — tests pass a bounded file source
+    so the two independent consumers drain to the same final offset
+    (with the unbounded rate source they stop at different offsets,
+    so cross-sink equality is only eventual)."""
+    from ..plans.native import native_windowed_agg, parse_city_events
+    from ..sources.generator import city_event_stream
+
+    if wire is None:
+        events = city_event_stream(spark, rows_per_second)
+        wire = events.select(
+            F.to_json(
+                F.struct("city", "event_type", "severity", "timestamp", "description")
+            ).alias("value")
+        )
+    parsed = parse_city_events(wire)
+
+    queries = {}
+    queries["raw_events"] = _start(
+        parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint("sim-raw"))
+        .foreachBatch(append_parquet(cfg.path("sim_raw"))),
+        cfg,
+    )
+    agg = native_windowed_agg(parsed, watermark=cfg.watermark)
+    queries["aggregations"] = _start(
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", cfg.checkpoint("sim-agg"))
+        .foreachBatch(
+            upsert_parquet(
+                cfg.path("sim_agg"), ["window_start", "city", "event_type"], order_col="last_updated"
+            )
+        ),
+        cfg,
+    )
+    return queries
+
+
 def run_to_completion(queries: dict) -> None:
     """Drain every pending micro-batch, then stop (test harness path;
     production blocks on spark.streams.awaitAnyTermination())."""
