@@ -918,6 +918,292 @@ GROUP BY n_orders
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-min: for each qualifying part, the
+    EUROPE supplier(s) achieving its minimum unit cost. The corpus has
+    no partsupp table, so the cost relation is derived from lineitem
+    (min observed unit price per part×supplier) — same plan shape:
+    a correlated min subquery that Catalyst decorrelates into one
+    per-part aggregate + an equality self-join, reusing the partkey
+    shuffle. supplier/nation/region are broadcast dimensions."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    europe_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(F.broadcast(europe_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "mc_partkey")
+    )
+    qualifying = part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name", "p_brand")
+    return (
+        cost.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(qualifying), cost["l_partkey"] == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+_MIN_COST_SUPPLIER_SQL = """
+WITH cost AS (
+  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+FROM cost c
+JOIN part ON c.l_partkey = p_partkey
+WHERE p_size = 15 AND p_type = 'STANDARD'
+  AND unit_cost = (
+    SELECT min(unit_cost) FROM cost c2 WHERE c2.l_partkey = c.l_partkey)
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def q_cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: shipping volume between two nations, by
+    direction and year. The fact chain lineitem⋈orders shuffles on
+    orderkey; supplier/customer nations are broadcast and the
+    two-nation filter prunes before the shuffle (either direction)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    n1, n2 = "NATION_1", "NATION_2"
+    supp_n = supp.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(n1, n2))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(n1, n2))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+
+    return (
+        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "volume"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_CROSS_NATION_VOLUME_SQL = """
+SELECT
+  sn.n_name AS supp_nation,
+  cn.n_name AS cust_nation,
+  EXTRACT(YEAR FROM l_shipdate)::BIGINT AS l_year,
+  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS volume,
+  count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: NATION_2's share of PROMO-part
+    revenue sold into ASIA, by order year. Share = ratio of two
+    exact-unit sums (a conditional sum over the same rows), so the
+    double division is bitwise-reproducible across engines. The
+    selective part filter is applied before the partkey join; all
+    dimensions broadcast — lineitem shuffles only on its join keys."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    part = load(spark, sf_dir, "part")
+
+    promo_parts = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    asia_cust = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_n = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    unit = 10_000
+    vol_units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * unit + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol_units).otherwise(F.lit(0)))
+                / F.sum(vol_units).cast("double")
+            ).alias("mkt_share"),
+            (F.sum(vol_units) / F.lit(float(unit))).alias("total_volume"),
+        )
+    )
+
+
+_MARKET_SHARE_SQL = """
+SELECT
+  EXTRACT(YEAR FROM o_orderdate)::BIGINT AS o_year,
+  sum(CASE WHEN n2.n_name = 'NATION_2'
+           THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+           ELSE 0 END)
+    / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+    AS mkt_share,
+  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with the maximum quarterly
+    revenue — the classic view + scalar-max pattern. The revenue view
+    aggregates lineitem once (one suppkey shuffle); the max is a
+    1-row scalar joined back by cross-join broadcast, so the view is
+    NOT recomputed per row. Revenue in integer units end to end —
+    the max-equality compare is on longs, immune to float drift."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000 + F.lit(0.5)
+            ).cast("long")
+        ).alias("revenue_units")
+    )
+    top = revenue.agg(F.max("revenue_units").alias("max_units"))
+    return (
+        revenue.join(F.broadcast(top), F.col("revenue_units") == F.col("max_units"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("revenue_units") / F.lit(10_000.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_TOP_REVENUE_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS revenue_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, revenue_units / 10000.0 AS total_revenue
+FROM revenue
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue_units = (SELECT max(revenue_units) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_disjunctive_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue under a disjunction of brand × size ×
+    quantity bands (no p_container/l_shipmode in this corpus — the
+    bands use the columns it has; the plan shape is the point). The
+    per-band part predicates prune the broadcast side; the OR of
+    conjunctions becomes a single join condition so lineitem is
+    scanned once, not once per band."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#34")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(band1 | band2 | band3).agg(
+        _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_DISJUNCTIVE_BAND_JOIN_SQL = """
+SELECT
+  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # Knuth's multiplicative-hash constant — deterministic, engine-neutral
 _SPLIT_MULT = 2654435761
 
@@ -980,6 +1266,11 @@ QUERIES = {
     "rel_resample_hourly_gapfill": q_resample_hourly_gapfill,
     "rel_small_quantity_revenue": q_small_quantity_revenue,
     "rel_order_count_distribution": q_order_count_distribution,
+    "rel_min_cost_supplier": q_min_cost_supplier,
+    "rel_cross_nation_volume": q_cross_nation_volume,
+    "rel_market_share": q_market_share,
+    "rel_top_revenue_supplier": q_top_revenue_supplier,
+    "rel_disjunctive_band_join": q_disjunctive_band_join,
 }
 
 ORACLE = {
@@ -1010,4 +1301,9 @@ ORACLE = {
     "rel_resample_hourly_gapfill": _RESAMPLE_HOURLY_SQL,
     "rel_small_quantity_revenue": _SMALL_QUANTITY_REVENUE_SQL,
     "rel_order_count_distribution": _ORDER_COUNT_DISTRIBUTION_SQL,
+    "rel_min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
+    "rel_cross_nation_volume": _CROSS_NATION_VOLUME_SQL,
+    "rel_market_share": _MARKET_SHARE_SQL,
+    "rel_top_revenue_supplier": _TOP_REVENUE_SUPPLIER_SQL,
+    "rel_disjunctive_band_join": _DISJUNCTIVE_BAND_JOIN_SQL,
 }

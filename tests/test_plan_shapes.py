@@ -10,9 +10,13 @@ import pytest
 
 from real_time_event_streaming_pipeline_spark.plans.citystream import q_events_by_city
 from real_time_event_streaming_pipeline_spark.plans.relational import (
+    q_cross_nation_volume,
+    q_disjunctive_band_join,
     q_local_supplier_volume,
+    q_market_share,
     q_pricing_summary,
     q_top_orders_per_customer,
+    q_top_revenue_supplier,
 )
 
 
@@ -40,3 +44,29 @@ def test_topk_is_take_ordered(spark, sf_med):
 def test_per_group_topk_prunes_before_shuffle(spark, sf_med):
     plan = _plan(q_top_orders_per_customer(spark, sf_med))
     assert "WindowGroupLimit" in plan
+
+
+def test_cross_nation_dims_broadcast(spark, sf_med):
+    # the only shuffle join allowed is the lineitem⋈orders fact chain
+    plan = _plan(q_cross_nation_volume(spark, sf_med))
+    assert plan.count("BroadcastHashJoin") >= 2  # supp_n, cust_n
+
+
+def test_market_share_single_scan(spark, sf_med):
+    # ratio-of-sums must not re-scan lineitem per term
+    plan = _plan(q_market_share(spark, sf_med))
+    assert len([l for l in plan.splitlines() if "lineitem" in l and "Scan" in l]) == 1
+
+
+def test_top_revenue_supplier_view_computed_once(spark, sf_med):
+    # Q15 shape: the revenue view feeds both the max and the equality
+    # join; the scalar max arrives broadcast, not via re-aggregation
+    # per row
+    plan = _plan(q_top_revenue_supplier(spark, sf_med))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_disjunctive_band_join_single_lineitem_scan(spark, sf_med):
+    plan = _plan(q_disjunctive_band_join(spark, sf_med))
+    assert len([l for l in plan.splitlines() if "lineitem" in l and "Scan" in l]) == 1
+    assert "BroadcastHashJoin" in plan
