@@ -82,6 +82,35 @@ def neardup_pairs(
     )
 
 
+def sample_centroids(
+    emb: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid sample (the first n vectors by id — at
+    scale: k-means on a sample). The centroid set is the index's
+    immutable contract: cell assignment of any vector, whenever it
+    arrives, depends only on this list."""
+    return [
+        (int(r[0]), list(r[1]))
+        for r in emb.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    ]
+
+
+def nearest_cells(vec, cents: list[tuple[int, list[float]]], n: int) -> Column:
+    """The n nearest centroid cells by dot product, as an array of
+    structs sorted nearest-first — centroids fold into the plan as
+    literals (JVM-side, no UDF)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-dot(vec, F.array(*[F.lit(float(x)) for x in cvec]))).alias("negdot"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    return F.slice(F.array_sort(scored), 1, n)
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -93,34 +122,16 @@ def ivf_ann_topk(
 ) -> DataFrame:
     """IVF (inverted-file) ANN — the other mandated scale path besides
     LSH: partition the corpus into Voronoi cells around centroids,
-    probe only the n_probe nearest cells per query.
-
-    Centroids here are a deterministic sample (the first n_centroids
-    vectors by id — at scale: k-means on a sample). Cell assignment is
+    probe only the n_probe nearest cells per query. Cell assignment is
     one broadcast-join projection over the corpus (linear); the probe
     joins on cell id, so scored candidates ≈ corpus × n_probe/n_centroids."""
-    cents = [
-        (int(r[0]), list(r[1]))
-        for r in emb.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
-    ]
-
-    def nearest_cells(vec, n: int):
-        scored = F.array(
-            *[
-                F.struct(
-                    (-dot(vec, F.array(*[F.lit(float(x)) for x in cvec]))).alias("negdot"),
-                    F.lit(cid).alias("cell"),
-                )
-                for cid, cvec in cents
-            ]
-        )
-        return F.slice(F.array_sort(scored), 1, n)
+    cents = sample_centroids(emb, n_centroids, id_col, vec_col)
 
     c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")).withColumn(
-        "cell", nearest_cells(F.col("n_vec"), 1)[0]["cell"]
+        "cell", nearest_cells(F.col("n_vec"), cents, 1)[0]["cell"]
     )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")).withColumn(
-        "cells", nearest_cells(F.col("q_vec"), n_probe)
+        "cells", nearest_cells(F.col("q_vec"), cents, n_probe)
     )
     q = q.select("q_id", "q_vec", F.explode(F.col("cells")["cell"]).alias("cell"))
     scored = (

@@ -1,0 +1,70 @@
+"""Streaming ANN index refresh: an IVF index built on a base corpus
+stays correct as new embeddings arrive via foreachBatch appends —
+search over the streamed-in index must equal search over an index
+batch-built from the full corpus (assignment is deterministic given
+the frozen centroid set), and probes must prune unvisited cell
+partitions at the scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_pipeline_spark.catalog import load
+from real_time_event_streaming_pipeline_spark.streaming.ann_index import (
+    build_ivf_index,
+    search,
+    start_index_refresh,
+)
+
+N_BASE = 300  # lowest vec_ids → same centroid sample as the full corpus
+
+
+def test_streamed_index_matches_batch_index(spark, sf_small, tmp_path):
+    emb = load(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < N_BASE)
+    incoming = emb.filter(F.col("vec_id") >= N_BASE)
+
+    live_dir = str(tmp_path / "live_index")
+    build_ivf_index(base, live_dir, n_centroids=16)
+
+    # stream the rest in, multiple micro-batches
+    staging = str(tmp_path / "staging")
+    incoming.repartition(3).write.parquet(staging)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = start_index_refresh(stream, live_dir, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # ground truth: batch index over the full corpus with the same
+    # centroid sample (base holds the lowest ids, so the sample agrees)
+    full_dir = str(tmp_path / "full_index")
+    build_ivf_index(emb, full_dir, n_centroids=16)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 7)
+    got = search(spark, live_dir, queries, k=5, n_probe=4)
+    want = search(spark, full_dir, queries, k=5, n_probe=4)
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # streamed vectors are actually in the index and findable
+    n_new = spark.read.parquet(live_dir + "/cells").filter(
+        F.col("n_id") >= N_BASE
+    ).count()
+    assert n_new == incoming.count()
+
+
+def test_search_prunes_unprobed_cells(spark, sf_small, tmp_path):
+    emb = load(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    index_dir = str(tmp_path / "index")
+    build_ivf_index(emb, index_dir, n_centroids=16)
+    one_query = emb.filter(F.col("vec_id") == 7)
+    res = search(spark, index_dir, one_query, k=3, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the cell filter must reach the partitioned scan, not a post-scan Filter
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
