@@ -1204,6 +1204,104 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped double-correlation: suppliers in a nation who
+    were the ONLY late supplier on a multi-supplier order ("late" =
+    shipped >60 days after the order date; the corpus has no
+    commit/receipt dates). The interesting part is the plan: one
+    EXISTS (another supplier contributed to the order) and one NOT
+    EXISTS (no OTHER supplier was late) against the same fact table —
+    Catalyst decorrelates both into semi/anti joins that reuse the
+    orderkey shuffle rather than re-scanning lineitem per row."""
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        """
+    )
+
+
+_WAITING_SUPPLIERS_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average balance and no
+    RECENT orders (none since 2000 — Q22's "dormant for 7 years"
+    compressed to this corpus's date range), counted per nation (no
+    phone column, so the country-code grouping becomes the nation
+    dimension). Two classic decorrelations in one plan: an
+    uncorrelated scalar aggregate (the global average, broadcast as a
+    1-row join) and a NOT EXISTS anti-join on custkey whose date
+    predicate is pushed below the anti-join's build side."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            _exact_sum(F.col("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+_DORMANT_RICH_CUSTOMERS_SQL = """
+SELECT n_name,
+       count(*) AS n_custs,
+       sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+"""
+
+
 # Knuth's multiplicative-hash constant — deterministic, engine-neutral
 _SPLIT_MULT = 2654435761
 
@@ -1271,6 +1369,8 @@ QUERIES = {
     "rel_market_share": q_market_share,
     "rel_top_revenue_supplier": q_top_revenue_supplier,
     "rel_disjunctive_band_join": q_disjunctive_band_join,
+    "rel_waiting_suppliers": q_waiting_suppliers,
+    "rel_dormant_rich_customers": q_dormant_rich_customers,
 }
 
 ORACLE = {
@@ -1306,4 +1406,6 @@ ORACLE = {
     "rel_market_share": _MARKET_SHARE_SQL,
     "rel_top_revenue_supplier": _TOP_REVENUE_SUPPLIER_SQL,
     "rel_disjunctive_band_join": _DISJUNCTIVE_BAND_JOIN_SQL,
+    "rel_waiting_suppliers": _WAITING_SUPPLIERS_SQL,
+    "rel_dormant_rich_customers": _DORMANT_RICH_CUSTOMERS_SQL,
 }
