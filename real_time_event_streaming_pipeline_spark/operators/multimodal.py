@@ -88,3 +88,89 @@ def extract_features(df_docs: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return b.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int, n_bytes long"
+
+
+def resize_images(
+    df_docs: DataFrame, width: int = 32, height: int = 32, fake: bool = False
+) -> DataFrame:
+    """Image resize at the decode seam: mapInPandas, one row in → one
+    row out, payload replaced by the resized encoding and the metadata
+    struct updated to the new dimensions. Real implementation decodes
+    with PIL and re-encodes; the deterministic fake projects the bytes
+    onto a width×height grid (truncate/tile) so tests can assert exact
+    output sizes and stability."""
+    b = attach_binary(df_docs).select("doc_id", "payload")
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            for p in pdf["payload"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "image resize requires PIL/opencv, absent in this "
+                        "environment; run with fake=True for the stub"
+                    )
+                rep = (p * (target // max(len(p), 1) + 1))[:target]
+                out_payload.append(rep)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out_payload,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(p) for p in out_payload],
+                }
+            )
+
+    return b.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame binary, n_bytes long"
+
+
+def sample_frames(
+    df_docs: DataFrame,
+    frame_bytes: int = 64,
+    every_n: int = 4,
+    fake: bool = False,
+) -> DataFrame:
+    """Video frame sampling at the decode seam: one input row fans out
+    to MANY frame rows (the Arrow batch-shape change real video
+    pipelines need — mapInPandas is the right primitive because the
+    output cardinality is data-dependent, which a pandas_udf cannot
+    express). Real implementation demuxes with ffmpeg and keeps every
+    n-th frame; the deterministic fake treats the payload as
+    fixed-size chunks. Partitioning is preserved — no shuffle: frame
+    extraction is embarrassingly parallel over documents."""
+    b = attach_binary(df_docs).select("doc_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "frame sampling requires ffmpeg, absent in this "
+                        "environment; run with fake=True for the stub"
+                    )
+                chunks = [
+                    p[o : o + frame_bytes] for o in range(0, len(p), frame_bytes)
+                ]
+                for i in range(0, len(chunks), every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(chunks[i])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return b.mapInPandas(run, FRAME_SCHEMA)

@@ -402,6 +402,38 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(load(spark, sf_dir, "documents"), fake=True)
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-pipeline shape): one doc fans out to many
+    frame rows via mapInPandas. The deterministic fake decoder chunks
+    the payload bytes, so the oracle can reproduce frames as blob
+    substrings — the hash column proves payload CONTENT round-tripped
+    through Arrow, not just row counts."""
+    frames = M.sample_frames(load(spark, sf_dir, "documents"), frame_bytes=64, every_n=4, fake=True)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        "n_bytes",
+    )
+
+
+# The engine chunks PAYLOAD BYTES; this oracle chunks characters —
+# equivalent here because the corpus is pure ASCII (verified: no doc
+# has octet_length(encode(text)) <> length(text) at any SF). DuckDB
+# has no BLOB substring, so a byte-true oracle isn't expressible.
+_MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id,
+       i AS frame_idx,
+       md5(substring(text, CAST(i AS INT) * 64 + 1, 64)) AS frame_md5,
+       octet_length(encode(substring(text, CAST(i AS INT) * 64 + 1, 64))) AS n_bytes
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 4)) AS i
+  FROM documents
+)
+"""
+
+
 QUERIES = {
     "llm_text_stats": q_text_stats,
     "llm_lang_id": q_lang_id,
@@ -420,6 +452,7 @@ QUERIES = {
     "llm_corpus_pipeline": q_corpus_pipeline,
     "llm_multimodal_meta": q_multimodal_meta,
     "llm_multimodal_features": q_multimodal_features,
+    "llm_multimodal_frames": q_multimodal_frames,
 }
 
 ORACLE = {
@@ -435,4 +468,5 @@ ORACLE = {
     "llm_dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "llm_corpus_pipeline": _CORPUS_PIPELINE_SQL,
     "llm_multimodal_meta": _MULTIMODAL_META_SQL,
+    "llm_multimodal_frames": _MULTIMODAL_FRAMES_SQL,
 }

@@ -114,6 +114,40 @@ def test_multimodal_decode_stub_raises(spark, sf_small):
     assert "NotImplementedError" in str(ei.value)
 
 
+def test_multimodal_resize_shapes(spark, sf_small):
+    docs = load(spark, sf_small, "documents").limit(20)
+    out = M.resize_images(docs, width=8, height=4, fake=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.n_bytes == 8 * 4 and len(r.payload) == 8 * 4 for r in rows)
+    assert all(r.width == 8 and r.height == 4 for r in rows)
+    # deterministic: same input → identical payload on re-run
+    again = {r.doc_id: bytes(r.payload) for r in out.collect()}
+    assert all(bytes(r.payload) == again[r.doc_id] for r in rows)
+
+
+def test_multimodal_frame_sampling_fanout(spark, sf_small):
+    docs = load(spark, sf_small, "documents").limit(20)
+    out = M.sample_frames(docs, frame_bytes=64, every_n=4, fake=True)
+    rows = out.collect()
+    # data-dependent fan-out: every kept frame index is a multiple of
+    # every_n, and per-doc frame count matches ceil(ceil(len/64)/4)
+    sizes = {
+        r.doc_id: r.n_bytes
+        for r in M.binary_meta(docs).select("doc_id", "n_bytes").collect()
+    }
+    import math
+
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        assert r.frame_idx % 4 == 0
+        assert 0 < r.n_bytes <= 64
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    for doc_id, n in per_doc.items():
+        n_chunks = math.ceil(sizes[doc_id] / 64)
+        assert n == math.ceil(n_chunks / 4)
+
+
 def test_lang_id_deterministic_argmax(spark):
     df = spark.createDataFrame(
         [
