@@ -10,8 +10,10 @@ from real_time_event_streaming_pipeline_spark.plans.citystream import city_event
 from real_time_event_streaming_pipeline_spark.sources.files import (
     read_csv,
     read_jsonl,
+    read_orc,
     write_csv,
     write_jsonl,
+    write_orc,
 )
 from real_time_event_streaming_pipeline_spark.streaming.batch_sink import (
     read_partitioned,
@@ -43,6 +45,21 @@ def test_jsonl_roundtrip(spark, sf_small, tmp_path):
     p = str(tmp_path / "c_json")
     write_jsonl(src, p)
     assert _rows(read_jsonl(spark, p, SCHEMA)) == _rows(src)
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_small, tmp_path):
+    src = load(spark, sf_small, "customer").select("c_custkey", "c_name", "c_acctbal")
+    p = str(tmp_path / "c_orc")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert _rows(back) == _rows(src)
+    plan = (
+        back.filter(F.col("c_custkey") == 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,7)]" in plan
 
 
 def test_partitioned_write_prunes(spark, sf_small, tmp_path):
