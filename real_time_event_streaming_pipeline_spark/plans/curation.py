@@ -1,0 +1,184 @@
+"""Corpus-curation plans (north-star LLM-data extension, second
+wave): within-document repetition signals, train/test contamination
+detection, and deterministic sampling. These are the operations a
+training-data pipeline runs after dedup/quality (plans/llmdata.py)
+and before export — all pure built-in expressions (whole-stage
+codegen; the shingle explode is the one shuffle-adjacent step and is
+repartitioned across cores first, see operators/dedup.doc_shingles).
+
+Determinism rules: repetition ratios are one int/int division
+(bitwise identical in any IEEE engine, see operators/text.py
+avg_token_len note); sampling uses the multiplicative-hash bucket of
+plans/relational.q_deterministic_split — same row → same decision on
+every engine, every run, any partitioning (rand() has none of those
+properties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.dedup import _shingle_expr, doc_shingles
+from .relational import _SPLIT_MULT
+
+# DuckDB list-comprehension shingle builder (k-gram over a 1-indexed
+# token list) — the oracle twin of operators/dedup._shingle_expr.
+def _sql_kgrams(k: int) -> str:
+    return (
+        f"CASE WHEN len(toks) < {k} THEN [] "
+        f"ELSE [array_to_string(toks[i:i+{k - 1}], ' ') "
+        f"for i in generate_series(1, len(toks) - {k - 1})] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram fraction per document — the "repetition"
+    quality signal used to drop degenerate/boilerplate docs. One scan,
+    no shuffle: trigram list, distinct count, ratio, all per-row
+    higher-order expressions."""
+    docs = load(spark, sf_dir, "documents")
+    tris = _shingle_expr(F.split(F.col("text"), " "), 3)
+    n_tri = F.size(tris).cast("long")
+    n_uniq = F.size(F.array_distinct(tris)).cast("long")
+    rep = F.when(n_tri == 0, F.lit(0.0)).otherwise(
+        (n_tri - n_uniq).cast("double") / n_tri
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tri.alias("n_trigrams"),
+        n_uniq.alias("n_distinct"),
+        rep.alias("rep_ratio"),
+    )
+
+
+_DOC_REPETITION_SQL = f"""
+WITH tok AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
+tri AS (SELECT doc_id, lang, {_sql_kgrams(3)} AS tris FROM tok)
+SELECT doc_id, lang,
+  len(tris) AS n_trigrams,
+  len(list_distinct(tris)) AS n_distinct,
+  CASE WHEN len(tris) = 0 THEN 0.0
+       ELSE CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE) / len(tris)
+  END AS rep_ratio
+FROM tri
+"""
+
+
+# ---------------------------------------------------------------------------
+# Train/test contamination
+# ---------------------------------------------------------------------------
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: test-split documents sharing any
+    5-gram with the train split (split = the deterministic hash split
+    of rel_deterministic_split, so both engines agree on membership).
+    Shuffle profile: one exchange on the shingle key for the
+    train⋈test join, then a hash-agg on test doc_id. At 100 TB the
+    shingle stream is the big side; hot shingles would be capped by
+    document frequency first (same guard as ngram_jaccard_pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, k=5)
+    bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % 100
+    test_sh = sh.filter(bucket >= 90)
+    train_sh = sh.filter(bucket < 80).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    return (
+        test_sh.join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("train_id").alias("n_train_docs"),
+        )
+    )
+
+
+_CONTAMINATION_SQL = f"""
+WITH tok AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_sql_kgrams(5)})) AS shingle FROM tok
+),
+tr AS (SELECT doc_id AS train_id, shingle FROM sh
+       WHERE (doc_id * {_SPLIT_MULT}) % 100 < 80),
+te AS (SELECT doc_id, shingle FROM sh
+       WHERE (doc_id * {_SPLIT_MULT}) % 100 >= 90)
+SELECT te.doc_id,
+  CAST(count(DISTINCT te.shingle) AS BIGINT) AS n_shared_ngrams,
+  CAST(count(DISTINCT tr.train_id) AS BIGINT) AS n_train_docs
+FROM te JOIN tr USING (shingle)
+GROUP BY te.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample by key hash — reproducible (same rows on
+    every engine/run/partitioning) unlike df.sample(). Pure filter:
+    pushes to the scan, no shuffle, trivially parallel at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % 1000
+    return docs.filter(bucket < 100).select("doc_id", "lang", "source")
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE (doc_id * {_SPLIT_MULT}) % 1000 < 100
+"""
+
+
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic sample per source (domain capping for
+    training mixes): rank rows within each source by hashed id and
+    keep the first 5. One shuffle on the partition key; per-group
+    state in the window is a running counter only."""
+    docs = load(spark, sf_dir, "documents")
+    hash_order = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % 100000
+    w = Window.partitionBy("source").orderBy(hash_order.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+_PER_SOURCE_CAP_SQL = f"""
+SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT source, doc_id,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY (doc_id * {_SPLIT_MULT}) % 100000, doc_id
+    ) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+"""
+
+
+QUERIES = {
+    "llm_doc_repetition": q_doc_repetition,
+    "llm_contamination": q_contamination,
+    "llm_stratified_sample": q_stratified_sample,
+    "llm_per_source_cap": q_per_source_cap,
+}
+
+ORACLE = {
+    "llm_doc_repetition": _DOC_REPETITION_SQL,
+    "llm_contamination": _CONTAMINATION_SQL,
+    "llm_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+    "llm_per_source_cap": _PER_SOURCE_CAP_SQL,
+}

@@ -357,8 +357,77 @@ WHERE o_totalprice > 1.5 * (
 """
 
 
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (the S2 from_json family generalized):
+    typed extraction, modular bucketing of the extracted value, and a
+    missing-path probe (NULL in both engines). Stays in codegen —
+    get_json_object is a JVM-side expression, no UDF."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_mod10"),
+        F.get_json_object("props", "$.missing").alias("missing_key"),
+    )
+
+
+_FN_JSON_SQL = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+  json_extract_string(props, '$.missing') AS missing_key
+FROM events
+"""
+
+
+def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column:
+    filter (count positives), aggregate (L1 norm, left-to-right fold
+    — same order as the oracle's list_sum), zip_with against the
+    reversed vector. All whole-stage-codegen lambda expressions; at
+    scale this is a pure scan-side projection, no shuffle. libm-free
+    terms stay raw except the float folds, rounded to 6 (the
+    cross-engine float discipline of plans/llmdata._cos_sql)."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    l1 = F.aggregate(
+        emb, F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+    )
+    dot_rev = F.aggregate(
+        F.zip_with(
+            emb,
+            F.reverse(emb),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(l1, 6).alias("l1_norm"),
+        F.array_max(emb).cast("double").alias("max_val"),
+        F.round(dot_rev, 6).alias("dot_reversed"),
+    )
+
+
+_FN_HIGHER_ORDER_SQL = """
+SELECT
+  vec_id,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+  round(list_sum(list_transform(generate_series(1, 64), i -> abs(embedding[i]::DOUBLE))), 6) AS l1_norm,
+  CAST(list_max(embedding) AS DOUBLE) AS max_val,
+  round(list_sum(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[65 - i]::DOUBLE)), 6) AS dot_reversed
+FROM embeddings
+"""
+
+
 QUERIES = {
     "fn_math": q_fn_math,
+    "fn_json": q_fn_json,
+    "fn_higher_order": q_fn_higher_order,
     "fn_string": q_fn_string,
     "fn_datetime": q_fn_datetime,
     "fn_conditional": q_fn_conditional,
@@ -373,6 +442,8 @@ QUERIES = {
 
 ORACLE = {
     "fn_math": _FN_MATH_SQL,
+    "fn_json": _FN_JSON_SQL,
+    "fn_higher_order": _FN_HIGHER_ORDER_SQL,
     "fn_string": _FN_STRING_SQL,
     "fn_datetime": _FN_DATETIME_SQL,
     "fn_conditional": _FN_CONDITIONAL_SQL,
