@@ -12,9 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     # hard imports: a broken module must fail the registry loudly, not
     # silently shrink the driver contract to whatever still imports
-    from . import citystream, curation, llmdata, relational, scalar, tpch_extra
+    from . import citystream, curation, llmdata, relational, scalar, tpch_extra, windowing
 
-    return [citystream, relational, tpch_extra, llmdata, curation, scalar]
+    return [citystream, relational, tpch_extra, llmdata, curation, scalar, windowing]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,165 @@
+"""Windowing beyond the reference's tumbling-only surface
+(SURVEY.md §2.4 notes sliding and session windows are ABSENT in the
+reference — engine obligations, not parity). Three additions:
+
+- sliding (hopping) window aggregation — ``F.window(ts, W, S)``;
+  the oracle expands each event into its W/S overlapping buckets.
+- native gap-based sessions — ``F.session_window`` (the built-in
+  operator; the manual lag+cumsum form is rel_user_sessions). Session
+  boundaries are compared in integer microseconds on both engines so
+  the merge condition (gap >= 30 min) can never float-flip.
+- map-typed columns — map construction/extraction stays in codegen.
+
+Scale: sliding windows multiply agg input by W/S (here 3×) — that
+fan-out happens inside the hash-agg's map side, not as a stored
+explode; session_window keeps per-key state bounded by the gap, and
+the shuffle key (user_id) is high-cardinality."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import MICRO_FMT_SPARK, WINDOW_FMT_SPARK
+from .relational import _exact_sum, _exact_sum_sql
+
+
+def q_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute window sliding every 5 minutes over events: each row
+    lands in exactly 3 windows. One hash-agg; the window expansion is
+    a Generate inside the same stage, no extra shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _exact_sum(F.col("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", WINDOW_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SLIDING_AGG_SQL = f"""
+WITH b AS (
+  SELECT event_type, value,
+    make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - t.i) * 300 * 1000000) AS ws
+  FROM events, generate_series(0, 2) AS t(i)
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+  count(*) AS n_events,
+  {_exact_sum_sql("value", 2)} AS total_value
+FROM b
+GROUP BY 1, 2
+"""
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via the built-in session_window operator
+    (30-minute inactivity gap) — the Spark-native form of
+    rel_user_sessions' manual lag+cumsum. Emits per-session bounds;
+    session_end = last event + gap by definition."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            _exact_sum(F.col("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", MICRO_FMT_SPARK).alias("session_start"),
+            F.date_format("w.end", MICRO_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# Session merge in integer µs: a new session starts iff the gap from
+# the previous event is >= 30 min (windows [t, t+30m) overlap-merge
+# strictly below it). epoch_us keeps the comparison exact.
+_SESSION_WINDOW_NATIVE_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  strftime(make_timestamp(epoch_us(max(ts)) + 1800000000), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  count(*) AS n_events,
+  {_exact_sum_sql("value", 2)} AS session_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a map per row, extract by key,
+    enumerate keys/values. All codegen expressions; the map never
+    leaves the projection (output is plain columns so the oracle can
+    hash it)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("uid")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "uid").alias("m_uid"),
+        # try_element_at: ANSI mode makes plain element_at THROW on a
+        # missing map key; the try_ variant gives the NULL the oracle
+        # (and any sane user) expects.
+        F.try_element_at(m, F.lit("absent")).alias("m_missing"),
+        F.size(m).cast("long").alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+        F.array_join(F.map_values(m), ",").alias("m_vals"),
+    )
+
+
+_FN_MAP_SQL = """
+WITH m AS (
+  SELECT event_id,
+    map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]) AS mp
+  FROM events
+)
+SELECT event_id,
+  map_extract(mp, 'type')[1] AS m_type,
+  map_extract(mp, 'uid')[1] AS m_uid,
+  CAST(NULL AS VARCHAR) AS m_missing,
+  CAST(cardinality(mp) AS BIGINT) AS m_size,
+  array_to_string(map_keys(mp), ',') AS m_keys,
+  array_to_string(map_values(mp), ',') AS m_vals
+FROM m
+"""
+
+
+QUERIES = {
+    "cs_sliding_agg": q_sliding_agg,
+    "rel_session_window_native": q_session_window_native,
+    "fn_map": q_fn_map,
+}
+
+ORACLE = {
+    "cs_sliding_agg": _SLIDING_AGG_SQL,
+    "rel_session_window_native": _SESSION_WINDOW_NATIVE_SQL,
+    "fn_map": _FN_MAP_SQL,
+}

@@ -70,3 +70,65 @@ def test_disjunctive_band_join_single_lineitem_scan(spark, sf_med):
     plan = _plan(q_disjunctive_band_join(spark, sf_med))
     assert len([l for l in plan.splitlines() if "lineitem" in l and "Scan" in l]) == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_nation_profit_dims_broadcast(spark, sf_med):
+    # Q9 shape: part/supplier/nation broadcast; the only shuffle join
+    # is lineitem⋈orders on orderkey
+    from real_time_event_streaming_pipeline_spark.plans.tpch_extra import (
+        q_nation_profit,
+    )
+
+    plan = _plan(q_nation_profit(spark, sf_med))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_supplier_part_cnt_anti_broadcast(spark, sf_med):
+    # Q16 shape: the NOT IN is a broadcast anti-join, never a shuffle
+    from real_time_event_streaming_pipeline_spark.plans.tpch_extra import (
+        q_supplier_part_cnt,
+    )
+
+    plan = _plan(q_supplier_part_cnt(spark, sf_med))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_promo_revenue_single_scan_pushed(spark, sf_med):
+    # Q14 shape: one lineitem scan with the month predicate pushed
+    from real_time_event_streaming_pipeline_spark.plans.tpch_extra import (
+        q_promo_revenue,
+    )
+
+    plan = _plan(q_promo_revenue(spark, sf_med))
+    assert len([l for l in plan.splitlines() if "lineitem" in l and "Scan" in l]) == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_large_volume_customer_topk(spark, sf_med):
+    from real_time_event_streaming_pipeline_spark.plans.tpch_extra import (
+        q_large_volume_customer,
+    )
+
+    plan = _plan(q_large_volume_customer(spark, sf_med))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_dominant_part_suppliers_semi(spark, sf_med):
+    from real_time_event_streaming_pipeline_spark.plans.tpch_extra import (
+        q_dominant_part_suppliers,
+    )
+
+    plan = _plan(q_dominant_part_suppliers(spark, sf_med))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sliding_agg_single_shuffle(spark, sf_med):
+    # window expansion happens inside the stage; exactly one exchange
+    # (the final agg) plus none for the expand itself
+    from real_time_event_streaming_pipeline_spark.plans.windowing import q_sliding_agg
+
+    plan = _plan(q_sliding_agg(spark, sf_med))
+    assert plan.count("Exchange hashpartitioning") == 1

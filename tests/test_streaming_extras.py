@@ -106,3 +106,54 @@ def test_session_window_streaming(spark, sf_small, tmp_path):
     assert set(got_map) <= set(want)
     for uid, n in got_map.items():
         assert n in (want[uid], want[uid] - 1), (uid, n, want[uid])
+
+
+def test_transform_with_state_matches_batch(spark, sf_small, tmp_path):
+    """Spark 4 transformWithStateInPandas: final running per-user
+    profile == batch aggregation, bitwise (integer-cent state)."""
+    import pytest
+
+    # The TWS state server speaks protobuf; this image ships a broken
+    # google.protobuf (no installs allowed — gate, per the brief).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unusable here; TWS needs its state protocol")
+
+    from real_time_event_streaming_pipeline_spark.streaming.stateful import (
+        running_user_counts_tws,
+    )
+
+    src = enrich_events(events_file_stream(spark, sf_small))
+    q = (
+        running_user_counts_tws(src)
+        .writeStream.format("memory")
+        .queryName("tws_profile")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM tws_profile) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in city_events(spark, sf_small)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+                / F.lit(100.0)
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
