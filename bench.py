@@ -20,17 +20,20 @@ from real_time_event_streaming_pipeline_spark.session import get_spark
 
 HEADLINE = [
     "cs_windowed_agg",
+    "cs_sliding_agg",
     "cs_cities",
     "cs_stats",
     "rel_pricing_summary",
     "rel_shipping_priority",
     "rel_local_supplier_volume",
+    "rel_nation_profit",
     "rel_top_orders_per_customer",
     "rel_user_sessions",
     "rel_asof_purchase_view",
     "llm_text_stats",
     "llm_dedup_exact_hash",
     "llm_dedup_ngram_jaccard",
+    "llm_contamination",
     "llm_dedup_minhash_lsh",
     "llm_emb_cosine_topk",
     "llm_dedup_clusters",

@@ -169,7 +169,79 @@ WHERE rn <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Normalization and vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization before hashing/dedup: lowercase,
+    strip non-alphanumerics, collapse runs of spaces, trim. Pure
+    regexp_replace chain — scan-side projection, no shuffle; the
+    patterns are POSIX-class-only so Java regex and RE2 agree."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_norm_chars"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+  CAST(length(norm_text) AS BIGINT) AS n_norm_chars,
+  md5(norm_text) AS norm_hash
+FROM n
+"""
+
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 tokens by frequency with
+    document frequency — the input to stopword lists and quality
+    filters. Explode → two-level agg; the token shuffle carries
+    (token, doc_id) pairs already deduped map-side by array_distinct
+    for the df leg. Top-k via TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+_TOKEN_FREQ_SQL = """
+SELECT tok, count(*) AS term_freq,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY term_freq DESC, tok ASC
+LIMIT 50
+"""
+
+
 QUERIES = {
+    "llm_normalize": q_normalize,
+    "llm_token_freq": q_token_freq,
     "llm_doc_repetition": q_doc_repetition,
     "llm_contamination": q_contamination,
     "llm_stratified_sample": q_stratified_sample,
@@ -177,6 +249,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "llm_normalize": _NORMALIZE_SQL,
+    "llm_token_freq": _TOKEN_FREQ_SQL,
     "llm_doc_repetition": _DOC_REPETITION_SQL,
     "llm_contamination": _CONTAMINATION_SQL,
     "llm_stratified_sample": _STRATIFIED_SAMPLE_SQL,

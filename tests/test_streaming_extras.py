@@ -157,3 +157,46 @@ def test_transform_with_state_matches_batch(spark, sf_small, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_sliding_window_streaming_matches_batch(spark, sf_small, tmp_path):
+    """Hopping window (15 min / 5 min) streamed in update mode: the
+    final per-(window, event_type) counts equal the batch
+    cs_sliding_agg result exactly (update mode re-emits corrected
+    groups; latest emission per key wins)."""
+    from real_time_event_streaming_pipeline_spark.plans.windowing import q_sliding_agg
+
+    src = events_file_stream(spark, sf_small).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql(
+            """SELECT window_start, event_type, max(n_events) AS n_events
+               FROM sliding_stream GROUP BY window_start, event_type"""
+        ).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n_events
+        for r in q_sliding_agg(spark, sf_small).collect()
+    }
+    assert got == want
