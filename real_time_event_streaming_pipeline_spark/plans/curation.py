@@ -88,12 +88,30 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = doc_shingles(docs, k=5)
     bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % 100
-    test_sh = sh.filter(bucket >= 90)
-    train_sh = sh.filter(bucket < 80).select(
-        F.col("doc_id").alias("train_id"), "shingle"
+    # one pass over the shingle stream: collect train and test doc ids
+    # per shingle (collect_list drops the NULLs the other split
+    # produces), then cross the two small per-shingle lists map-side —
+    # no second shingle shuffle, no recomputation per join side
+    grp = (
+        sh.groupBy("shingle")
+        .agg(
+            F.collect_list(F.when(bucket < 80, F.col("doc_id"))).alias("tr"),
+            F.collect_list(F.when(bucket >= 90, F.col("doc_id"))).alias("te"),
+        )
+        .filter((F.size("te") > 0) & (F.size("tr") > 0))
+    )
+    hits = F.flatten(
+        F.transform(
+            F.col("te"),
+            lambda t: F.transform(
+                F.col("tr"),
+                lambda r: F.struct(t.alias("doc_id"), r.alias("train_id")),
+            ),
+        )
     )
     return (
-        test_sh.join(train_sh, "shingle")
+        grp.select("shingle", F.explode(hits).alias("p"))
+        .select("shingle", "p.doc_id", "p.train_id")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("shingle").alias("n_shared_ngrams"),
