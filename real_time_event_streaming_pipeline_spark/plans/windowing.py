@@ -152,14 +152,139 @@ FROM m
 """
 
 
+def q_fn_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function family the other plans don't touch:
+    ntile / percent_rank / cume_dist / first_value / last_value /
+    nth_value / lead. Total order inside each partition (ts, event_id)
+    so every value is deterministic; rank ratios are int/int
+    divisions, bitwise-stable cross-engine."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("event_type").over(wall).alias("first_type"),
+        F.last("event_type").over(wall).alias("last_type"),
+        F.nth_value("event_type", 2).over(wall).alias("second_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+_FN_WINDOW_ANALYTIC_SQL = """
+SELECT event_id, user_id,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume,
+  first_value(event_type) OVER wall AS first_type,
+  last_value(event_type) OVER wall AS last_type,
+  nth_value(event_type, 2) OVER wall AS second_type,
+  lead(event_type, 1) OVER w AS next_type
+FROM events
+WINDOW
+  w AS (PARTITION BY user_id ORDER BY ts, event_id),
+  wall AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_rel_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frames: a 3-row moving aggregate (ROWS frame)
+    and a trailing-15-minute sum (RANGE frame over epoch seconds).
+    Frame sums accumulate integer cents so the sliding-aggregate
+    implementation order can't produce float drift."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    v_e2 = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ev = ev.withColumn("v_e2", v_e2).withColumn(
+        "ev_s", F.floor(F.unix_timestamp("ts")).cast("long")
+    )
+    wrows = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    )
+    wrange = Window.partitionBy("user_id").orderBy("ev_s").rangeBetween(-900, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum("v_e2").over(wrows) / F.lit(100.0)).alias("moving_sum3"),
+        (
+            F.sum("v_e2").over(wrows) / (F.count("*").over(wrows) * F.lit(100.0))
+        ).alias("moving_avg3"),
+        (F.sum("v_e2").over(wrange) / F.lit(100.0)).alias("trailing_15m"),
+    )
+
+
+_REL_WINDOW_FRAMES_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2,
+    CAST(floor(epoch(ts)) AS BIGINT) AS ev_s
+  FROM events
+)
+SELECT event_id, user_id,
+  sum(v_e2) OVER wrows / 100.0 AS moving_sum3,
+  sum(v_e2) OVER wrows / (count(*) OVER wrows * 100.0) AS moving_avg3,
+  sum(v_e2) OVER wrange / 100.0 AS trailing_15m
+FROM e
+WINDOW
+  wrows AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+  wrange AS (PARTITION BY user_id ORDER BY ev_s
+             RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (and/or/xor/not, shifts, popcount) —
+    long-typed on both engines."""
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        uid.bitwiseAND(F.lit(255)).alias("b_and"),
+        uid.bitwiseOR(F.lit(4096)).alias("b_or"),
+        uid.bitwiseXOR(eid).alias("b_xor"),
+        F.bitwise_not(uid).alias("b_not"),
+        F.shiftleft(uid, 3).alias("shl3"),
+        F.shiftright(eid, 2).alias("shr2"),
+        F.bit_count(uid).cast("long").alias("popcount"),
+    )
+
+
+_FN_BITWISE_SQL = """
+SELECT event_id,
+  user_id & 255 AS b_and,
+  user_id | 4096 AS b_or,
+  xor(user_id, event_id) AS b_xor,
+  ~user_id AS b_not,
+  user_id << 3 AS shl3,
+  event_id >> 2 AS shr2,
+  CAST(bit_count(user_id) AS BIGINT) AS popcount
+FROM events
+"""
+
+
 QUERIES = {
     "cs_sliding_agg": q_sliding_agg,
+    "fn_window_analytic": q_fn_window_analytic,
+    "rel_window_frames": q_rel_window_frames,
+    "fn_bitwise": q_fn_bitwise,
     "rel_session_window_native": q_session_window_native,
     "fn_map": q_fn_map,
 }
 
 ORACLE = {
     "cs_sliding_agg": _SLIDING_AGG_SQL,
+    "fn_window_analytic": _FN_WINDOW_ANALYTIC_SQL,
+    "rel_window_frames": _REL_WINDOW_FRAMES_SQL,
+    "fn_bitwise": _FN_BITWISE_SQL,
     "rel_session_window_native": _SESSION_WINDOW_NATIVE_SQL,
     "fn_map": _FN_MAP_SQL,
 }
