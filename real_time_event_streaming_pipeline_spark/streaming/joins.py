@@ -24,10 +24,14 @@ def purchases_after_views(
     enriched_stream: DataFrame,
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase matched to same-user
-    views in the preceding `within` interval. Event-time constraints
-    on both sides + watermarks bound the state store."""
+    """Stream-stream join: each purchase matched to same-user views
+    in the preceding `within` interval. Event-time constraints on
+    both sides + watermarks bound the state store. how="left_outer"
+    additionally emits view-less purchases (NULL view columns) once
+    the watermark passes their match window — the streaming form of
+    "purchases with no prior view"."""
     views = (
         enriched_stream.filter(F.col("event_type") == "view")
         .select(
@@ -51,7 +55,7 @@ def purchases_after_views(
         (F.col("p_user") == F.col("v_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
-        "inner",
+        how,
     ).select(
         F.col("p_user").alias("user_id"),
         "purchase_id",

@@ -61,3 +61,58 @@ def test_window_bucket_assignment(spark, offsets):
         for o in offsets
     }
     assert starts == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=12
+    ),
+    parts=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_jaccard_pair_explode_equals_naive_join(spark, texts, parts):
+    """The grouped pair-explode candidate generation must produce the
+    exact pair set of the naive shingle self-join, for any corpus and
+    partitioning (including empty/short docs)."""
+    from real_time_event_streaming_pipeline_spark.operators.dedup import (
+        doc_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(parts)
+    got = {
+        (r.a_id, r.b_id, r.n_common)
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    sh = doc_shingles(docs, 3).collect()
+    by_doc: dict[int, set] = {}
+    for r in sh:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    want = set()
+    ids = sorted(by_doc)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = len(by_doc[a] & by_doc[b])
+            if common:
+                want.add((a, b, common))
+    assert got == want
+
+
+@given(parts=st.integers(1, 6), seed_rows=st.integers(20, 60))
+@settings(**_SETTINGS)
+def test_hash_sample_partitioning_invariant(spark, parts, seed_rows):
+    """The deterministic Bernoulli sample picks the same ids under any
+    partitioning (rand()-based sampling has no such property)."""
+    from real_time_event_streaming_pipeline_spark.plans.relational import _SPLIT_MULT
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(seed_rows)], "doc_id long"
+    ).repartition(parts)
+    picked = {
+        r.doc_id
+        for r in df.filter((F.col("doc_id") * _SPLIT_MULT) % 1000 < 100).collect()
+    }
+    want = {i for i in range(seed_rows) if (i * _SPLIT_MULT) % 1000 < 100}
+    assert picked == want

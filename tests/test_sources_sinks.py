@@ -73,3 +73,21 @@ def test_partitioned_write_prunes(spark, sf_small, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "city" in plan.split("PartitionFilters")[1][:120]
     assert one.count() == ce.filter(F.col("city") == "SF").count()
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Reading a table whose files were written under an evolving
+    schema: mergeSchema unions the footers; rows from old files read
+    NULL for later-added columns (100 TB reality — schemas drift and
+    a reader must not require a rewrite)."""
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.mode("overwrite").parquet(p + "/v=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("overwrite").parquet(p + "/v=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p + "/v=*")
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}

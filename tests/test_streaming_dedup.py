@@ -50,3 +50,45 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     rows = spark.sql("SELECT event_id FROM dedup_stream").collect()
     ids = sorted(r.event_id for r in rows)
     assert ids == [7, 8, 9]  # the replayed 7 was suppressed by state
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark horizon are suppressed even when their event times
+    differ slightly (the at-least-once-delivery case dropDuplicates'
+    exact-match state can't express); state is evictable by time."""
+    base = 1704067200
+    stage = str(tmp_path / "in")
+    _write(spark, stage + "/b=0", [(7, base, 1, "view"), (8, base + 60, 1, "click")])
+
+    dedup = (
+        _normalize_ts(
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage + "/b=*")
+        )
+        .transform(enrich_events)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_wm_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    # the redelivered 7 carries a slightly different event time
+    # (retry after 30 s) — still one logical event
+    _write(
+        spark,
+        stage + "/b=1",
+        [(7, base + 30, 1, "view"), (9, base + 120, 2, "error")],
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(
+        r.event_id for r in spark.sql("SELECT event_id FROM dedup_wm_stream").collect()
+    )
+    assert ids == [7, 8, 9]

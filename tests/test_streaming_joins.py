@@ -86,3 +86,60 @@ def test_stream_stream_join_matches_batch(spark, sf_small, tmp_path):
     }
     assert got
     assert got == want
+
+
+def test_stream_stream_left_outer_join(spark, sf_small, tmp_path):
+    """left_outer stream-stream join: matched rows == the inner join;
+    null-view rows are exactly purchases with no qualifying view whose
+    match window the final watermark closed (tail purchases may stay
+    unemitted — subset check on that side)."""
+    src = enrich_events(events_file_stream(spark, sf_small))
+    q = (
+        purchases_after_views(src, how="left_outer")
+        .writeStream.format("memory")
+        .queryName("pv_left")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_matched = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in spark.sql(
+            "SELECT * FROM pv_left WHERE view_id IS NOT NULL"
+        ).collect()
+    }
+    got_unmatched = {
+        r.purchase_id
+        for r in spark.sql("SELECT * FROM pv_left WHERE view_id IS NULL").collect()
+    }
+
+    ev = city_events(spark, sf_small)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    )
+    want_matched = {
+        (r.p_user, r.purchase_id, r.view_id)
+        for r in joined.filter(F.col("view_id").isNotNull()).collect()
+    }
+    want_unmatched = {
+        r.purchase_id for r in joined.filter(F.col("view_id").isNull()).collect()
+    }
+    assert got_matched == want_matched
+    assert got_unmatched <= want_unmatched
+    assert got_unmatched  # the watermark did close and emit some
