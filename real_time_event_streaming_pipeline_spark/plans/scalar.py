@@ -424,10 +424,74 @@ FROM embeddings
 """
 
 
+def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: the session runs ANSI mode (Spark 4
+    default), where a plain division by zero or bad cast THROWS —
+    the try_* family gives the NULL a pipeline wants instead of a
+    dead job. Oracle mirrors with explicit CASE / TRY_CAST."""
+    ev = load(spark, sf_dir, "events")
+    denom = (F.col("user_id") % 3).cast("double")
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), denom).alias("safe_div"),
+        F.concat(F.lit("x"), F.col("user_id")).try_cast("long").alias("bad_cast"),
+        F.col("user_id").cast("string").try_cast("long").alias("good_cast"),
+        F.try_to_timestamp(F.col("event_type")).alias("bad_ts"),
+    )
+
+
+_FN_TRY_ARITH_SQL = """
+SELECT
+  event_id,
+  CASE WHEN user_id % 3 = 0 THEN NULL
+       ELSE value / CAST(user_id % 3 AS DOUBLE) END AS safe_div,
+  TRY_CAST('x' || CAST(user_id AS VARCHAR) AS BIGINT) AS bad_cast,
+  TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS good_cast,
+  TRY_CAST(event_type AS TIMESTAMP) AS bad_ts
+FROM events
+"""
+
+
+def q_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs a subquery that may contain NULL — the classic
+    three-valued-logic trap: one NULL in the subquery empties the
+    whole result (x NOT IN (…, NULL) is never TRUE). Catalyst plans a
+    null-aware anti join for it; the twin count shows the NULL-free
+    semantics. Both engines implement ANSI semantics, so the counts
+    hash-match."""
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM supplier
+           WHERE s_suppkey NOT IN
+             (SELECT l_suppkey FROM lineitem WHERE l_quantity = 50 AND l_discount > 0.09)) AS n_without_nulls,
+          (SELECT count(*) FROM supplier
+           WHERE s_suppkey NOT IN
+             (SELECT nullif(l_suppkey, 1) FROM lineitem WHERE l_quantity = 50 AND l_discount > 0.09)) AS n_with_nulls
+        """
+    )
+
+
+_NULL_AWARE_ANTI_SQL = """
+SELECT
+  (SELECT count(*) FROM supplier
+   WHERE s_suppkey NOT IN
+     (SELECT l_suppkey FROM lineitem WHERE l_quantity = 50 AND l_discount > 0.09)) AS n_without_nulls,
+  (SELECT count(*) FROM supplier
+   WHERE s_suppkey NOT IN
+     (SELECT nullif(l_suppkey, 1) FROM lineitem WHERE l_quantity = 50 AND l_discount > 0.09)) AS n_with_nulls
+"""
+
+
 QUERIES = {
     "fn_math": q_fn_math,
     "fn_json": q_fn_json,
     "fn_higher_order": q_fn_higher_order,
+    "fn_try_arith": q_fn_try_arith,
+    "rel_null_aware_anti_join": q_null_aware_anti_join,
     "fn_string": q_fn_string,
     "fn_datetime": q_fn_datetime,
     "fn_conditional": q_fn_conditional,
@@ -444,6 +508,8 @@ ORACLE = {
     "fn_math": _FN_MATH_SQL,
     "fn_json": _FN_JSON_SQL,
     "fn_higher_order": _FN_HIGHER_ORDER_SQL,
+    "fn_try_arith": _FN_TRY_ARITH_SQL,
+    "rel_null_aware_anti_join": _NULL_AWARE_ANTI_SQL,
     "fn_string": _FN_STRING_SQL,
     "fn_datetime": _FN_DATETIME_SQL,
     "fn_conditional": _FN_CONDITIONAL_SQL,
