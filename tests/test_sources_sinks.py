@@ -91,3 +91,40 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r.id: (r.name, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_compact_parquet(spark, sf_small, tmp_path):
+    """Compaction: a fragmented table (64 tiny files) rewrites into
+    the byte-targeted file count with identical contents; sort_cols
+    cluster rows so row-group min/max stats become selective."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.sources.maintenance import (
+        compact_parquet,
+        table_file_stats,
+    )
+
+    p = str(tmp_path / "frag")
+    ev = load(spark, sf_small, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(p)
+    assert table_file_stats(spark, p)["n_files"] == 64
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+
+    total = table_file_stats(spark, p)["total_bytes"]
+    report = compact_parquet(spark, p, target_bytes=total // 3, sort_cols=["ts"])
+    assert report["after"]["n_files"] == report["target_files"] <= 4
+    after = {tuple(r) for r in spark.read.parquet(p).collect()}
+    assert after == before
+    # clustering check: each output file's ts range is disjoint-ish —
+    # every file covers < the full span (range partitioning by ts)
+    import pyspark.sql.functions as SF
+
+    per_file = (
+        spark.read.parquet(p)
+        .groupBy(SF.input_file_name().alias("f"))
+        .agg(SF.min("ts").alias("lo"), SF.max("ts").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) == report["after"]["n_files"]
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # range-partitioned: files don't interleave
