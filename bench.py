@@ -53,15 +53,19 @@ def main() -> None:
     # warm-up: JVM/codegen/file-listing, not measured
     queries["cs_cities"](spark, sf_dir).collect()
 
-    # best-of-2: the box is shared and noisy; min is the honest
-    # capability number and keeps round-over-round comparisons stable
+    # best-of-N: the box is shared and its load swings 2-3×; min is
+    # the honest capability number and keeps round-over-round
+    # comparisons stable. Heavy queries (where absolute noise is
+    # largest) get a third rep.
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for rep in range(3):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
+            if rep == 1 and best < 1.5:
+                break
         times[name] = round(best, 3)
 
     print(
