@@ -271,8 +271,21 @@ FROM events
 """
 
 
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value — a sequential recurrence no
+    built-in window/agg can express (output depends on previous
+    OUTPUT), hence the one applyInPandas batch operator in the
+    engine (operators/timeseries.py). Rows-only for the driver
+    (non-SQL-expressible); the recurrence is pinned bitwise against
+    a hand-rolled reference in tests/test_operators.py."""
+    from ..operators.timeseries import ewma_by_key
+
+    return ewma_by_key(load(spark, sf_dir, "events"), alpha=0.2)
+
+
 QUERIES = {
     "cs_sliding_agg": q_sliding_agg,
+    "rel_ewma_user_value": q_ewma_user_value,
     "fn_window_analytic": q_fn_window_analytic,
     "rel_window_frames": q_rel_window_frames,
     "fn_bitwise": q_fn_bitwise,

@@ -97,3 +97,30 @@ def test_rollup_real_null_vs_all(spark):
     # Spark rollup emits: (A,1), (None literal from data, 2), (None total, 3)
     sums = sorted(r.s for r in out)
     assert sums == [1, 2, 3]
+
+
+def test_ewma_matches_reference_recurrence(spark, sf_small):
+    """applyInPandas EWMA == the hand-rolled recurrence, bitwise after
+    the 6-decimal round, for every user."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.operators.timeseries import (
+        ewma_by_key,
+    )
+
+    ev = load(spark, sf_small, "events")
+    got = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma_by_key(ev, alpha=0.2).collect()
+    }
+    rows = sorted(
+        ev.select("user_id", "ts", "event_id", "value").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    want = {}
+    prev_user, y = None, None
+    for r in rows:
+        y = r.value if r.user_id != prev_user else (1 - 0.2) * y + 0.2 * r.value
+        prev_user = r.user_id
+        want[(r.user_id, r.event_id)] = round(y, 6)
+    assert len(got) == len(want)
+    assert got == want
