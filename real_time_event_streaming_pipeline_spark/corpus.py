@@ -1,0 +1,116 @@
+"""CorpusEngine — the user-facing API for the LLM-data pipeline
+(the north-star extension surface, BASELINE.json), parallel to
+engine.CityStreamEngine for the reference's REST surface: every
+curation operation as a parameterized method returning a DataFrame.
+The oracle-checked plans in plans/llmdata.py and plans/curation.py
+pin these same shapes with fixed parameters.
+
+    corp = CorpusEngine(spark, "/root/testdata/sf0.01")
+    corp.quality()                       # per-doc quality features
+    corp.near_duplicates(threshold=0.8)  # exact n-gram Jaccard pairs
+    corp.dedup()                         # one representative per cluster
+    corp.contamination()                 # test docs sharing 5-grams with train
+    corp.sample(rate_per_mille=50)       # deterministic Bernoulli sample
+    corp.neighbors(k=10)                 # embedding ANN top-k
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as T
+from .operators.clustering import connected_components
+from .plans.relational import _SPLIT_MULT
+
+
+class CorpusEngine:
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def _docs(self) -> DataFrame:
+        return load(self.spark, self.sf_dir, "documents")
+
+    def _emb(self) -> DataFrame:
+        return load(self.spark, self.sf_dir, "embeddings")
+
+    # -- text features ---------------------------------------------------
+
+    def quality(self) -> DataFrame:
+        """Per-document text features (token stats, language guess,
+        quality score, fingerprint) — one scan, no shuffle."""
+        return T.with_text_features(self._docs())
+
+    # -- dedup -----------------------------------------------------------
+
+    def near_duplicates(
+        self, threshold: float = 0.5, k: int = 3, max_doc_freq: int = 100
+    ) -> DataFrame:
+        """Exact n-gram Jaccard near-dup pairs above `threshold`."""
+        return D.ngram_jaccard_pairs(
+            self._docs(), k=k, threshold=threshold, max_doc_freq=max_doc_freq
+        )
+
+    def near_duplicates_lsh(self, k: int = 3) -> DataFrame:
+        """MinHash-LSH candidates — the sub-quadratic scale path."""
+        return D.minhash_lsh_pairs(self._docs(), k=k)
+
+    def dedup(self, threshold: float = 0.5) -> DataFrame:
+        """The corpus with one representative document per near-dup
+        cluster (min doc_id) — pairs → connected components →
+        anti-join of the non-representatives."""
+        docs = self._docs()
+        pairs = D.ngram_jaccard_pairs(self._docs(), threshold=threshold)
+        cc = connected_components(pairs)
+        losers = cc.filter(F.col("vertex") != F.col("component")).select(
+            F.col("vertex").alias("doc_id")
+        )
+        return docs.join(losers, "doc_id", "left_anti")
+
+    # -- splits / sampling / contamination -------------------------------
+
+    @staticmethod
+    def _bucket(col, mod: int):
+        return (col * F.lit(_SPLIT_MULT)) % mod
+
+    def split(self) -> DataFrame:
+        """documents + a deterministic 80/10/10 split column."""
+        b = self._bucket(F.col("doc_id"), 100)
+        return self._docs().withColumn(
+            "split",
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+        )
+
+    def sample(self, rate_per_mille: int = 100) -> DataFrame:
+        """Deterministic Bernoulli sample (same rows on every run/
+        partitioning/engine)."""
+        return self._docs().filter(
+            self._bucket(F.col("doc_id"), 1000) < rate_per_mille
+        )
+
+    def contamination(self, k: int = 5) -> DataFrame:
+        """Test-split docs sharing any k-gram with the train split."""
+        from .plans.curation import q_contamination
+
+        assert k == 5, "plan pins k=5; parameterize via doc_shingles for other k"
+        return q_contamination(self.spark, self.sf_dir)
+
+    # -- similarity ------------------------------------------------------
+
+    def neighbors(self, k: int = 5, n_queries: int = 5) -> DataFrame:
+        """Exact cosine top-k neighbors for the first n_queries ids."""
+        emb = self._emb()
+        return S.brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < n_queries), k=k
+        )
+
+    def neighbors_ivf(self, k: int = 5, n_queries: int = 5) -> DataFrame:
+        """IVF ANN top-k — the partition-pruned scale path."""
+        emb = self._emb()
+        return S.ivf_ann_topk(
+            emb, emb.filter(F.col("vec_id") < n_queries), k=k
+        )

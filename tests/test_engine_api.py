@@ -55,3 +55,35 @@ def test_stats_and_metrics(eng):
     m = eng.producer_metrics().first()
     assert m.events_total == stats["total_events"]
     assert m.events_per_sec > 0
+
+
+def test_corpus_engine_surface(spark, sf_small):
+    """CorpusEngine: every method returns a sane DataFrame; dedup
+    keeps exactly one representative per near-dup cluster."""
+    from real_time_event_streaming_pipeline_spark.corpus import CorpusEngine
+
+    corp = CorpusEngine(spark, sf_small)
+    assert corp.quality().count() == corp._docs().count()
+    sp = corp.split().groupBy("split").count().collect()
+    assert {r.split for r in sp} == {"train", "val", "test"}
+    n_sample = corp.sample(rate_per_mille=100).count()
+    assert 0 < n_sample < corp._docs().count()
+
+    pairs = corp.near_duplicates(threshold=0.5)
+    kept = corp.dedup(threshold=0.5)
+    n_docs = corp._docs().count()
+    # every pair lost at least one member; kept + losers = all docs
+    from real_time_event_streaming_pipeline_spark.operators.clustering import (
+        connected_components,
+    )
+
+    cc = connected_components(pairs)
+    n_losers = cc.filter("vertex != component").count()
+    assert kept.count() == n_docs - n_losers
+    # no surviving near-dup pair within the kept set
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for r in pairs.collect():
+        assert not (r.a_id in kept_ids and r.b_id in kept_ids)
+
+    nb = corp.neighbors(k=3, n_queries=2)
+    assert nb.groupBy("q_id").count().agg({"count": "max"}).first()[0] == 3
