@@ -1133,6 +1133,11 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("revenue_units")
     )
+    # diamond plan: `revenue` feeds both the scalar max and the
+    # equality join, and Spark does not share non-identical subtree
+    # branches — localCheckpoint materializes the (small, grouped)
+    # view once so lineitem is scanned/aggregated once, not twice
+    revenue = revenue.localCheckpoint(eager=False)
     top = revenue.agg(F.max("revenue_units").alias("max_units"))
     return (
         revenue.join(F.broadcast(top), F.col("revenue_units") == F.col("max_units"))

@@ -108,6 +108,10 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(units).alias("_u"))
     )
+    # diamond: pv feeds both the scalar total and the filter; without
+    # materialization the lineitem join+agg runs twice (same reasoning
+    # as q_top_revenue_supplier)
+    pv = pv.localCheckpoint(eager=False)
     total = pv.agg(F.sum("_u").alias("_t"))
     return (
         pv.crossJoin(F.broadcast(total))
