@@ -14,7 +14,14 @@ def _modules():
     # silently shrink the driver contract to whatever still imports
     from . import citystream, curation, llmdata, relational, scalar, tpch_extra, windowing
 
-    return [citystream, relational, tpch_extra, llmdata, curation, scalar, windowing]
+    # Order matters: the verify driver checks only the FIRST 50 registry
+    # entries against the DuckDB oracle. Front-load the families that had
+    # no hard correctness signal in round 1 (llm_* data-pipeline ops,
+    # fn_* scalar families, windowing extensions) — 18+6+7+15 = 46 slots —
+    # then citystream/relational/tpch_extra, which were all driver-green
+    # in CORRECTNESS_r01.json and keep their local strict-oracle coverage
+    # via tools/verify_local.py.
+    return [llmdata, curation, windowing, scalar, citystream, relational, tpch_extra]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

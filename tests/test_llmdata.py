@@ -163,3 +163,27 @@ def test_lang_id_deterministic_argmax(spark):
         for r in df.select("doc_id", T.predicted_lang(F.col("text")).alias("lang")).collect()
     )
     assert got == {1: "en", 2: "fr", 3: "und", 4: "es"}
+
+
+def test_neardup_blocked_matches_allpairs_bitwise(spark, sf_small):
+    """The blocked-matrix neardup must reproduce the all-pairs join
+    exactly — same pairs, bit-identical rounded cosine."""
+    emb = load(spark, sf_small, "embeddings")
+    exact = {
+        (r.a_id, r.b_id): r.cos
+        for r in S.neardup_pairs_allpairs(emb, threshold=0.45).collect()
+    }
+    blocked = {
+        (r.a_id, r.b_id): r.cos
+        for r in S.neardup_pairs(emb, threshold=0.45).collect()
+    }
+    assert exact, "threshold too high: oracle found no pairs"
+    assert blocked == exact
+
+
+def test_neardup_plan_not_nested_loop(spark, sf_small):
+    """llm_emb_neardup must not plan a BroadcastNestedLoopJoin (the
+    O(n²) row-explosion the blocked form replaces)."""
+    emb = load(spark, sf_small, "embeddings")
+    plan = S.neardup_pairs(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
