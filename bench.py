@@ -68,6 +68,22 @@ def main() -> None:
                 break
         times[name] = round(best, 3)
 
+    # full sweep: every registered query once (single rep — the goal is
+    # regression VISIBILITY for the 79 non-headline queries round over
+    # round, not a precision number; headline keeps best-of-N). A query
+    # erroring records "error:..." instead of aborting the bench line.
+    full: dict[str, float | str] = {}
+    for name, fn in queries.items():
+        if name in times:
+            full[name] = times[name]
+            continue
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            full[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — bench must emit its line
+            full[name] = f"error: {type(e).__name__}"
+
     print(
         json.dumps(
             {
@@ -75,6 +91,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "full": full,
                 "sf": sf,
             }
         )

@@ -24,7 +24,7 @@ from .operators import dedup as D
 from .operators import similarity as S
 from .operators import text as T
 from .operators.clustering import connected_components
-from .plans.relational import _SPLIT_MULT
+from .plans.relational import split_bucket
 
 
 class CorpusEngine:
@@ -75,7 +75,7 @@ class CorpusEngine:
 
     @staticmethod
     def _bucket(col, mod: int):
-        return (col * F.lit(_SPLIT_MULT)) % mod
+        return split_bucket(col, mod)
 
     def split(self) -> DataFrame:
         """documents + a deterministic 80/10/10 split column."""

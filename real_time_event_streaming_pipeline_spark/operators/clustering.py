@@ -47,8 +47,14 @@ def connected_components(
     # Σcomponent strictly decreases every non-converged round: a 1-row
     # aggregate detects the fixpoint without the old-vs-new join the
     # naive convergence check needs (halves the per-round job count —
-    # round latency, not data volume, dominates this loop)
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    # round latency, not data volume, dominates this loop). Summed as
+    # decimal(38,0): many vertices with snowflake-scale 64-bit ids
+    # would overflow a long sum, which throws under ANSI mode.
+    def _label_sum(df):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         # candidate label per vertex: min over (own label, neighbors' labels)
         neighbor_labels = (
@@ -61,10 +67,16 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("component")).first()[0]
+        new_sum = _label_sum(labels)
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(rounds ~ graph diameter — raise max_iter for long-chain graphs)"
+        )
     return labels
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.dedup import _shingle_expr, doc_shingles
-from .relational import _SPLIT_MULT
+from .relational import split_bucket, split_bucket_sql
 
 # DuckDB list-comprehension shingle builder (k-gram over a 1-indexed
 # token list) — the oracle twin of operators/dedup._shingle_expr.
@@ -77,17 +77,23 @@ FROM tri
 # ---------------------------------------------------------------------------
 
 
+_CONTAM_MAX_DF = 100
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: test-split documents sharing any
     5-gram with the train split (split = the deterministic hash split
     of rel_deterministic_split, so both engines agree on membership).
     Shuffle profile: one exchange on the shingle key for the
-    train⋈test join, then a hash-agg on test doc_id. At 100 TB the
-    shingle stream is the big side; hot shingles would be capped by
-    document frequency first (same guard as ngram_jaccard_pairs)."""
+    train⋈test join, then a hash-agg on test doc_id. Shingles whose
+    per-split document frequency exceeds _CONTAM_MAX_DF are dropped
+    (the stop-shingle guard of ngram_jaccard_pairs): a 5-gram shared
+    by most train docs would otherwise collect an unbounded `tr` list
+    on one reducer and replicate it across every test hit. The oracle
+    applies the identical cap."""
     docs = load(spark, sf_dir, "documents")
     sh = doc_shingles(docs, k=5)
-    bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % 100
+    bucket = split_bucket(F.col("doc_id"), 100)
     # one pass over the shingle stream: collect train and test doc ids
     # per shingle (collect_list drops the NULLs the other split
     # produces), then cross the two small per-shingle lists map-side —
@@ -98,7 +104,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.when(bucket < 80, F.col("doc_id"))).alias("tr"),
             F.collect_list(F.when(bucket >= 90, F.col("doc_id"))).alias("te"),
         )
-        .filter((F.size("te") > 0) & (F.size("tr") > 0))
+        .filter(
+            (F.size("te") > 0)
+            & (F.size("tr") > 0)
+            & (F.size("tr") <= _CONTAM_MAX_DF)
+            & (F.size("te") <= _CONTAM_MAX_DF)
+        )
     )
     hits = F.flatten(
         F.transform(
@@ -126,13 +137,18 @@ sh AS (
   SELECT doc_id, unnest(list_distinct({_sql_kgrams(5)})) AS shingle FROM tok
 ),
 tr AS (SELECT doc_id AS train_id, shingle FROM sh
-       WHERE (doc_id * {_SPLIT_MULT}) % 100 < 80),
+       WHERE {split_bucket_sql('doc_id', 100)} < 80),
 te AS (SELECT doc_id, shingle FROM sh
-       WHERE (doc_id * {_SPLIT_MULT}) % 100 >= 90)
+       WHERE {split_bucket_sql('doc_id', 100)} >= 90),
+ok AS (
+  SELECT shingle FROM tr GROUP BY shingle HAVING count(*) <= {_CONTAM_MAX_DF}
+  INTERSECT
+  SELECT shingle FROM te GROUP BY shingle HAVING count(*) <= {_CONTAM_MAX_DF}
+)
 SELECT te.doc_id,
   CAST(count(DISTINCT te.shingle) AS BIGINT) AS n_shared_ngrams,
   CAST(count(DISTINCT tr.train_id) AS BIGINT) AS n_train_docs
-FROM te JOIN tr USING (shingle)
+FROM te JOIN tr USING (shingle) JOIN ok USING (shingle)
 GROUP BY te.doc_id
 """
 
@@ -147,14 +163,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     every engine/run/partitioning) unlike df.sample(). Pure filter:
     pushes to the scan, no shuffle, trivially parallel at any scale."""
     docs = load(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % 1000
+    bucket = split_bucket(F.col("doc_id"), 1000)
     return docs.filter(bucket < 100).select("doc_id", "lang", "source")
 
 
 _STRATIFIED_SAMPLE_SQL = f"""
 SELECT doc_id, lang, source
 FROM documents
-WHERE (doc_id * {_SPLIT_MULT}) % 1000 < 100
+WHERE {split_bucket_sql('doc_id', 1000)} < 100
 """
 
 
@@ -164,7 +180,7 @@ def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the first 5. One shuffle on the partition key; per-group
     state in the window is a running counter only."""
     docs = load(spark, sf_dir, "documents")
-    hash_order = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % 100000
+    hash_order = split_bucket(F.col("doc_id"), 100000)
     w = Window.partitionBy("source").orderBy(hash_order.asc(), F.col("doc_id").asc())
     return (
         docs.withColumn("rn", F.row_number().over(w))
@@ -179,7 +195,7 @@ FROM (
   SELECT source, doc_id,
     row_number() OVER (
       PARTITION BY source
-      ORDER BY (doc_id * {_SPLIT_MULT}) % 100000, doc_id
+      ORDER BY {split_bucket_sql('doc_id', 100000)}, doc_id
     ) AS rn
   FROM documents
 )

@@ -106,8 +106,11 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: customer⋈orders⋈lineitem, revenue top-10.
-    customer is broadcast (dimension-sized at every SF); orders⋈lineitem
-    shuffles on orderkey. Top-10 via TakeOrderedAndProject."""
+    No forced broadcast on customer — it grows linearly with SF, so
+    the join strategy is left to size stats/AQE (which still picks
+    broadcast at small SF and degrades safely to shuffle at 100 TB);
+    orders⋈lineitem shuffles on orderkey. Top-10 via
+    TakeOrderedAndProject."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -116,7 +119,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") > cutoff)
         .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -168,8 +171,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -779,13 +782,14 @@ GROUP BY o_orderpriority
 
 def q_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped: revenue lost to returned lines per customer,
-    top 20. customer is broadcast; top-20 via TakeOrderedAndProject."""
+    top 20. customer joins without a broadcast hint (SF-proportional —
+    stats/AQE decide); top-20 via TakeOrderedAndProject."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
@@ -941,7 +945,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-        .join(F.broadcast(europe_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(europe_supp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     min_cost = (
         cost.groupBy("l_partkey")
@@ -957,7 +961,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") == F.col("mc_partkey"))
             & (F.col("unit_cost") == F.col("min_cost")),
         )
-        .join(F.broadcast(qualifying), cost["l_partkey"] == F.col("p_partkey"))
+        .join(qualifying, cost["l_partkey"] == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
         .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
         .limit(100)
@@ -1011,9 +1015,9 @@ def q_cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
 
     return (
-        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
@@ -1077,10 +1081,10 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * unit + F.lit(0.5)
     ).cast("long")
     return (
-        li.join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(promo_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
@@ -1141,7 +1145,7 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = revenue.agg(F.max("revenue_units").alias("max_units"))
     return (
         revenue.join(F.broadcast(top), F.col("revenue_units") == F.col("max_units"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -1176,7 +1180,7 @@ def q_disjunctive_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once, not once per band."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     band1 = (
         (F.col("p_brand") == "Brand#12")
         & (F.col("p_size").between(1, 15))
@@ -1309,6 +1313,23 @@ GROUP BY n_name
 
 # Knuth's multiplicative-hash constant — deterministic, engine-neutral
 _SPLIT_MULT = 2654435761
+# Reduce the id BEFORE multiplying: id % _SPLIT_RED caps the operand so
+# the product stays < 2^63 for any 64-bit id (Spark 4 ANSI mode throws
+# on long overflow; DuckDB errors too). Identity for ids < ~1e9, so
+# small-SF bucket assignments are unchanged.
+_SPLIT_RED = 1_000_000_007
+
+
+def split_bucket(col, mod: int):
+    """Deterministic, engine-neutral, overflow-safe hash bucket in
+    [0, mod) — the shared primitive behind the train/val/test split,
+    deterministic sampling, and contamination queries."""
+    return ((col % F.lit(_SPLIT_RED)) * F.lit(_SPLIT_MULT)) % mod
+
+
+def split_bucket_sql(col: str, mod: int) -> str:
+    """The identical expression in ANSI SQL for the DuckDB oracles."""
+    return f"(({col} % {_SPLIT_RED}) * {_SPLIT_MULT}) % {mod}"
 
 
 def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1317,7 +1338,7 @@ def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine, every run, any partitioning). Multiplicative hash mod 100:
     80/10/10."""
     docs = load(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % 100
+    bucket = split_bucket(F.col("doc_id"), 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -1330,8 +1351,8 @@ def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DETERMINISTIC_SPLIT_SQL = f"""
 SELECT
-  CASE WHEN (doc_id * {_SPLIT_MULT}) % 100 < 80 THEN 'train'
-       WHEN (doc_id * {_SPLIT_MULT}) % 100 < 90 THEN 'val'
+  CASE WHEN {split_bucket_sql("doc_id", 100)} < 80 THEN 'train'
+       WHEN {split_bucket_sql("doc_id", 100)} < 90 THEN 'val'
        ELSE 'test' END AS split,
   count(*) AS n_docs,
   min(doc_id) AS min_id,

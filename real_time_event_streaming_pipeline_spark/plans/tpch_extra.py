@@ -39,8 +39,10 @@ _UNITS = "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT
 def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-shaped product profit by (nation, year). No partsupp
     in the corpus, so per-unit supply cost is proxied as 10% of
-    p_retailprice. part/supplier/nation broadcast; lineitem⋈orders is
-    the one shuffle; (nation, year) agg is 2 groups × ~7 years."""
+    p_retailprice. Only nation (fixed 25 rows) carries a broadcast
+    hint; part/supplier grow with SF, so their join strategy is left
+    to size stats/AQE. lineitem⋈orders is the one shuffle;
+    (nation, year) agg is 2 groups × ~7 years."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     supplier = load(spark, sf_dir, "supplier")
@@ -50,8 +52,8 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") * F.lit(0.1)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -104,7 +106,7 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
     ).cast("long")
     pv = (
-        li.join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(units).alias("_u"))
     )
@@ -196,7 +198,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo_u = F.sum(F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0)))
     total_u = F.sum(units)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (promo_u / F.lit(10000.0)).alias("promo_revenue"),
             (total_u / F.lit(10000.0)).alias("total_revenue"),
@@ -239,9 +241,9 @@ def q_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -284,7 +286,7 @@ def q_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -332,7 +334,7 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
     supplier = load(spark, sf_dir, "supplier")
     sp = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("q"))
     )

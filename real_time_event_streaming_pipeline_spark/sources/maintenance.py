@@ -34,22 +34,50 @@ def compact_parquet(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     sort_cols: list[str] | None = None,
+    ttl_col: str | None = None,
+    now_epoch: int | None = None,
 ) -> dict:
-    """Rewrite a parquet directory into ~target_bytes files.
+    """Rewrite a parquet directory into ~target_bytes files, optionally
+    dropping TTL-expired rows.
 
     File count = ceil(total_bytes / target_bytes) on the *compressed*
     size — the right granularity for scan parallelism. Optional
     sort_cols cluster rows inside the rewrite (repartitionByRange +
     sortWithinPartitions) so min/max row-group stats become selective
-    — the poor man's Z-order, one dimension at a time. The rewrite is
-    atomic-by-rename: write to a staging dir, then swap, so a reader
-    never sees a half-compacted table. On object stores the swap
-    point is a metastore/manifest update instead (Delta/Iceberg
-    OPTIMIZE); the dataflow is identical.
+    — the poor man's Z-order, one dimension at a time.
+
+    ttl_col + now_epoch enable retention: rows whose epoch-seconds
+    expiry (functions.ttl_from) is <= now_epoch are dropped during the
+    rewrite — the reference's DynamoDB TTL expiry
+    (setup-dynamodb.sh:29-32) expressed as a maintenance pass, which is
+    exactly how file-backed stores apply TTL (expiry rides the
+    compaction write the table needs anyway, no extra I/O).
+
+    The swap keeps a full table on disk at all times (old → ._old,
+    staging → live, drop ._old; an interrupted swap is recovered from
+    ._old on the next run) — but it is NOT atomic: a concurrent reader
+    can catch the instant between the two renames. True atomicity
+    needs a metastore/manifest commit (Delta/Iceberg OPTIMIZE); the
+    dataflow is identical.
     """
+    import shutil
+
+    old = path.rstrip("/") + "._old"
+    # crash recovery: a previous run died between the two renames —
+    # the live dir is missing but the backup holds the pre-swap table
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     stats = table_file_stats(spark, path)
     n_out = max(1, math.ceil(stats["total_bytes"] / target_bytes))
     df: DataFrame = spark.read.parquet(path)
+    expired = 0
+    if ttl_col is not None:
+        if now_epoch is None:
+            raise ValueError("ttl_col requires now_epoch (deterministic retention)")
+        from pyspark.sql import functions as F
+
+        expired = df.filter(F.col(ttl_col) <= F.lit(int(now_epoch))).count()
+        df = df.filter(F.col(ttl_col) > F.lit(int(now_epoch)))
     staging = path.rstrip("/") + "._compacting"
     if sort_cols:
         out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
@@ -58,11 +86,15 @@ def compact_parquet(
     else:
         out = df.repartition(n_out)
     out.write.mode("overwrite").parquet(staging)
-    old = path.rstrip("/") + "._old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
     os.rename(path, old)
     os.rename(staging, path)
-    import shutil
-
     shutil.rmtree(old)
     after = table_file_stats(spark, path)
-    return {"before": stats, "after": after, "target_files": n_out}
+    return {
+        "before": stats,
+        "after": after,
+        "target_files": n_out,
+        "expired_rows": expired,
+    }

@@ -39,6 +39,12 @@ def upsert_parquet(
         import shutil
 
         spark = batch.sparkSession
+        bak = out_dir.rstrip("/") + ".bak"
+        # crash recovery: a previous epoch may have died between the
+        # two renames below — the live dir is missing but the backup
+        # holds the full pre-swap table
+        if not os.path.exists(out_dir) and os.path.exists(bak):
+            os.rename(bak, out_dir)
         incoming = batch.withColumn("_epoch", F.lit(int(epoch_id)))
         if os.path.exists(out_dir):
             existing = spark.read.parquet(out_dir)
@@ -53,12 +59,21 @@ def upsert_parquet(
             .drop("_rn")
         )
         # write once to a staging dir (can't overwrite the dir being
-        # read), then swap directories — one table write per epoch
+        # read), then swap: rename the live dir ASIDE first so a full
+        # table always exists on disk (old → .bak, tmp → live, drop
+        # .bak). Not atomic — a concurrent reader can still catch the
+        # instant between the two renames; true atomicity needs a
+        # metastore/manifest commit (Delta/Iceberg), which is the
+        # documented swap point at scale.
         tmp = out_dir.rstrip("/") + ".tmp"
         deduped.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
         if os.path.exists(out_dir):
-            shutil.rmtree(out_dir)
+            os.rename(out_dir, bak)
         os.rename(tmp, out_dir)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
 
     return write
 

@@ -1,0 +1,195 @@
+"""Guards for the 100 TB scale contracts: bounded candidate buckets,
+input-parallelism-gated repartition, TTL retention, crash-safe sink
+swap, and AQE skew-join splitting actually engaging.
+
+These tests plant the degenerate data (boilerplate corpora, skewed
+keys) that the synthetic tables don't contain, so the caps and
+fallbacks are exercised, not just documented."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Observation
+
+from real_time_event_streaming_pipeline_spark.operators import dedup as D
+
+
+def _boilerplate_corpus(spark, n_docs: int = 400):
+    """n_docs near-identical docs (shared 40-token boilerplate + one
+    unique token): every doc lands in the same LSH band buckets and
+    the same simhash blocks — the degenerate hot-bucket case."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, f"{base} unique{i}") for i in range(n_docs)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_bounds_pairs(spark):
+    docs = _boilerplate_corpus(spark, 400)
+    obs = Observation("minhash_buckets")
+    out = D.minhash_lsh_pairs(docs, max_bucket=50, observation=obs)
+    # collect, not count: count() prunes the CollectMetrics node
+    n_pairs = len(out.collect())
+    m = obs.get
+    assert m["dropped_buckets"] > 0, "the planted hot buckets must be seen and dropped"
+    assert m["max_bucket_seen"] >= 300
+    # every surviving bucket emits <= cap²/2 pairs
+    assert n_pairs <= 8 * 50 * 50 / 2
+
+
+def test_simhash_bucket_cap_bounds_pairs(spark):
+    docs = _boilerplate_corpus(spark, 400)
+    obs = Observation("simhash_buckets")
+    out = D.simhash_neardup_pairs(docs, max_bucket=50, observation=obs)
+    n_pairs = len(out.collect())
+    m = obs.get
+    assert m["dropped_buckets"] > 0
+    assert m["max_bucket_seen"] == 400
+    # the uncapped mega-bucket alone would emit 400·399/2 ≈ 80k pairs;
+    # capped output must stay an order of magnitude below that
+    assert n_pairs < 400 * 399 / 2 / 10
+
+
+def test_bucket_cap_keeps_normal_recall(spark, sf_small):
+    """On the real corpus (max observed bucket ≈ 240) the default cap
+    must not drop anything — capped output == uncapped output."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+
+    docs = load(spark, sf_small, "documents")
+    capped = {tuple(r) for r in D.minhash_lsh_pairs(docs).collect()}
+    uncapped = {
+        tuple(r) for r in D.minhash_lsh_pairs(docs, max_bucket=1 << 30).collect()
+    }
+    assert capped == uncapped
+
+
+def test_contamination_hot_shingle_capped(spark, tmp_path):
+    """A 5-gram planted in >cap train docs must not explode the
+    contamination join: the stop-shingle guard drops it while normal
+    shared shingles still report."""
+    from real_time_event_streaming_pipeline_spark.plans.curation import (
+        _CONTAM_MAX_DF,
+        q_contamination,
+    )
+    from real_time_event_streaming_pipeline_spark.plans.relational import split_bucket
+
+    hot = "alpha beta gamma delta epsilon"
+    rare = "zeta eta theta iota kappa"
+    rows = []
+    # ids 0..9999: ~80% train / ~10% test under the deterministic split.
+    # Every doc carries the hot shingle; only doc 17 and one test doc
+    # share the rare one.
+    for i in range(2000):
+        text = hot if i % 7 else hot + " filler" + str(i)
+        rows.append((i, "en", "web", text))
+    rows.append((100001, "en", "web", rare))  # membership decided by hash
+    rows.append((17, "en", "web", rare + " " + hot))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    out_dir = str(tmp_path / "documents.parquet")
+    df.write.parquet(out_dir)
+
+    res = q_contamination(spark, str(tmp_path)).collect()
+    # the hot shingle's train df is way over the cap → it contributes
+    # nothing; any hits must come from sub-cap shingles only
+    sh_counts = (
+        D.doc_shingles(df, k=5)
+        .withColumn("b", split_bucket(F.col("doc_id"), 100))
+        .filter(F.col("b") < 80)
+        .groupBy("shingle")
+        .count()
+    )
+    assert sh_counts.agg(F.max("count")).first()[0] > _CONTAM_MAX_DF
+    for r in res:
+        assert r.n_train_docs <= _CONTAM_MAX_DF
+
+
+def test_spread_skips_repartition_when_parallel(spark, sf_small):
+    """doc_shingles must not inject an Exchange when the input is
+    already at least as parallel as shuffle.partitions."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = load(spark, sf_small, "documents").repartition(n_part)
+    # materialize the pre-partitioned input so its partitioning is a fact
+    docs = docs.localCheckpoint()
+    plan = (
+        D.doc_shingles(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    # under-parallel input still gets spread
+    single = load(spark, sf_small, "documents").coalesce(1).localCheckpoint()
+    plan1 = D.doc_shingles(single)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan1
+
+
+def test_compact_parquet_ttl_retention(spark, tmp_path):
+    """TTL expiry rides the compaction rewrite (the DynamoDB-TTL
+    analogue): expired rows vanish, survivors are intact."""
+    from real_time_event_streaming_pipeline_spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "ttl_table")
+    rows = [(i, 1000 + i) for i in range(100)]  # ttl = 1000..1099
+    spark.createDataFrame(rows, "k long, ttl long").write.parquet(p)
+    report = compact_parquet(spark, p, ttl_col="ttl", now_epoch=1049)
+    assert report["expired_rows"] == 50
+    kept = sorted(r.k for r in spark.read.parquet(p).collect())
+    assert kept == list(range(50, 100))
+
+
+def test_upsert_sink_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves only the .bak dir;
+    the next epoch must recover it instead of dropping the table."""
+    from real_time_event_streaming_pipeline_spark.streaming.sinks import upsert_parquet
+
+    out = str(tmp_path / "state")
+    sink = upsert_parquet(out, ["k"])
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+    # simulate the crash window: live dir renamed aside, new dir never landed
+    os.rename(out, out + ".bak")
+    sink(spark.createDataFrame([(2, "c")], "k long, v string"), 1)
+    got = {r.k: r.v for r in spark.read.parquet(out).select("k", "v").collect()}
+    assert got == {1: "a", 2: "c"}
+    assert not os.path.exists(out + ".bak")
+
+
+def test_aqe_splits_planted_skew_join(spark, tmp_path):
+    """The relational module claims AQE handles fact-fact skew; prove
+    the mechanism engages: one key holding ~all rows of the left fact
+    is split into multiple tasks by skew-join handling."""
+    left = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("payload-padding-"), F.col("id").cast("string")).alias("pad"),
+    )
+    right = spark.range(0, 2_000).select(
+        F.col("id").alias("k"), F.col("id").alias("rv")
+    )
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = left.join(right, "k")
+        # collect (not write): a file write runs its own query
+        # execution, leaving this DataFrame's AQE plan unexecuted
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
