@@ -71,6 +71,43 @@ def test_upsert_last_writer_wins(spark, tmp_path):
     assert got == {("a", 99), ("b", 1)}
 
 
+def test_upsert_replay_same_epoch_idempotent(spark, tmp_path):
+    """foreachBatch's exactly-once contract is at-least-once delivery +
+    idempotent sink: if the driver dies after the table swap but before
+    the checkpoint commit, Structured Streaming replays the SAME epoch
+    with the SAME data. Replaying must be a no-op — the reference's
+    putItem-retry semantics (SparkDynamoDBConsumer.java:267-271) at
+    batch granularity: same PK, same epoch → one row, same value."""
+    out = str(tmp_path / "t")
+    sink = upsert_parquet(out, ["k"], order_col="v")
+    sink(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), 0)
+    b1 = spark.createDataFrame([("a", 5), ("c", 3)], "k string, v int")
+    sink(b1, 1)
+    snap = {(r.k, r.v) for r in spark.read.parquet(out).select("k", "v").collect()}
+    assert snap == {("a", 5), ("b", 2), ("c", 3)}
+
+    # crash window 1: epoch 1 fully applied, checkpoint commit lost →
+    # verbatim replay of epoch 1
+    sink(b1, 1)
+    table = spark.read.parquet(out)
+    assert {(r.k, r.v) for r in table.select("k", "v").collect()} == snap
+    # dedupe is by (PK): one physical row per key even though the same
+    # (PK, epoch) arrived twice
+    assert table.count() == 3
+
+    # crash window 2: killed mid-write — a half-written staging dir is
+    # left behind; the replay must overwrite it, not trip on it
+    import pathlib
+
+    stale = pathlib.Path(out + ".tmp")
+    stale.mkdir()
+    (stale / "part-garbage").write_text("not parquet")
+    sink(b1, 1)
+    assert {
+        (r.k, r.v) for r in spark.read.parquet(out).select("k", "v").collect()
+    } == snap
+
+
 def test_checkpoint_recovery(spark, sf_small, tmp_path):
     """Stop the agg query mid-stream, restart from the same checkpoint,
     verify the final table is complete and duplicate-free."""
