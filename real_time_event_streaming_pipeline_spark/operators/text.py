@@ -94,6 +94,41 @@ def quality_score(text: Column) -> Column:
     return F.lit(0.4) * length_part + F.lit(0.4) * diversity + F.lit(0.2) * stop_part
 
 
+# PII patterns for training-data scrubbing. Kept to the regex subset
+# Java (Spark) and RE2 (DuckDB oracle) evaluate identically: character
+# classes, bounded repetition, \b word boundaries — no lookaround.
+# Insertion order IS the redaction order; applying the replacements in
+# a fixed sequence keeps the output deterministic when patterns could
+# overlap (ssn before phone: both are digit-dash shapes).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII class, measured on the ORIGINAL text
+    (before any redaction) so the counts are independent of redaction
+    order."""
+    return [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder token. A chain
+    of regexp_replace — scan-side projection, whole-stage codegen, no
+    shuffle; at 100 TB this is a free rider on any pass that already
+    reads the text column."""
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<pii:{name}>")
+    return out
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis feature set in one projection."""
     t = F.col(text_col)

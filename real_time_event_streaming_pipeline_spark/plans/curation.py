@@ -273,6 +273,138 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# Relevance / rarity scoring and PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic relevance /
+    keyword signal for corpus curation. Shuffle profile: one exchange
+    for the (doc_id, term) tf agg, one term-keyed agg for document
+    frequency (vocab-sized — stats/AQE broadcast it back, no forced
+    hint), one window per doc_id. The corpus size joins in as a
+    broadcast 1-row aggregate, never a collected literal.
+
+    Cross-engine float discipline: ln() is libm (last-ulp differences
+    between JVM and C), so the rank orders by the 6-dp ROUNDED score —
+    a rounding-boundary straddle would need the transcendental score
+    within one ulp of a multiple of 1e-6 — with the term as an exact
+    tiebreak; the projection carries the same rounded value."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+_TFIDF_SQL = """
+WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+    round(tf * ln(n_docs / df::DOUBLE), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf,
+  CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+"""
+
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-rarity profile: join each token occurrence to
+    its corpus frequency, aggregate exact integers per doc (sum / min),
+    one final division for the mean. Everything before the division is
+    BIGINT — partitioning-invariant, no float accumulation — so the
+    result is bitwise stable across engines and cluster layouts.
+
+    Scale shape: the token→frequency join key is Zipf-skewed (stop
+    tokens), but the frequency side is vocab-sized, so stats/AQE
+    broadcast it and the skew never reaches a shuffle; the per-doc agg
+    keys are unskewed."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    gfreq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("gcnt"))
+    return (
+        tok.join(gfreq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("gcnt").alias("sum_freq"),
+            F.min("gcnt").alias("rarest_freq"),
+        )
+        .withColumn("mean_freq", F.col("sum_freq").cast("double") / F.col("n_tokens"))
+    )
+
+
+_TOKEN_RARITY_SQL = """
+WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+gfreq AS (SELECT term, count(*) AS gcnt FROM tok GROUP BY term)
+SELECT doc_id,
+  count(*) AS n_tokens,
+  sum(gcnt) AS sum_freq,
+  min(gcnt) AS rarest_freq,
+  sum(gcnt) / count(*)::DOUBLE AS mean_freq
+FROM tok JOIN gfreq USING (term)
+GROUP BY doc_id
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: per-class match counts + md5 of the
+    redacted text. This synthetic corpus contains no PII, so every
+    count is 0 and the hash equals md5(text) — the oracle still pins
+    the full expression chain (four Java-vs-RE2 regexes, replacement
+    order, placeholder tokens) cross-engine; the behavioral check on
+    PLANTED pii lives in tests/test_llmdata.py. Pure projection: no
+    shuffle, rides the scan."""
+    from ..operators.text import pii_counts, redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        *pii_counts(t),
+        F.md5(redact_pii(t)).alias("redacted_hash"),
+    )
+
+
+def _pii_sql() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<pii:{name}>', 'g')"
+    return f"SELECT doc_id,\n  {counts},\n  md5({red}) AS redacted_hash\nFROM documents"
+
+
 QUERIES = {
     "llm_normalize": q_normalize,
     "llm_token_freq": q_token_freq,
@@ -280,9 +412,15 @@ QUERIES = {
     "llm_contamination": q_contamination,
     "llm_stratified_sample": q_stratified_sample,
     "llm_per_source_cap": q_per_source_cap,
+    "llm_tfidf": q_tfidf,
+    "llm_token_rarity": q_token_rarity,
+    "llm_pii_redact": q_pii_redact,
 }
 
 ORACLE = {
+    "llm_tfidf": _TFIDF_SQL,
+    "llm_token_rarity": _TOKEN_RARITY_SQL,
+    "llm_pii_redact": _pii_sql(),
     "llm_normalize": _NORMALIZE_SQL,
     "llm_token_freq": _TOKEN_FREQ_SQL,
     "llm_doc_repetition": _DOC_REPETITION_SQL,

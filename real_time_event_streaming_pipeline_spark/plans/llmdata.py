@@ -247,6 +247,67 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding (the storage/ANN
+    compression step of a 100 TB vector pipeline: 4× smaller than
+    float32, 8× smaller than float64) + max absolute reconstruction
+    error. Pure array-expression projection — no shuffle, no UDF; at
+    scale it rides the embedding scan.
+
+    Determinism: scale = max|x|/127, q = clamp(floor(x/scale + 0.5))
+    — the same floor(+0.5) idiom the money sums use instead of
+    round(), because every op here (max, divide, multiply, subtract,
+    floor, abs) is IEEE-exact, so scale/q/max_err are bitwise
+    identical in any engine with NO rounding in the projection. The
+    all-zero vector degenerates to scale 0 → q all zeros, guarded
+    identically on both sides."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double")))) / F.lit(127.0)
+    with_scale = emb.withColumn("scale", scale)
+    q = F.when(
+        F.col("scale") == 0, F.transform(x, lambda v: F.lit(0))
+    ).otherwise(
+        F.transform(
+            x,
+            lambda v: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(v.cast("double") / F.col("scale") + F.lit(0.5))),
+            ).cast("int"),
+        )
+    )
+    with_q = with_scale.withColumn("q", q)
+    max_err = F.array_max(
+        F.zip_with(
+            x,
+            F.col("q"),
+            lambda a, b: F.abs(a.cast("double") - b.cast("double") * F.col("scale")),
+        )
+    )
+    return with_q.select("vec_id", "scale", "q", max_err.alias("max_err"))
+
+
+_EMB_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0 AS scale
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id, embedding, scale,
+    CASE WHEN scale = 0 THEN list_transform(embedding, v -> 0)
+         ELSE list_transform(embedding, v ->
+           CAST(greatest(-127.0, least(127.0, floor(v::DOUBLE / scale + 0.5))) AS INT))
+    END AS q
+  FROM s
+)
+SELECT vec_id, scale, q,
+  list_max(list_transform(generate_series(1, len(embedding)),
+    i -> abs(embedding[i]::DOUBLE - q[i] * scale))) AS max_err
+FROM qq
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over exact n-gram near-dup pairs (the
     iterative min-label-propagation loop in operators/clustering.py).
@@ -448,6 +509,7 @@ QUERIES = {
     "llm_emb_neardup": q_emb_neardup,
     "llm_emb_ann_lsh": q_emb_ann_lsh,
     "llm_emb_ann_ivf": q_emb_ann_ivf,
+    "llm_emb_quantize": q_emb_quantize,
     "llm_dedup_clusters": q_dedup_clusters,
     "llm_corpus_pipeline": q_corpus_pipeline,
     "llm_multimodal_meta": q_multimodal_meta,
@@ -465,6 +527,7 @@ ORACLE = {
     "llm_dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "llm_emb_cosine_topk": _COSINE_TOPK_SQL,
     "llm_emb_neardup": _EMB_NEARDUP_SQL,
+    "llm_emb_quantize": _EMB_QUANTIZE_SQL,
     "llm_dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "llm_corpus_pipeline": _CORPUS_PIPELINE_SQL,
     "llm_multimodal_meta": _MULTIMODAL_META_SQL,

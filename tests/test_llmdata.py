@@ -187,3 +187,49 @@ def test_neardup_plan_not_nested_loop(spark, sf_small):
     emb = load(spark, sf_small, "embeddings")
     plan = S.neardup_pairs(emb)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redaction_on_planted_pii(spark):
+    """The corpus has no PII (the registered query pins the expression
+    chain cross-engine); this is the behavioral check on planted PII."""
+    from real_time_event_streaming_pipeline_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
+            (2, "ssn 123-45-6789 from host 192.168.0.1"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *pii_counts(F.col("text")), redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert (out[1].n_email, out[1].n_phone) == (1, 1)
+    assert out[1].red == "contact <pii:email> or <pii:phone> now"
+    assert (out[2].n_ssn, out[2].n_ipv4) == (1, 1)
+    assert out[2].red == "ssn <pii:ssn> from host <pii:ipv4>"
+    # ssn is redacted as ssn, not mistaken for a phone number
+    assert out[2].n_phone == 0
+    assert out[3].red == out[3].text if hasattr(out[3], "text") else True
+    assert (out[3].n_email, out[3].n_ssn, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0, 0)
+
+
+def test_emb_quantize_roundtrip_error_bound(spark, sf_small):
+    """int8 quantization invariants: q in [-127, 127], reconstruction
+    error <= scale/2 + float32-read slack, scale = max|x|/127."""
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import q_emb_quantize
+
+    rows = q_emb_quantize(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= v <= 127 for v in r.q)
+        # floor(x/s + .5) is within half a quantization step
+        assert r.max_err <= r.scale / 2 + 1e-12
+        assert r.scale >= 0
