@@ -189,6 +189,66 @@ WHERE severity IN ('high', 'critical')
 )
 
 
+def alert_followup_pairs(enriched: DataFrame, alerts: DataFrame | None = None) -> DataFrame:
+    """Interval join: every event in the same city within 10 minutes
+    AFTER a high/critical alert — the batch source-of-truth whose
+    incremental view is the stream-stream join in streaming/joins.py
+    (same plan shape, same columns; tests pin streamed == this).
+
+    Expressed as equi-join on city + a range predicate, so Spark plans
+    a hash join on the equi key with the range as a post-join filter —
+    never a cartesian product. The city key has only 6 values (the
+    reference's fixed domain) — at 100 TB the production form adds a
+    coarse time-bucket to the equi key (each probe expands to 2
+    buckets), turning the 6-way skew into (city × bucket) parallelism;
+    here data per city-partition is bounded by the alert horizon, and
+    AQE skew splitting covers the imbalance. The lag is computed in
+    exact integer microseconds (engine-neutral; float epoch seconds
+    can flip the boundary)."""
+    if alerts is None:
+        alerts = enriched.filter(F.col("severity").isin(*ALERT_SEVERITIES))
+    a = alerts.select(
+        F.col("event_id").alias("alert_id"),
+        F.col("city").alias("a_city"),
+        F.col("ts").alias("a_ts"),
+    )
+    e = enriched.select(
+        F.col("event_id").alias("follow_id"),
+        F.col("city").alias("e_city"),
+        F.col("ts").alias("e_ts"),
+    )
+    lag_us = F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("a_ts"))
+    return (
+        a.join(
+            e,
+            (F.col("a_city") == F.col("e_city"))
+            & (F.col("e_ts") > F.col("a_ts"))
+            & (F.col("e_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select("alert_id", "follow_id", F.col("a_city").alias("city"), lag_us.alias("lag_us"))
+    )
+
+
+def q_alert_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alert_followup_pairs(city_events(spark, sf_dir))
+
+
+_ALERT_FOLLOWUPS_SQL = (
+    CITY_EVENTS_CTE
+    + """
+SELECT a.event_id AS alert_id,
+  e.event_id AS follow_id,
+  a.city,
+  epoch_us(e.ts) - epoch_us(a.ts) AS lag_us
+FROM (SELECT * FROM windowed WHERE severity IN ('high', 'critical')) a
+JOIN windowed e
+  ON a.city = e.city
+ AND e.ts > a.ts
+ AND e.ts <= a.ts + INTERVAL 10 MINUTE
+"""
+)
+
+
 def _engine(spark: SparkSession, sf_dir: str):
     """Oracle-pinned endpoint queries delegate to the user-facing
     facade (engine.CityStreamEngine) with fixed parameters, so the
@@ -385,6 +445,7 @@ QUERIES = {
     "cs_global_counts": q_global_counts,
     "cs_alerts_recent": q_alerts_recent,
     "cs_raw_with_ttl": q_raw_with_ttl,
+    "cs_alert_followups": q_alert_followups,
 }
 
 ORACLE = {
@@ -399,4 +460,5 @@ ORACLE = {
     "cs_global_counts": _GLOBAL_COUNTS_SQL,
     "cs_alerts_recent": _ALERTS_RECENT_SQL,
     "cs_raw_with_ttl": _RAW_WITH_TTL_SQL,
+    "cs_alert_followups": _ALERT_FOLLOWUPS_SQL,
 }

@@ -1,12 +1,22 @@
-"""Streaming joins — absent from the reference entirely (SURVEY.md
-§2.4: "no stream-stream or stream-static joins"); first-class here.
+"""Stream-stream joins and streaming deduplication — Structured
+Streaming capabilities beyond the reference's 4 queries (which are all
+single-stream; SURVEY.md §2.4 extensions).
 
-- stream-static: enrich the event stream with a dimension table; the
-  static side is broadcast per micro-batch, no state.
-- stream-stream: purchases ⋈ views per user within a time bound;
-  both sides watermarked so the join state is evicted once the
-  watermark passes the bound (state is O(in-flight window), not
-  O(stream history)).
+Both operators follow the repo's streaming doctrine (SURVEY.md §7.0):
+the batch plan is the source of truth — `alert_followups_stream` is
+the incremental view of `plans.citystream.alert_followup_pairs`, and
+`dedup_events_stream` of the batch one-row-per-event_key distinct —
+and tests pin streamed == batch on the same input.
+
+State posture at scale:
+- The interval join keeps both sides' state keyed by city, evicted by
+  watermark + the join's time bound (Spark derives the other side's
+  state horizon from the range condition, SIGMOD'18 §5): per-key state
+  is bounded by rate × (watermark + horizon), independent of stream
+  length.
+- dropDuplicatesWithinWatermark keeps one (key → latest-ts) entry per
+  key seen inside the watermark horizon — bounded the same way, and
+  the RocksDB state store (session.py) spills it to disk.
 """
 
 from __future__ import annotations
@@ -14,53 +24,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
-    """Broadcast-enrich a stream with a static dimension."""
-    return stream.join(F.broadcast(dim), on, "left")
+from ..functions import ALERT_SEVERITIES, event_key
 
 
-def purchases_after_views(
-    enriched_stream: DataFrame,
-    within: str = "30 minutes",
-    watermark: str = "1 hour",
-    how: str = "inner",
+def alert_followups_stream(
+    enriched: DataFrame,
+    watermark: str = "10 minutes",
+    horizon_sql: str = "INTERVAL 10 MINUTES",
 ) -> DataFrame:
-    """Stream-stream join: each purchase matched to same-user views
-    in the preceding `within` interval. Event-time constraints on
-    both sides + watermarks bound the state store. how="left_outer"
-    additionally emits view-less purchases (NULL view columns) once
-    the watermark passes their match window — the streaming form of
-    "purchases with no prior view"."""
-    views = (
-        enriched_stream.filter(F.col("event_type") == "view")
+    """Stream-stream interval self-join: alerts (high/critical) matched
+    to events of the same city arriving within `horizon` after them.
+    Same columns and semantics as the batch
+    `plans.citystream.alert_followup_pairs`; inner join, so append mode
+    emits each pair exactly once as soon as both sides have arrived —
+    the watermark only bounds state, never results."""
+    alerts = (
+        enriched.filter(F.col("severity").isin(*ALERT_SEVERITIES))
         .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("alert_id"),
+            F.col("city").alias("a_city"),
+            F.col("ts").alias("a_ts"),
         )
-        .withWatermark("view_ts", watermark)
+        .withWatermark("a_ts", watermark)
     )
-    purchases = (
-        enriched_stream.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", watermark)
+    events = enriched.select(
+        F.col("event_id").alias("follow_id"),
+        F.col("city").alias("e_city"),
+        F.col("ts").alias("e_ts"),
+    ).withWatermark("e_ts", watermark)
+    lag_us = F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("a_ts"))
+    return alerts.join(
+        events,
+        (F.col("a_city") == F.col("e_city"))
+        & (F.col("e_ts") > F.col("a_ts"))
+        & (F.col("e_ts") <= F.col("a_ts") + F.expr(horizon_sql)),
+    ).select("alert_id", "follow_id", F.col("a_city").alias("city"), lag_us.alias("lag_us"))
+
+
+def dedup_events_stream(enriched: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact deduplication by event_key (city, type, second):
+    first-writer-wins within the watermark horizon — the streaming twin
+    of the batch `dropDuplicates`, and the ingest-side guard the
+    reference gets implicitly from DynamoDB upserts (putItem by PK).
+    dropDuplicatesWithinWatermark (not plain dropDuplicates) so state
+    for keys older than the watermark is evicted instead of growing
+    with the stream."""
+    keyed = enriched.withColumn(
+        "event_key", event_key(F.col("city"), F.col("event_type"), F.col("ts_iso"))
     )
-    return purchases.join(
-        views,
-        (F.col("p_user") == F.col("v_user"))
-        & (F.col("view_ts") <= F.col("purchase_ts"))
-        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
-        how,
-    ).select(
-        F.col("p_user").alias("user_id"),
-        "purchase_id",
-        "view_id",
-        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts"))
-        .cast("long")
-        .alias("lag_seconds"),
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_key"]
     )

@@ -179,3 +179,64 @@ def test_rate_source_stream_starts(spark, tmp_path):
         time.sleep(0.5)
     q.stop()
     assert n > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_small, tmp_path):
+    """Stream-stream join (streaming/joins.py): append-mode inner
+    interval join must emit exactly the batch pair set."""
+    from real_time_event_streaming_pipeline_spark.plans.citystream import (
+        alert_followup_pairs,
+        enrich_events,
+    )
+    from real_time_event_streaming_pipeline_spark.streaming.joins import (
+        alert_followups_stream,
+    )
+
+    src = events_file_stream(spark, sf_small)
+    q = (
+        alert_followups_stream(enrich_events(src))
+        .writeStream.format("memory")
+        .queryName("followups_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _rows(spark.sql("SELECT * FROM followups_stream"))
+    want = _rows(alert_followup_pairs(city_events(spark, sf_small)))
+    assert got == want
+    assert want, "no pairs — horizon too small for the corpus"
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_small, tmp_path):
+    """dropDuplicatesWithinWatermark: one surviving row per event_key,
+    same key set as the batch distinct."""
+    from real_time_event_streaming_pipeline_spark.functions import event_key
+    from real_time_event_streaming_pipeline_spark.plans.citystream import enrich_events
+    from real_time_event_streaming_pipeline_spark.streaming.joins import (
+        dedup_events_stream,
+    )
+
+    src = events_file_stream(spark, sf_small)
+    q = (
+        dedup_events_stream(enrich_events(src))
+        .select("event_key")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [r.event_key for r in spark.sql("SELECT * FROM dedup_stream").collect()]
+    assert len(got) == len(set(got)), "stream emitted a duplicate key"
+    batch = city_events(spark, sf_small)
+    want = {
+        r[0]
+        for r in batch.select(
+            event_key(F.col("city"), F.col("event_type"), F.col("ts_iso"))
+        ).distinct().collect()
+    }
+    assert set(got) == want
