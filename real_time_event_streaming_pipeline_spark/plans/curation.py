@@ -40,10 +40,15 @@ def _sql_kgrams(k: int) -> str:
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-trigram fraction per document — the "repetition"
-    quality signal used to drop degenerate/boilerplate docs. One scan,
-    no shuffle: trigram list, distinct count, ratio, all per-row
-    higher-order expressions."""
-    docs = load(spark, sf_dir, "documents")
+    quality signal used to drop degenerate/boilerplate docs. Trigram
+    list, distinct count, ratio — all per-row higher-order
+    expressions; _spread adds one repartition ONLY when the scan is
+    under-parallel (the single-file small-SF case), so the CPU-heavy
+    trigram build uses every core; at 100 TB the scan itself is
+    thousands of splits and no exchange is added."""
+    from ..operators.dedup import _spread
+
+    docs = _spread(load(spark, sf_dir, "documents"))
     tris = _shingle_expr(F.split(F.col("text"), " "), 3)
     n_tri = F.size(tris).cast("long")
     n_uniq = F.size(F.array_distinct(tris)).cast("long")
