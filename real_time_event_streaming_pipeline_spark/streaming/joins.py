@@ -1,22 +1,21 @@
-"""Stream-stream joins and streaming deduplication — Structured
-Streaming capabilities beyond the reference's 4 queries (which are all
-single-stream; SURVEY.md §2.4 extensions).
+"""Streaming joins and streaming deduplication — absent from the
+reference entirely (SURVEY.md §2.4: "no stream-stream or stream-static
+joins"); first-class here.
 
-Both operators follow the repo's streaming doctrine (SURVEY.md §7.0):
-the batch plan is the source of truth — `alert_followups_stream` is
-the incremental view of `plans.citystream.alert_followup_pairs`, and
-`dedup_events_stream` of the batch one-row-per-event_key distinct —
-and tests pin streamed == batch on the same input.
-
-State posture at scale:
-- The interval join keeps both sides' state keyed by city, evicted by
-  watermark + the join's time bound (Spark derives the other side's
-  state horizon from the range condition, SIGMOD'18 §5): per-key state
-  is bounded by rate × (watermark + horizon), independent of stream
-  length.
-- dropDuplicatesWithinWatermark keeps one (key → latest-ts) entry per
-  key seen inside the watermark horizon — bounded the same way, and
-  the RocksDB state store (session.py) spills it to disk.
+- stream-static: enrich the event stream with a dimension table; the
+  static side is broadcast per micro-batch, no state.
+- stream-stream (user-keyed): purchases ⋈ views per user within a
+  time bound; both sides watermarked so the join state is evicted
+  once the watermark passes the bound (state is O(in-flight window),
+  not O(stream history)).
+- stream-stream (interval self-join): alerts ⋈ same-city follow-up
+  events — the incremental view of the batch
+  `plans.citystream.alert_followup_pairs`; tests pin streamed ==
+  batch on the same input.
+- streaming dedup: dropDuplicatesWithinWatermark keeps one
+  (key → latest-ts) entry per key inside the watermark horizon —
+  state bounded by rate × watermark, spilled to RocksDB
+  (session.py), never O(stream history).
 """
 
 from __future__ import annotations
@@ -27,17 +26,71 @@ from pyspark.sql import functions as F
 from ..functions import ALERT_SEVERITIES, event_key
 
 
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Broadcast-enrich a stream with a static dimension."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def purchases_after_views(
+    enriched_stream: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join: each purchase matched to same-user views
+    in the preceding `within` interval. Event-time constraints on
+    both sides + watermarks bound the state store. how="left_outer"
+    additionally emits view-less purchases (NULL view columns) once
+    the watermark passes their match window — the streaming form of
+    "purchases with no prior view"."""
+    views = (
+        enriched_stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        enriched_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+        how,
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts"))
+        .cast("long")
+        .alias("lag_seconds"),
+    )
+
+
 def alert_followups_stream(
     enriched: DataFrame,
     watermark: str = "10 minutes",
     horizon_sql: str = "INTERVAL 10 MINUTES",
 ) -> DataFrame:
     """Stream-stream interval self-join: alerts (high/critical) matched
-    to events of the same city arriving within `horizon` after them.
+    to events of the same city arriving within the horizon after them.
     Same columns and semantics as the batch
     `plans.citystream.alert_followup_pairs`; inner join, so append mode
     emits each pair exactly once as soon as both sides have arrived —
-    the watermark only bounds state, never results."""
+    the watermark only bounds state, never results. (The batch twin
+    buckets the equi key by time for shuffle parallelism; here Spark's
+    stream-stream join keeps per-key state bounded by watermark +
+    horizon instead — the state analogue of the same bound.)"""
     alerts = (
         enriched.filter(F.col("severity").isin(*ALERT_SEVERITIES))
         .select(
@@ -66,9 +119,9 @@ def dedup_events_stream(enriched: DataFrame, watermark: str = "10 minutes") -> D
     first-writer-wins within the watermark horizon — the streaming twin
     of the batch `dropDuplicates`, and the ingest-side guard the
     reference gets implicitly from DynamoDB upserts (putItem by PK).
-    dropDuplicatesWithinWatermark (not plain dropDuplicates) so state
-    for keys older than the watermark is evicted instead of growing
-    with the stream."""
+    Complements tests/test_streaming_dedup.py's event_id variants: the
+    key here is the DERIVED upsert PK, so the stream pre-collapses what
+    the sink would otherwise merge."""
     keyed = enriched.withColumn(
         "event_key", event_key(F.col("city"), F.col("event_type"), F.col("ts_iso"))
     )

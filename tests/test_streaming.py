@@ -223,14 +223,14 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_small, tmp_path):
         dedup_events_stream(enrich_events(src))
         .select("event_key")
         .writeStream.format("memory")
-        .queryName("dedup_stream")
+        .queryName("dedup_keys_stream")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "cp"))
         .start()
     )
     q.processAllAvailable()
     q.stop()
-    got = [r.event_key for r in spark.sql("SELECT * FROM dedup_stream").collect()]
+    got = [r.event_key for r in spark.sql("SELECT * FROM dedup_keys_stream").collect()]
     assert len(got) == len(set(got)), "stream emitted a duplicate key"
     batch = city_events(spark, sf_small)
     want = {
