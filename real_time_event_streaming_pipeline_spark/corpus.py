@@ -45,6 +45,34 @@ class CorpusEngine:
         quality score, fingerprint) — one scan, no shuffle."""
         return T.with_text_features(self._docs())
 
+    def scrub_pii(self) -> DataFrame:
+        """The corpus with PII redacted in place (typed placeholder
+        tokens) + per-class match counts — scan-side projection, no
+        shuffle. Patterns: operators.text.PII_PATTERNS."""
+        docs = self._docs()
+        t = F.col("text")
+        return docs.select(
+            "doc_id",
+            T.redact_pii(t).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+            *T.pii_counts(t),
+        )
+
+    def keywords(self, top_k: int = 3) -> DataFrame:
+        """Top-k TF-IDF terms per document."""
+        from .plans.curation import q_tfidf
+
+        return q_tfidf(self.spark, self.sf_dir, top_k=top_k)
+
+    def token_rarity(self) -> DataFrame:
+        """Per-doc corpus-frequency profile (exact-integer sums/min +
+        one final division) — the rare-token outlier signal."""
+        from .plans.curation import q_token_rarity
+
+        return q_token_rarity(self.spark, self.sf_dir)
+
     # -- dedup -----------------------------------------------------------
 
     def near_duplicates(
@@ -114,3 +142,11 @@ class CorpusEngine:
         return S.ivf_ann_topk(
             emb, emb.filter(F.col("vec_id") < n_queries), k=k
         )
+
+    def quantized_embeddings(self) -> DataFrame:
+        """int8-quantized embeddings (symmetric per-vector scale) with
+        reconstruction error — the 4×-smaller storage/scan layout for
+        downstream ANN passes."""
+        from .plans.llmdata import q_emb_quantize
+
+        return q_emb_quantize(self.spark, self.sf_dir)

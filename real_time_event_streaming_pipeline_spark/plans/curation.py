@@ -285,11 +285,14 @@ LIMIT 50
 
 def q_tfidf(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document — the classic relevance /
-    keyword signal for corpus curation. Shuffle profile: one exchange
-    for the (doc_id, term) tf agg, one term-keyed agg for document
-    frequency (vocab-sized — stats/AQE broadcast it back, no forced
-    hint), one window per doc_id. The corpus size joins in as a
-    broadcast 1-row aggregate, never a collected literal.
+    keyword signal for corpus curation. Document frequency is a
+    count() window over the tf stream, NOT a second aggregate of the
+    token pipeline: the naive tf→df diamond re-scans and re-explodes
+    the text column (Spark does not reuse the exchange across
+    branches), which doubles the dominant cost at 100 TB — the window
+    form trades that for one extra exchange of the already-tiny
+    (doc, term, tf) stream. The corpus size joins in as a broadcast
+    1-row aggregate, never a collected literal.
 
     Cross-engine float discipline: ln() is libm (last-ulp differences
     between JVM and C), so the rank orders by the 6-dp ROUNDED score —
@@ -299,10 +302,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .join(F.broadcast(total))
         .withColumn(
             "tfidf",

@@ -87,3 +87,15 @@ def test_corpus_engine_surface(spark, sf_small):
 
     nb = corp.neighbors(k=3, n_queries=2)
     assert nb.groupBy("q_id").count().agg({"count": "max"}).first()[0] == 3
+
+    # round-2 surface: PII scrub keeps schema + row count (clean corpus
+    # → text unchanged, zero counts); keywords/rarity/quantize are keyed
+    # per doc / per vector
+    scrubbed = corp.scrub_pii()
+    assert scrubbed.count() == n_docs
+    assert scrubbed.agg(F.sum("n_email")).first()[0] == 0
+    kw = corp.keywords(top_k=2)
+    assert kw.groupBy("doc_id").count().agg({"count": "max"}).first()[0] == 2
+    assert corp.token_rarity().count() == n_docs
+    qz = corp.quantized_embeddings()
+    assert qz.count() == corp._emb().count()

@@ -132,3 +132,28 @@ def test_sliding_agg_single_shuffle(spark, sf_med):
 
     plan = _plan(q_sliding_agg(spark, sf_med))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_single_token_explode(spark, sf_med):
+    """The tf→df diamond must not re-explode the text column: document
+    frequency comes from a window over the tf stream, so exactly one
+    Generate(explode) appears (the second documents scan is the
+    metadata-only count-star for corpus size)."""
+    from real_time_event_streaming_pipeline_spark.plans.curation import q_tfidf
+
+    plan = _plan(q_tfidf(spark, sf_med))
+    n_explodes = sum(1 for l in plan.splitlines() if "Generate explode" in l)
+    assert n_explodes == 1, plan
+
+
+def test_alert_followups_bucketed_equi_join(spark, sf_med):
+    """The interval join must carry the time-bucket in the equi key
+    (hash/sort-merge join keyed on (city, bkt)) — never a
+    nested-loop over the 6-city key alone."""
+    from real_time_event_streaming_pipeline_spark.plans.citystream import (
+        q_alert_followups,
+    )
+
+    plan = _plan(q_alert_followups(spark, sf_med))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bkt" in plan

@@ -22,6 +22,8 @@ SHAPES = [
     "rel_nation_profit",
     "llm_dedup_ngram_jaccard",
     "llm_emb_cosine_topk",
+    "cs_alert_followups",
+    "llm_tfidf",
 ]
 
 
