@@ -412,6 +412,116 @@ def _pii_sql() -> str:
     return f"SELECT doc_id,\n  {counts},\n  md5({red}) AS redacted_hash\nFROM documents"
 
 
+# ---------------------------------------------------------------------------
+# Mixture weighting and sequence packing
+# ---------------------------------------------------------------------------
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (τ = 0.5): downsample each
+    source toward sqrt-proportional mass — the standard rebalancing
+    that keeps small sources from drowning in large ones. The keep
+    rate for source s is floor(1e6 · sqrt(n_min / n_s)) per million
+    (the smallest source keeps everything), applied with the
+    deterministic hash bucket, so membership is reproducible on any
+    engine/partitioning.
+
+    Float discipline: sqrt is IEEE-correctly-rounded in every engine
+    (unlike ln/pow), so rate computation is bitwise identical and the
+    floor boundary cannot flip. Shuffle profile: one tiny per-source
+    count agg broadcast back onto the scan-side filter — the sample
+    itself is a pure filter, no data shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    min_n = counts.agg(F.min("n_s").alias("n_min"))
+    rates = counts.join(F.broadcast(min_n)).select(
+        "source",
+        "n_s",
+        F.floor(F.lit(1_000_000.0) * F.sqrt(F.col("n_min") / F.col("n_s"))).alias(
+            "rate_ppm"
+        ),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(split_bucket(F.col("doc_id"), 1_000_000) < F.col("rate_ppm"))
+    )
+    return (
+        kept.groupBy("source", "n_s", "rate_ppm")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_kept_id"))
+    )
+
+
+_SOURCE_MIXTURE_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+m AS (SELECT min(n_s) AS n_min FROM counts),
+rates AS (
+  SELECT source, n_s,
+    CAST(floor(1000000.0 * sqrt(n_min / n_s::DOUBLE)) AS BIGINT) AS rate_ppm
+  FROM counts CROSS JOIN m
+)
+SELECT source, n_s, rate_ppm,
+  count(*) AS n_kept, min(doc_id) AS min_kept_id
+FROM documents JOIN rates USING (source)
+WHERE {split_bucket_sql('doc_id', 1000000)} < rate_ppm
+GROUP BY source, n_s, rate_ppm
+"""
+
+
+_PACK_TARGET_TOKENS = 256
+_PACK_SHARDS = 16
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document a
+    (shard, pack, offset) so consecutive docs fill ~TARGET-token
+    context windows — the layout step before training-batch
+    materialization. Docs are sharded by hash (packing needs no global
+    order, so the cumsum window runs per shard — at 100 TB raise
+    _PACK_SHARDS so each shard's window state fits one task; the
+    single-partition global cumsum is exactly the scale trap this
+    avoids) and ordered deterministically inside a shard. All integer
+    arithmetic.
+
+    pack = start_offset div TARGET: a doc straddling a boundary
+    belongs to the pack it starts in (greedy concat-and-chunk, the
+    common training layout)."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    shard = split_bucket(F.col("doc_id"), _PACK_SHARDS)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    sized = docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return sized.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / F.lit(_PACK_TARGET_TOKENS)).alias("pack_id"),
+        ((cum - F.col("n_tokens")) % F.lit(_PACK_TARGET_TOKENS)).alias("pack_offset"),
+    )
+
+
+_SEQ_PACKING_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+    {split_bucket_sql('doc_id', _PACK_SHARDS)} AS shard,
+    len(str_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+cumd AS (
+  SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM sized
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+  CAST(floor(start_offset / {_PACK_TARGET_TOKENS}.0) AS BIGINT) AS pack_id,
+  start_offset % {_PACK_TARGET_TOKENS} AS pack_offset
+FROM cumd
+"""
+
+
 QUERIES = {
     "llm_normalize": q_normalize,
     "llm_token_freq": q_token_freq,
@@ -422,12 +532,16 @@ QUERIES = {
     "llm_tfidf": q_tfidf,
     "llm_token_rarity": q_token_rarity,
     "llm_pii_redact": q_pii_redact,
+    "llm_source_mixture": q_source_mixture,
+    "llm_seq_packing": q_seq_packing,
 }
 
 ORACLE = {
     "llm_tfidf": _TFIDF_SQL,
     "llm_token_rarity": _TOKEN_RARITY_SQL,
     "llm_pii_redact": _pii_sql(),
+    "llm_source_mixture": _SOURCE_MIXTURE_SQL,
+    "llm_seq_packing": _SEQ_PACKING_SQL,
     "llm_normalize": _NORMALIZE_SQL,
     "llm_token_freq": _TOKEN_FREQ_SQL,
     "llm_doc_repetition": _DOC_REPETITION_SQL,

@@ -233,3 +233,41 @@ def test_emb_quantize_roundtrip_error_bound(spark, sf_small):
         # floor(x/s + .5) is within half a quantization step
         assert r.max_err <= r.scale / 2 + 1e-12
         assert r.scale >= 0
+
+
+def test_seq_packing_invariants(spark, sf_small):
+    """Packing layout invariants: within a shard, each doc starts
+    where the previous ended (concat), pack_offset < target, and
+    pack_id is the window the doc STARTS in."""
+    from real_time_event_streaming_pipeline_spark.plans.curation import (
+        _PACK_TARGET_TOKENS,
+        q_seq_packing,
+    )
+
+    rows = q_seq_packing(spark, sf_small).collect()
+    assert rows
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        expect = by_shard.get(r.shard, 0)
+        assert r.start_offset == expect, f"gap in shard {r.shard} at doc {r.doc_id}"
+        assert 0 <= r.pack_offset < _PACK_TARGET_TOKENS
+        assert r.pack_id == r.start_offset // _PACK_TARGET_TOKENS
+        by_shard[r.shard] = expect + r.n_tokens
+
+
+def test_source_mixture_rebalances(spark, sf_small):
+    """The smallest source keeps (almost) everything; every source's
+    kept fraction tracks its sqrt-temperature rate."""
+    from real_time_event_streaming_pipeline_spark.plans.curation import (
+        q_source_mixture,
+    )
+
+    rows = q_source_mixture(spark, sf_small).collect()
+    assert rows
+    smallest = min(rows, key=lambda r: r.n_s)
+    assert smallest.rate_ppm == 1_000_000  # sqrt(n_min/n_min) exactly
+    assert smallest.n_kept == smallest.n_s
+    for r in rows:
+        assert r.rate_ppm <= 1_000_000
+        # kept fraction within sampling noise of the target rate
+        assert abs(r.n_kept / r.n_s - r.rate_ppm / 1e6) < 0.2
