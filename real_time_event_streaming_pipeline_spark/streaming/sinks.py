@@ -78,6 +78,72 @@ def upsert_parquet(
     return write
 
 
+class RowUpsertWriter:
+    """Row-at-a-time ForeachWriter with the reference's exact sink
+    lifecycle (SparkDynamoDBConsumer.java:202-283): open(partition,
+    epoch) acquires a connection, process(row) issues one keyed
+    upsert, close(error) releases it. The "store" is a JSONL journal
+    per (partition, epoch) — one line per putItem, last writer per key
+    wins at read time (`read_row_upserts`), which is DynamoDB's
+    server-side semantics.
+
+    Parity completeness only: SURVEY.md §4.1 documents per-row writes
+    as the reference's anti-optimization, and §2.1 S3 endorses the
+    foreachBatch bulk upsert (`upsert_parquet`) as the replacement.
+    Atomicity note: the journal file is written to a temp name and
+    renamed into place in close() — a crashed task leaves only temp
+    files, which readers skip, and the task retry (same partition,
+    same epoch) overwrites them: idempotent under replay.
+    """
+
+    def __init__(self, out_dir: str, key_cols: list[str]):
+        self.out_dir = out_dir
+        self.key_cols = key_cols
+
+    def open(self, partition_id: int, epoch_id: int) -> bool:  # noqa: A003
+        import os
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        self._final = os.path.join(
+            self.out_dir, f"part-{partition_id:05d}-epoch-{epoch_id:010d}.jsonl"
+        )
+        self._tmp = self._final + ".inprogress"
+        self._fh = open(self._tmp, "w")
+        return True  # process every partition (a real store would health-check here)
+
+    def process(self, row) -> None:
+        import json
+
+        d = row.asDict(recursive=True)
+        self._fh.write(json.dumps({"key": [d[k] for k in self.key_cols], "row": d}, default=str) + "\n")
+
+    def close(self, error) -> None:
+        import os
+
+        self._fh.close()
+        if error is None:
+            os.replace(self._tmp, self._final)
+        else:
+            os.remove(self._tmp)
+
+
+def read_row_upserts(out_dir: str) -> dict[tuple, dict]:
+    """Materialize the journal: last write per key wins, in (epoch,
+    partition, line) order — the reader half of the putItem contract."""
+    import json
+    import os
+
+    state: dict[tuple, dict] = {}
+    # file names sort by partition then epoch; key order must be epoch-major
+    names = [n for n in os.listdir(out_dir) if n.endswith(".jsonl")]
+    for name in sorted(names, key=lambda n: (n.split("-epoch-")[1], n)):
+        with open(os.path.join(out_dir, name)) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                state[tuple(rec["key"])] = rec["row"]
+    return state
+
+
 def append_parquet(out_dir: str) -> Callable[[DataFrame, int], None]:
     """foreachBatch append sink (raw events / alerts, output mode
     append — reference Q1/Q3)."""

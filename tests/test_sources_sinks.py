@@ -128,3 +128,43 @@ def test_compact_parquet(spark, sf_small, tmp_path):
     spans = sorted((r.lo, r.hi) for r in per_file)
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # range-partitioned: files don't interleave
+
+
+def test_foreach_row_sink_lifecycle(spark, sf_small, tmp_path):
+    """S3 in the reference's own row-at-a-time shape: ForeachWriter
+    open/process/close, one keyed upsert per row, last writer wins at
+    read time — final state equals the bulk foreachBatch sink's."""
+    from real_time_event_streaming_pipeline_spark.plans.citystream import enrich_events
+    from real_time_event_streaming_pipeline_spark.sources import events_file_stream
+    from real_time_event_streaming_pipeline_spark.streaming.sinks import (
+        RowUpsertWriter,
+        read_row_upserts,
+    )
+
+    out = str(tmp_path / "rows")
+    src = enrich_events(events_file_stream(spark, sf_small)).select(
+        "event_id", "city", "severity", "ts_iso"
+    )
+    q = (
+        src.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .foreach(RowUpsertWriter(out, ["event_id"]))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = read_row_upserts(out)
+    from real_time_event_streaming_pipeline_spark.plans.citystream import city_events
+
+    want = {
+        (r.event_id,): (r.city, r.severity)
+        for r in city_events(spark, sf_small).collect()
+    }
+    assert len(state) == len(want)
+    for k, row in state.items():
+        assert (row["city"], row["severity"]) == want[k]
+    # crash artifacts never surface: a stray .inprogress file is ignored
+    import pathlib
+
+    pathlib.Path(out, "part-99999-epoch-0000000000.jsonl.inprogress").write_text("junk")
+    assert read_row_upserts(out) == state
