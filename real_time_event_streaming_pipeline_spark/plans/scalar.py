@@ -486,9 +486,50 @@ SELECT
 """
 
 
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse the props
+    JSON once into a variant, extract typed fields with variant_get —
+    the open-schema complement to fn_json's fixed-path
+    get_json_object. The variant parse + shredded access stays
+    JVM-side (no UDF); at scale VARIANT beats repeated string JSON
+    parsing because the binary encoding is parsed once per row.
+    Exact-integer aggregate on top pins the extraction end-to-end."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    per_row = ev.select(
+        "event_id",
+        "event_type",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_field"),
+    )
+    return (
+        per_row.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("missing_field").alias("n_missing_present"),
+        )
+    )
+
+
+_FN_VARIANT_SQL = """
+SELECT event_type,
+  count(*) AS n,
+  sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+  count(json_extract(props, '$.missing')) AS n_missing_present
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "fn_math": q_fn_math,
     "fn_json": q_fn_json,
+    "fn_variant": q_fn_variant,
     "fn_higher_order": q_fn_higher_order,
     "fn_try_arith": q_fn_try_arith,
     "rel_null_aware_anti_join": q_null_aware_anti_join,
@@ -507,6 +548,7 @@ QUERIES = {
 ORACLE = {
     "fn_math": _FN_MATH_SQL,
     "fn_json": _FN_JSON_SQL,
+    "fn_variant": _FN_VARIANT_SQL,
     "fn_higher_order": _FN_HIGHER_ORDER_SQL,
     "fn_try_arith": _FN_TRY_ARITH_SQL,
     "rel_null_aware_anti_join": _NULL_AWARE_ANTI_SQL,

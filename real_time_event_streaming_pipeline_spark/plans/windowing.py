@@ -283,8 +283,72 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_by_key(load(spark, sf_dir, "events"), alpha=0.2)
 
 
+def q_recursive_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via native `WITH RECURSIVE` (Spark 4 SQL
+    surface): session roots anchor the recursion, each level attaches
+    the next event of every open chain through its lag-predecessor
+    edge (event_id-keyed, so equal timestamps cannot cross wires).
+    Produces the same sessions as the window-based rel_user_sessions;
+    bounds are exact integer microseconds (see the session-window
+    oracle note). The declarative window/cumsum form IS the production
+    path — recursion re-joins the lag table once per chain depth — but
+    per-level work is one equi-join, so the plan is sane for the
+    shallow-chain shape (max depth 4 on this corpus), and the query
+    pins the recursive-CTE surface cross-engine."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("_rs_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE lagged AS (
+          SELECT user_id, event_id, ts,
+            lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+            unix_micros(ts) - unix_micros(
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+          FROM _rs_events
+        ),
+        chain (user_id, event_id, ts, session_start_us) AS (
+          SELECT user_id, event_id, ts, unix_micros(ts)
+          FROM lagged WHERE prev_id IS NULL OR gap_us >= 1800000000
+          UNION ALL
+          SELECT l.user_id, l.event_id, l.ts, c.session_start_us
+          FROM chain c JOIN lagged l
+            ON l.user_id = c.user_id AND l.prev_id = c.event_id
+           AND l.gap_us < 1800000000
+        )
+        SELECT user_id, session_start_us,
+          max(unix_micros(ts)) AS session_end_us,
+          count(*) AS n_events
+        FROM chain GROUP BY user_id, session_start_us
+        """
+    )
+
+
+_RECURSIVE_SESSIONS_SQL = """
+WITH RECURSIVE lagged AS (
+  SELECT user_id, event_id, ts,
+    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+    epoch_us(ts) - epoch_us(
+      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+chain (user_id, event_id, ts, session_start_us) AS (
+  SELECT user_id, event_id, ts, epoch_us(ts)
+  FROM lagged WHERE prev_id IS NULL OR gap_us >= 1800000000
+  UNION ALL
+  SELECT l.user_id, l.event_id, l.ts, c.session_start_us
+  FROM chain c JOIN lagged l
+    ON l.user_id = c.user_id AND l.prev_id = c.event_id
+   AND l.gap_us < 1800000000
+)
+SELECT user_id, session_start_us,
+  max(epoch_us(ts)) AS session_end_us,
+  count(*) AS n_events
+FROM chain GROUP BY user_id, session_start_us
+"""
+
+
 QUERIES = {
     "cs_sliding_agg": q_sliding_agg,
+    "rel_recursive_sessions": q_recursive_sessions,
     "rel_ewma_user_value": q_ewma_user_value,
     "fn_window_analytic": q_fn_window_analytic,
     "rel_window_frames": q_rel_window_frames,
@@ -295,6 +359,7 @@ QUERIES = {
 
 ORACLE = {
     "cs_sliding_agg": _SLIDING_AGG_SQL,
+    "rel_recursive_sessions": _RECURSIVE_SESSIONS_SQL,
     "fn_window_analytic": _FN_WINDOW_ANALYTIC_SQL,
     "rel_window_frames": _REL_WINDOW_FRAMES_SQL,
     "fn_bitwise": _FN_BITWISE_SQL,

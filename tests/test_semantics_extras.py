@@ -44,3 +44,67 @@ def test_upsert_sink_epoch_replay_idempotent(spark, tmp_path):
     sink(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), 0)
     after = {(r.k, r.v) for r in spark.read.parquet(out).select("k", "v").collect()}
     assert before == after == {("a", 1), ("b", 2)}
+
+
+def test_recursive_sessions_match_native_session_window(spark, sf_small):
+    """The WITH RECURSIVE sessionization must produce exactly the
+    sessions the built-in session_window operator produces — same
+    (user, start-µs, event count) triples."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.plans.windowing import (
+        q_recursive_sessions,
+    )
+
+    rec = {
+        (r.user_id, r.session_start_us, r.n_events)
+        for r in q_recursive_sessions(spark, sf_small).collect()
+    }
+    ev = load(spark, sf_small, "events")
+    nat = {
+        (r.user_id, r.start_us, r.n_events)
+        for r in ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.unix_micros("w.start").alias("start_us"), "n_events")
+        .collect()
+    }
+    assert rec == nat
+    assert rec, "no sessions found"
+
+
+def test_udtf_shingles_match_expression_path(spark):
+    """Spark 4 Python UDTF surface: a lateral table function emitting
+    shingles must agree with the expression-level _shingle_expr (the
+    production path — UDTFs are row-at-a-time Python, kept off the hot
+    path by doctrine)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="shingle: string")
+    class ShingleUDTF:
+        def eval(self, text: str, k: int):
+            toks = text.split(" ")
+            for i in range(len(toks) - k + 1):
+                yield (" ".join(toks[i : i + k]),)
+
+    spark.udtf.register("shingle_udtf", ShingleUDTF)
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "p q r")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("_udtf_docs")
+    got = {
+        (r.doc_id, r.shingle)
+        for r in spark.sql(
+            "SELECT d.doc_id, s.shingle FROM _udtf_docs d, "
+            "LATERAL shingle_udtf(d.text, 3) s"
+        ).collect()
+    }
+    from real_time_event_streaming_pipeline_spark.operators.dedup import _shingle_expr
+
+    want = {
+        (r.doc_id, r.shingle)
+        for r in df.select(
+            "doc_id",
+            F.explode(_shingle_expr(F.split("text", " "), 3)).alias("shingle"),
+        ).collect()
+    }
+    assert got == want
+    assert (1, "a b c") in got and (2,) not in {(r[0],) for r in got if r[0] == 2}

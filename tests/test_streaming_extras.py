@@ -200,3 +200,51 @@ def test_sliding_window_streaming_matches_batch(spark, sf_small, tmp_path):
         for r in q_sliding_agg(spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_statestore_reader_exposes_windowed_agg_state(spark, sf_small, tmp_path):
+    """Operational surface: the Spark 4 state-store reader opens a
+    query's checkpoint as a DataFrame — the debugging path for "what
+    is this stream holding in state". Every surviving window must be
+    within the watermark horizon of the stream's max event time, and
+    every state key must be a (window, city, event_type) the batch
+    twin actually produces."""
+    from real_time_event_streaming_pipeline_spark.plans.citystream import (
+        city_events,
+        enrich_events,
+        windowed_agg,
+    )
+    from real_time_event_streaming_pipeline_spark.sources import events_file_stream
+
+    cp = str(tmp_path / "cp")
+    q = (
+        windowed_agg(enrich_events(events_file_stream(spark, sf_small)), watermark="10 minutes")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .format("memory")
+        .queryName("ss_reader_probe")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    state = spark.read.format("statestore").load(cp)
+    rows = state.select(
+        F.unix_micros("key.window.end").alias("w_end_us"),
+        F.date_format("key.window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("key.city").alias("city"),
+        F.col("key.event_type").alias("event_type"),
+    ).collect()
+    assert rows, "state store empty — watermark evicted everything?"
+
+    batch = city_events(spark, sf_small)
+    max_ts_us = batch.agg(F.max(F.unix_micros("ts"))).first()[0]
+    want_keys = {
+        (r.window_start, r.city, r.event_type)
+        for r in windowed_agg(batch).collect()
+    }
+    for r in rows:
+        # eviction contract: state survives only while window.end is
+        # above the watermark (max event time - 10 minutes)
+        assert r.w_end_us > max_ts_us - 600_000_000
+        assert (r.window_start, r.city, r.event_type) in want_keys
