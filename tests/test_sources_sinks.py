@@ -168,3 +168,58 @@ def test_foreach_row_sink_lifecycle(spark, sf_small, tmp_path):
 
     pathlib.Path(out, "part-99999-epoch-0000000000.jsonl.inprogress").write_text("junk")
     assert read_row_upserts(out) == state
+
+
+def test_python_datasource_batch_matches_generator(spark):
+    """The custom `cityevents` Python DataSource (Spark 4 DataSource
+    API) must be bit-identical to the spark.range generator twin after
+    the shared CityEvent projection, and generation must be
+    partition-parallel."""
+    from real_time_event_streaming_pipeline_spark.sources.generator import (
+        _city_event_projection,
+        city_event_batch,
+    )
+    from real_time_event_streaming_pipeline_spark.sources.pydatasource import (
+        CityEventDataSource,
+    )
+
+    spark.dataSource.register(CityEventDataSource)
+    raw = spark.read.format("cityevents").option("n", 200).option("num_partitions", 4).load()
+    assert raw.rdd.getNumPartitions() == 4
+    got = {tuple(r) for r in _city_event_projection(raw).collect()}
+    want = {tuple(r) for r in city_event_batch(spark, 200).collect()}
+    assert got == want
+
+
+def test_python_datasource_stream_drains_deterministically(spark, tmp_path):
+    """The streaming side: a bounded offset cursor drains to max_value
+    through micro-batches and the union of all batches equals the
+    batch read — the Kafka-style replayable-offset contract."""
+    from real_time_event_streaming_pipeline_spark.sources.generator import (
+        _city_event_projection,
+        city_event_batch,
+    )
+    from real_time_event_streaming_pipeline_spark.sources.pydatasource import (
+        CityEventDataSource,
+    )
+
+    spark.dataSource.register(CityEventDataSource)
+    stream = (
+        spark.readStream.format("cityevents")
+        .option("rows_per_batch", 64)
+        .option("max_value", 150)
+        .load()
+    )
+    q = (
+        _city_event_projection(stream)
+        .writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM pyds_stream").collect()}
+    want = {tuple(r) for r in city_event_batch(spark, 150).collect()}
+    assert got == want
