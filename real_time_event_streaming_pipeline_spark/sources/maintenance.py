@@ -98,3 +98,79 @@ def compact_parquet(
         "target_files": n_out,
         "expired_rows": expired,
     }
+
+
+def zorder_value(cols, mins, maxs, bits: int = 16):
+    """Morton (z-order) curve value for 2+ numeric columns as a pure
+    Column expression: each column is scaled to a `bits`-bit bucket
+    with width_bucket over its [min, max] range, then the bucket bits
+    are interleaved. Rows close on the curve are close in EVERY
+    dimension, so after a range-repartition + sort on this value each
+    output file's parquet min/max stats are narrow on all clustered
+    columns at once — the multi-dimensional scan-pruning that
+    single-column range clustering (`compact_parquet(sort_cols=...)`)
+    cannot give. Whole-stage codegen: shifts and ORs, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    buckets = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        # width_bucket returns 1..2^bits; shift to 0-based
+        b = F.width_bucket(
+            F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit((1 << bits) - 1)
+        ) - 1
+        buckets.append(b.cast("long"))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * n + i)
+            )
+    return z
+
+
+def zorder_parquet(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_bytes: int = 128 * 1024 * 1024,
+    bits: int = 16,
+) -> dict:
+    """OPTIMIZE ZORDER BY analogue for plain parquet directories:
+    rewrite the table clustered on the Morton curve of `cols`. Column
+    ranges come from one min/max aggregate (a metadata-cheap scan);
+    the rewrite is repartitionByRange + sortWithinPartitions on the
+    z-value, reusing compact_parquet's crash-safe backup swap via the
+    same staging protocol. Returns before/after file stats; the
+    pruning effect is asserted from parquet footer stats in
+    tests/test_scale_guards.py."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    old = path.rstrip("/") + "._old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    stats = table_file_stats(spark, path)
+    n_out = max(1, math.ceil(stats["total_bytes"] / target_bytes))
+    df: DataFrame = spark.read.parquet(path)
+    rng = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    z = zorder_value(cols, [rng[f"lo_{c}"] for c in cols], [rng[f"hi_{c}"] for c in cols], bits)
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_out, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    staging = path.rstrip("/") + "._compacting"
+    out.write.mode("overwrite").parquet(staging)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {"before": stats, "after": table_file_stats(spark, path), "files": n_out}

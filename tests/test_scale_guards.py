@@ -193,3 +193,45 @@ def test_aqe_splits_planted_skew_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER analogue: after the Morton-curve rewrite, every
+    output file's parquet min/max span is narrow on BOTH clustered
+    columns (single-dim sort leaves the second column's span global —
+    no pruning for queries filtering on it)."""
+    import pyarrow.parquet as pq
+    import pathlib
+
+    from real_time_event_streaming_pipeline_spark.sources.maintenance import (
+        zorder_parquet,
+    )
+
+    p = str(tmp_path / "zt")
+    df = spark.range(200_000).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    df.coalesce(2).write.parquet(p)
+    report = zorder_parquet(spark, p, ["x", "y"], target_bytes=100_000)
+    assert report["after"]["n_files"] >= 4, report
+
+    def spans(col):
+        out = []
+        for f in pathlib.Path(p).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = md.schema.names.index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((max(his) - min(los)) / 999.0)
+        return out
+
+    x_spans, y_spans = spans("x"), spans("y")
+    assert sum(x_spans) / len(x_spans) < 0.6, x_spans
+    assert sum(y_spans) / len(y_spans) < 0.6, y_spans
+    # contents unchanged by the rewrite
+    assert spark.read.parquet(p).count() == 200_000
