@@ -286,13 +286,14 @@ LIMIT 50
 def q_tfidf(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document — the classic relevance /
     keyword signal for corpus curation. Document frequency is a
-    count() window over the tf stream, NOT a second aggregate of the
-    token pipeline: the naive tf→df diamond re-scans and re-explodes
-    the text column (Spark does not reuse the exchange across
-    branches), which doubles the dominant cost at 100 TB — the window
-    form trades that for one extra exchange of the already-tiny
-    (doc, term, tf) stream. The corpus size joins in as a broadcast
-    1-row aggregate, never a collected literal.
+    groupBy aggregate of the tf stream joined back on term, with tf
+    materialized once (lazy localCheckpoint, the repo's diamond
+    pattern) so the text column is scanned and exploded exactly once.
+    A count() window over tf would avoid the diamond but forces every
+    row of a hot Zipf term into a single sorted task — a straggler at
+    100 TB — whereas the groupBy df leg gets map-side partials and the
+    join back is AQE-skew-splittable. The corpus size joins in as a
+    broadcast 1-row aggregate, never a collected literal.
 
     Cross-engine float discipline: ln() is libm (last-ulp differences
     between JVM and C), so the rank orders by the 6-dp ROUNDED score —
@@ -302,9 +303,13 @@ def q_tfidf(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Diamond: tf feeds both the df aggregate and the scored join.
+    # Without the checkpoint Spark re-runs the scan+explode per branch.
+    tf = tf.localCheckpoint(eager=False)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        tf.join(dfreq, "term")
         .join(F.broadcast(total))
         .withColumn(
             "tfidf",

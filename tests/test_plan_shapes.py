@@ -134,16 +134,24 @@ def test_sliding_agg_single_shuffle(spark, sf_med):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_tfidf_single_token_explode(spark, sf_med):
-    """The tf→df diamond must not re-explode the text column: document
-    frequency comes from a window over the tf stream, so exactly one
-    Generate(explode) appears (the second documents scan is the
-    metadata-only count-star for corpus size)."""
+def test_tfidf_diamond_and_no_term_window(spark, sf_med):
+    """The tf→df diamond materializes tf once (lazy localCheckpoint):
+    after one action both branches read Scan ExistingRDD and the text
+    explode never re-runs. Document frequency must NOT be a window
+    partitioned by term — that forces every row of a hot Zipf term
+    into one sorted task; the only window allowed is the per-doc
+    row_number (which gets WindowGroupLimit top-k pushdown)."""
     from real_time_event_streaming_pipeline_spark.plans.curation import q_tfidf
 
-    plan = _plan(q_tfidf(spark, sf_med))
+    df = q_tfidf(spark, sf_med)
+    df.count()  # materialize the checkpoint
+    plan = df._jdf.queryExecution().executedPlan().toString()
     n_explodes = sum(1 for l in plan.splitlines() if "Generate explode" in l)
-    assert n_explodes == 1, plan
+    assert n_explodes == 0, plan
+    assert "ExistingRDD" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line, line
 
 
 def test_alert_followups_bucketed_equi_join(spark, sf_med):
