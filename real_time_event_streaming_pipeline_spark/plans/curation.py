@@ -418,6 +418,152 @@ def _pii_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Cross-document repetition and unigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+_DUP_CHUNK_K = 8
+
+
+def q_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-chunk fraction per document: the share of a doc's
+    distinct 8-grams that also occur in at least one OTHER document —
+    the inter-document complement of q_doc_repetition's within-doc
+    signal (Gopher/RefinedWeb drop docs whose text is mostly shared
+    boilerplate).
+
+    Scale shape — this is deliberately NOT the naive
+    sh ⋈ dfreq ⋈ per-doc-agg diamond:
+    - per-doc totals (n_grams) are a row-local projection
+      (size(array_distinct(...))) on the documents scan — no explode,
+      no shuffle;
+    - the single explode feeds ONE groupBy(shingle) whose state is two
+      scalars (count + min doc_id) — map-side partials, safe on hot
+      boilerplate shingles, never a collect_list;
+    - a doc's duplicated count falls out by subtraction: shingles with
+      df = 1 have exactly one owner (min doc_id IS the owner), so
+      n_dup = n_grams − n_unique_owned. df = 1 rows are the bulk of
+      the agg output but each is one row — nothing unbounded.
+    The dup fraction is one int/int division (IEEE-exact, bitwise
+    stable cross-engine). Docs shorter than k tokens report 0/0 → 0.0.
+    The oracle intentionally uses the naive join formulation — an
+    independent derivation of the same semantics."""
+    docs = load(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, k=_DUP_CHUNK_K)
+    uniq_owned = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") == 1)
+        .groupBy("owner")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .withColumnRenamed("owner", "doc_id")
+    )
+    n_grams = F.size(
+        F.array_distinct(_shingle_expr(F.split("text", " "), _DUP_CHUNK_K))
+    ).cast("long")
+    per_doc = docs.select("doc_id", "source", n_grams.alias("n_grams"))
+    joined = per_doc.join(uniq_owned, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_grams",
+        (F.col("n_grams") - F.coalesce(F.col("n_unique"), F.lit(0))).alias("n_dup"),
+    )
+    return joined.withColumn(
+        "dup_frac",
+        F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+            F.col("n_dup").cast("double") / F.col("n_grams")
+        ),
+    )
+
+
+_DUP_CHUNK_SQL = f"""
+WITH tok AS (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_sql_kgrams(_DUP_CHUNK_K)})) AS shingle
+  FROM tok
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+dup AS (
+  SELECT s.doc_id,
+    count(*) AS n_grams,
+    count(*) FILTER (WHERE d.df >= 2) AS n_dup
+  FROM sh s JOIN dfreq d USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, source,
+  COALESCE(n_grams, 0) AS n_grams,
+  COALESCE(n_dup, 0) AS n_dup,
+  CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+       ELSE CAST(n_dup AS DOUBLE) / n_grams END AS dup_frac
+FROM documents LEFT JOIN dup USING (doc_id)
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model score per document — the
+    KenLM-style fluency/quality proxy: sum over tokens of
+    ln P(tok), with P estimated from the corpus itself.
+
+    Float discipline (see [cross-engine note in module docstring]):
+    a raw float sum of logs is order-dependent and would hash-mismatch
+    across engines/partitionings. Instead the transcendental is taken
+    ONCE per distinct (term) — ln(gcnt/total) on an IEEE-exact double
+    ratio — scaled to integer micro-nats, and everything after is
+    BIGINT arithmetic (tf × micronats, summed): partitioning-invariant
+    and bitwise stable. The per-token average is one final int/int
+    division.
+
+    Shuffle profile mirrors q_tfidf: one explode into the (doc, term)
+    tf agg, tf materialized once (diamond checkpoint), vocab-sized df
+    leg joined back (AQE-skew-splittable), corpus total as a broadcast
+    1-row aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=False)
+    gfreq = tf.groupBy("term").agg(F.sum("tf").alias("gcnt"))
+    total = gfreq.agg(F.sum("gcnt").alias("total"))
+    micronats = F.round(
+        F.log(F.col("gcnt").cast("double") / F.col("total").cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        tf.join(gfreq, "term")
+        .join(F.broadcast(total))
+        .select("doc_id", "tf", (F.col("tf") * micronats).alias("mn"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum("mn").alias("logprob_micronats"),
+        )
+        .withColumn(
+            "avg_micronats",
+            F.col("logprob_micronats").cast("double") / F.col("n_tokens"),
+        )
+    )
+
+
+_UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+gf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS gcnt FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS total FROM gf),
+scored AS (
+  SELECT doc_id, tf,
+    tf * CAST(round(ln(CAST(gcnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000)
+              AS BIGINT) AS mn
+  FROM tf JOIN gf USING (term) CROSS JOIN tot
+)
+SELECT doc_id,
+  CAST(sum(tf) AS BIGINT) AS n_tokens,
+  CAST(sum(mn) AS BIGINT) AS logprob_micronats,
+  CAST(sum(mn) AS DOUBLE) / sum(tf) AS avg_micronats
+FROM scored
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Mixture weighting and sequence packing
 # ---------------------------------------------------------------------------
 
@@ -539,6 +685,8 @@ QUERIES = {
     "llm_pii_redact": q_pii_redact,
     "llm_source_mixture": q_source_mixture,
     "llm_seq_packing": q_seq_packing,
+    "llm_dup_chunk_fraction": q_dup_chunk_fraction,
+    "llm_unigram_logprob": q_unigram_logprob,
 }
 
 ORACLE = {
@@ -553,4 +701,6 @@ ORACLE = {
     "llm_contamination": _CONTAMINATION_SQL,
     "llm_stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "llm_per_source_cap": _PER_SOURCE_CAP_SQL,
+    "llm_dup_chunk_fraction": _DUP_CHUNK_SQL,
+    "llm_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
 }

@@ -271,3 +271,46 @@ def test_source_mixture_rebalances(spark, sf_small):
         assert r.rate_ppm <= 1_000_000
         # kept fraction within sampling noise of the target rate
         assert abs(r.n_kept / r.n_s - r.rate_ppm / 1e6) < 0.2
+
+
+def test_dup_chunk_fraction_planted_and_bounds(spark, sf_small):
+    """Planted near-identical docs must surface with high duplicated-
+    chunk fractions; every row obeys 0 <= n_dup <= n_grams and the
+    fraction is exactly n_dup/n_grams (one IEEE division)."""
+    from real_time_event_streaming_pipeline_spark.plans.curation import (
+        q_dup_chunk_fraction,
+    )
+
+    rows = q_dup_chunk_fraction(spark, sf_small).collect()
+    docs_n = load(spark, sf_small, "documents").count()
+    assert len(rows) == docs_n  # every doc reported, even shingle-free ones
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_grams
+        expect = 0.0 if r.n_grams == 0 else r.n_dup / r.n_grams
+        assert r.dup_frac == expect
+    # the corpus has planted exact/near duplicates: at least one doc
+    # should be (almost) entirely made of shared chunks
+    assert max(r.dup_frac for r in rows) > 0.9
+
+
+def test_unigram_logprob_matches_local_model(spark, sf_small):
+    """Cross-check the distributed unigram LM against a driver-side
+    model built from the same corpus: identical integer micro-nat
+    sums for every document (the exact-unit discipline means there is
+    no tolerance — equality is bitwise)."""
+    import math
+    from collections import Counter
+
+    from real_time_event_streaming_pipeline_spark.plans.curation import (
+        q_unigram_logprob,
+    )
+
+    docs = {r.doc_id: r.text.split(" ") for r in load(spark, sf_small, "documents").collect()}
+    freq = Counter(t for toks in docs.values() for t in toks)
+    total = sum(freq.values())
+    mn = {t: int(round(math.log(c / total) * 1_000_000)) for t, c in freq.items()}
+    for r in q_unigram_logprob(spark, sf_small).collect():
+        toks = docs[r.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.logprob_micronats == sum(mn[t] for t in toks)
+        assert r.avg_micronats == r.logprob_micronats / r.n_tokens
