@@ -364,6 +364,60 @@ FROM cc GROUP BY component
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embedding-cosine
+    near-dup pairs (the blocked exact matrix product — no nested
+    loop), connected components over them, and a per-vector keep/drop
+    decision — keep iff the vector is its cluster's min-id
+    representative. Vectors in no near-dup pair are their own
+    singleton cluster (kept). This is the embedding-space twin of the
+    shingle-based dedup_clusters pipeline; at 100 TB the pair
+    generation swaps to the LSH/IVF candidate paths with identical
+    downstream shape.
+
+    Oracle: the same recursive-CTE reachability as
+    _DEDUP_CLUSTERS_SQL, over the cosine pair set."""
+    from ..operators.clustering import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = S.neardup_pairs(emb, threshold=0.45)
+    cc = connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(cc, F.col("vec_id") == F.col("vertex"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("component"))
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach AS (
+  SELECT u AS vertex, u AS label FROM edges
+  UNION
+  SELECT e2.u AS vertex, r.label
+  FROM reach r JOIN edges e2 ON e2.v = r.vertex
+),
+cc AS (SELECT vertex, min(label) AS component FROM reach GROUP BY vertex)
+SELECT vec_id,
+  COALESCE(component, vec_id) AS component,
+  COALESCE(component, vec_id) = vec_id AS keep
+FROM embeddings LEFT JOIN cc ON vec_id = vertex
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone: the full training-corpus cleaning pass as ONE
     declarative plan — quality gate, language gate, exact dedup (keep
@@ -511,6 +565,7 @@ QUERIES = {
     "llm_emb_ann_ivf": q_emb_ann_ivf,
     "llm_emb_quantize": q_emb_quantize,
     "llm_dedup_clusters": q_dedup_clusters,
+    "llm_semdedup": q_semdedup,
     "llm_corpus_pipeline": q_corpus_pipeline,
     "llm_multimodal_meta": q_multimodal_meta,
     "llm_multimodal_features": q_multimodal_features,
@@ -529,6 +584,7 @@ ORACLE = {
     "llm_emb_neardup": _EMB_NEARDUP_SQL,
     "llm_emb_quantize": _EMB_QUANTIZE_SQL,
     "llm_dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "llm_semdedup": _SEMDEDUP_SQL,
     "llm_corpus_pipeline": _CORPUS_PIPELINE_SQL,
     "llm_multimodal_meta": _MULTIMODAL_META_SQL,
     "llm_multimodal_frames": _MULTIMODAL_FRAMES_SQL,

@@ -314,3 +314,20 @@ def test_unigram_logprob_matches_local_model(spark, sf_small):
         assert r.n_tokens == len(toks)
         assert r.logprob_micronats == sum(mn[t] for t in toks)
         assert r.avg_micronats == r.logprob_micronats / r.n_tokens
+
+
+def test_semdedup_keeps_one_representative_per_cluster(spark, sf_small):
+    """Every vector is assigned a component; exactly one vector per
+    component is kept, and it is the minimum id (SemDeDup keep rule)."""
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import q_semdedup
+
+    rows = q_semdedup(spark, sf_small).collect()
+    total = load(spark, sf_small, "embeddings").count()
+    assert len(rows) == total
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        kept = [r for r in members if r.keep]
+        assert len(kept) == 1
+        assert kept[0].vec_id == comp == min(r.vec_id for r in members)
