@@ -78,6 +78,72 @@ def upsert_parquet(
     return write
 
 
+def upsert_parquet_bucketed(
+    out_dir: str,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    order_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Copy-on-write upsert sink with hash-bucketed layout — the scale
+    path `upsert_parquet` documents as its swap point, minus the
+    metastore: the table lives as ``out_dir/kb=N/`` hive partitions
+    (kb = pmod(xxhash64(keys), n_buckets)), and an epoch rewrites ONLY
+    the buckets its keys hash into. With k changed keys per epoch the
+    rewrite cost is O(table · |affected buckets| / n_buckets) instead
+    of O(table) — at 100 TB, size n_buckets so one bucket ≈ one
+    executor's comfortable write (thousands of buckets), and a
+    hot-keys epoch touches a handful of them.
+
+    Physical shape per epoch: the affected-bucket list is a distinct
+    over the micro-batch's bucket column (≤ n_buckets values — bounded
+    by config, never by data — so the collect is driver-safe); the
+    existing table is read WITH partition pruning on kb (only affected
+    directories are listed/scanned); last-writer-wins dedupe runs per
+    (kb, key) — the window never crosses buckets; the write is Spark's
+    native dynamic partition overwrite, which stages and commits each
+    kb directory independently (same non-atomic caveat as the .bak
+    dance: true multi-partition atomicity needs a manifest commit à la
+    Delta/Iceberg MERGE). The merged frame is materialized
+    (localCheckpoint) before the overwrite because the write replaces
+    the very directories the plan reads.
+
+    Replay-idempotent: re-running an epoch re-merges the same rows
+    into the same buckets with the same (_epoch, key) winners."""
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        kb = F.pmod(
+            F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)
+        ).cast("int")
+        incoming = (
+            batch.withColumn("_epoch", F.lit(int(epoch_id))).withColumn("kb", kb)
+        )
+        affected = [r.kb for r in incoming.select("kb").distinct().collect()]
+        if not affected:
+            return
+        if os.path.exists(out_dir):
+            existing = spark.read.parquet(out_dir).filter(F.col("kb").isin(affected))
+            merged = existing.unionByName(incoming)
+        else:
+            merged = incoming
+        order = [F.desc("_epoch")] + ([F.desc(order_col)] if order_col else [])
+        w = Window.partitionBy("kb", *key_cols).orderBy(*order)
+        deduped = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint()
+        )
+        (
+            deduped.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kb")
+            .parquet(out_dir)
+        )
+
+    return write
+
+
 class RowUpsertWriter:
     """Row-at-a-time ForeachWriter with the reference's exact sink
     lifecycle (SparkDynamoDBConsumer.java:202-283): open(partition,

@@ -240,3 +240,89 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_small, tmp_path):
         ).distinct().collect()
     }
     assert set(got) == want
+
+
+def test_bucketed_upsert_semantics_match_full_rewrite(spark, tmp_path):
+    """The bucketed copy-on-write sink and the full-rewrite sink must
+    agree on final table contents for the same epoch sequence."""
+    from real_time_event_streaming_pipeline_spark.streaming.sinks import (
+        upsert_parquet_bucketed,
+    )
+
+    full, cow = str(tmp_path / "full"), str(tmp_path / "cow")
+    s_full = upsert_parquet(full, ["k"], order_col="v")
+    s_cow = upsert_parquet_bucketed(cow, ["k"], n_buckets=8, order_col="v")
+    epochs = [
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)],
+        [("a", 9), ("e", 5)],
+        [("b", 7), ("a", 8)],
+    ]
+    for i, rows in enumerate(epochs):
+        b = spark.createDataFrame(rows, "k string, v int")
+        s_full(b, i)
+        s_cow(b, i)
+    want = {(r.k, r.v) for r in spark.read.parquet(full).select("k", "v").collect()}
+    got = {(r.k, r.v) for r in spark.read.parquet(cow).select("k", "v").collect()}
+    assert got == want == {("a", 8), ("b", 7), ("c", 3), ("d", 4), ("e", 5)}
+
+
+def test_bucketed_upsert_rewrites_only_affected_buckets(spark, tmp_path):
+    """The copy-on-write contract: an epoch must not touch bucket
+    directories its keys don't hash into (at 100 TB this is the
+    difference between rewriting gigabytes and rewriting everything)."""
+    import os
+    import pathlib
+
+    from real_time_event_streaming_pipeline_spark.streaming.sinks import (
+        upsert_parquet_bucketed,
+    )
+
+    out = str(tmp_path / "t")
+    sink = upsert_parquet_bucketed(out, ["k"], n_buckets=16, order_col="v")
+    rows0 = [(f"key{i}", i) for i in range(200)]
+    sink(spark.createDataFrame(rows0, "k string, v int"), 0)
+
+    def snapshot():
+        snap = {}
+        for p in pathlib.Path(out).rglob("*.parquet"):
+            st = os.stat(p)
+            snap[str(p)] = (st.st_mtime_ns, st.st_size)
+        return snap
+
+    before = snapshot()
+    buckets = {d.name for d in pathlib.Path(out).iterdir() if d.name.startswith("kb=")}
+    assert len(buckets) > 4  # keys actually spread over buckets
+
+    sink(spark.createDataFrame([("key7", 999)], "k string, v int"), 1)
+    after = snapshot()
+
+    from pyspark.sql import functions as SF
+
+    hit = spark.range(1).select(
+        SF.pmod(SF.xxhash64(SF.lit("key7")), SF.lit(16)).cast("int").alias("kb")
+    ).first().kb
+    changed_dirs = {
+        p.split("kb=")[1].split("/")[0]
+        for p in set(before) ^ set(after) | {p for p in before if before.get(p) != after.get(p)}
+    }
+    assert changed_dirs == {str(hit)}
+    got = {(r.k, r.v) for r in spark.read.parquet(out).select("k", "v").collect()}
+    assert ("key7", 999) in got and len(got) == 200
+
+
+def test_bucketed_upsert_replay_same_epoch_idempotent(spark, tmp_path):
+    from real_time_event_streaming_pipeline_spark.streaming.sinks import (
+        upsert_parquet_bucketed,
+    )
+
+    out = str(tmp_path / "t")
+    sink = upsert_parquet_bucketed(out, ["k"], n_buckets=8, order_col="v")
+    sink(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), 0)
+    b1 = spark.createDataFrame([("a", 5), ("c", 3)], "k string, v int")
+    sink(b1, 1)
+    snap = {(r.k, r.v) for r in spark.read.parquet(out).select("k", "v").collect()}
+    assert snap == {("a", 5), ("b", 2), ("c", 3)}
+    sink(b1, 1)  # verbatim replay
+    table = spark.read.parquet(out)
+    assert {(r.k, r.v) for r in table.select("k", "v").collect()} == snap
+    assert table.count() == 3
