@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import ALERT_SEVERITIES, event_key
 from ..plans.citystream import enrich_events, windowed_agg
-from .sinks import append_parquet, upsert_parquet
+from .sinks import append_parquet, upsert_parquet, upsert_parquet_bucketed
 
 
 @dataclass
@@ -41,6 +41,17 @@ class PipelineConfig:
     # stops on its own — the batch-backfill trigger (the reference has
     # only ASAP micro-batches)
     available_now: bool = False
+    # >0 switches the upsert sinks to the hash-bucketed copy-on-write
+    # layout (kb=N hive partitions; an epoch rewrites only the buckets
+    # its keys hash into — the at-scale sink short of Delta MERGE)
+    upsert_buckets: int = 0
+
+    def upsert(self, name: str, key_cols: list[str], order_col: str):
+        if self.upsert_buckets > 0:
+            return upsert_parquet_bucketed(
+                self.path(name), key_cols, n_buckets=self.upsert_buckets, order_col=order_col
+            )
+        return upsert_parquet(self.path(name), key_cols, order_col=order_col)
 
     def path(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
@@ -83,7 +94,7 @@ def start_pipeline(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) 
     queries["raw_events"] = _start(
         raw.writeStream.outputMode("append")
         .option("checkpointLocation", cfg.checkpoint("raw-events"))
-        .foreachBatch(upsert_parquet(cfg.path("raw_events"), ["event_key"], order_col="ts")),
+        .foreachBatch(cfg.upsert("raw_events", ["event_key"], "ts")),
         cfg,
     )
 
@@ -91,9 +102,7 @@ def start_pipeline(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) 
     queries["aggregations"] = _start(
         agg.writeStream.outputMode("update")
         .option("checkpointLocation", cfg.checkpoint("aggregations"))
-        .foreachBatch(
-            upsert_parquet(cfg.path("aggregations"), ["partition_key"], order_col="last_updated")
-        ),
+        .foreachBatch(cfg.upsert("aggregations", ["partition_key"], "last_updated")),
         cfg,
     )
 

@@ -326,3 +326,21 @@ def test_bucketed_upsert_replay_same_epoch_idempotent(spark, tmp_path):
     table = spark.read.parquet(out)
     assert {(r.k, r.v) for r in table.select("k", "v").collect()} == snap
     assert table.count() == 3
+
+
+def test_pipeline_bucketed_sink_matches_batch(spark, sf_small, tmp_path):
+    """The 4-query pipeline with the copy-on-write bucketed upsert
+    sinks produces the same Q2 table as the batch twin, laid out as
+    kb=N partitions."""
+    import pathlib
+
+    cfg = PipelineConfig(out_dir=str(tmp_path), upsert_buckets=8)
+    src = events_file_stream(spark, sf_small)
+    queries = start_pipeline(spark, src, cfg)
+    run_to_completion(queries)
+
+    got = spark.read.parquet(cfg.path("aggregations")).drop("_epoch", "kb")
+    want = windowed_agg(city_events(spark, sf_small))
+    assert _rows(got) == _rows(want)
+    dirs = {d.name for d in pathlib.Path(cfg.path("aggregations")).iterdir()}
+    assert any(d.startswith("kb=") for d in dirs)
