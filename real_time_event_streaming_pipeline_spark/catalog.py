@@ -38,13 +38,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Confs the engine REQUIRES for correct results, applied defensively at
 # load time because the driver may hand us a session built without our
-# factory: nanos parquet support (the events table is TIMESTAMP_NANOS —
-# a bare read throws PARQUET_TYPE_ILLEGAL) and a UTC session TZ (every
-# timestamp-string output would silently shift under a local TZ).
-# Both are runtime-settable SQL confs.
+# factory: nanos parquet support (some testdata generations write the
+# events table as TIMESTAMP_NANOS — a bare read throws
+# PARQUET_TYPE_ILLEGAL), a UTC session TZ (every timestamp-string
+# output would silently shift under a local TZ), and NTZ inference OFF
+# so naive parquet timestamps (isAdjustedToUTC=false, how both the
+# driver's generator and DuckDB write them) read as TIMESTAMP_LTZ —
+# under a UTC session the values are identical to what the DuckDB
+# oracle sees, and LTZ keeps unix_micros()/to_utc-family functions
+# usable (they reject TIMESTAMP_NTZ). All are runtime-settable.
 _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -262,6 +262,179 @@ def ivf_ann_topk(
     )
 
 
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    sample: int = 256,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: split the dimension into ``m``
+    subspaces and k-means each on a deterministic driver-side sample
+    (first ``sample`` vectors by id — at scale: a seeded distributed
+    sample; the sample is tiny either way, k-means state is
+    m·k·(dim/m) floats). Deterministic: fixed init (first k sample
+    rows), fixed iteration count, float64 throughout — the codebook is
+    the index's immutable contract exactly like IVF's centroid list.
+
+    Returns an (m, n_codes, dim//m) float64 array.
+    """
+    X = np.array(
+        [list(r[0]) for r in emb.orderBy(id_col).limit(sample).select(vec_col).collect()],
+        dtype=np.float64,
+    )
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.zeros((m, n_codes, sub))
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(n_codes):
+                pts = S[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` small codes (nearest sub-codebook
+    entry per subspace) plus its exact L2 norm — the storage layout of
+    a PQ index: dim floats → m bytes + 1 float (16-64× compression, the
+    reason a 100 TB embedding corpus fits a scan at all).
+
+    Entirely JVM-side: per subspace the argmin over codes is an
+    ``array_sort`` of (distance, code) structs built from literal
+    codebook vectors — no Python in the corpus path. Minimizing
+    ||x-c||² ⟺ minimizing ||c||² − 2·x·c, so each candidate costs one
+    sub-dot against a literal.
+    """
+    m, n_codes, sub = books.shape
+    vec = F.col(vec_col)
+
+    def sub_slice(j: int):
+        return F.slice(vec, j * sub + 1, sub)
+
+    def code_for(j: int) -> Column:
+        cands = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(float((books[j, c] ** 2).sum()))
+                        - 2.0 * dot(sub_slice(j), F.array(*[F.lit(float(v)) for v in books[j, c]]))
+                    ).alias("score"),
+                    F.lit(c).alias("code"),
+                )
+                for c in range(n_codes)
+            ]
+        )
+        return F.array_sort(cands)[0]["code"]
+
+    return emb.select(
+        F.col(id_col).alias("n_id"),
+        F.array(*[code_for(j) for j in range(m)]).alias("codes"),
+        norm(vec).alias("nrm"),
+    )
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate top-k — the third mandated ANN shape beside
+    LSH and IVF, and the one that changes the 100 TB constant factor:
+    the candidate scan touches only the m-byte codes + stored norm,
+    never the vectors, and scores each candidate with ``m`` table
+    lookups instead of ``dim`` multiplies.
+
+    - per QUERY (small side), a lookup table LUT[j·k + c] =
+      q_sub_j · codebook[j][c] is computed once as an array column —
+      m·n_codes sub-dots, amortized over the whole corpus;
+    - per CANDIDATE, approx_dot = Σ_j LUT[j·k + codes_j] — an O(m)
+      fold over the code array (asymmetric distance computation);
+    - the top ``rerank·k`` candidates per query by approximate cosine
+      (approx_dot / (|q|·nrm)) are re-scored EXACTLY by joining the
+      full vectors back, so emitted cos values are identical in kind
+      to the brute-force path — PQ only chooses which pairs get the
+      exact treatment.
+
+    All JVM-side expressions (nested higher-order folds); codebooks
+    fold in as literals like IVF centroids → rows-only for the driver,
+    recall-pinned against brute force in tests.
+    """
+    books = train_pq_codebooks(emb, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    sub = books.shape[2]
+    codes_df = pq_encode(emb, books, id_col, vec_col)
+
+    flat_books = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in books[j, c]])
+            for j in range(m)
+            for c in range(n_codes)
+        ]
+    )
+    qv = F.col("q_vec")
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m * n_codes - 1)),
+        lambda i: dot(
+            F.slice(qv, (i / n_codes).cast("int") * sub + 1, sub),
+            F.element_at(flat_books, i + 1),
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
+    ).withColumn("lut", lut)
+
+    adc_dot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.col("lut"), j * n_codes + F.element_at(F.col("codes"), j + 1) + 1),
+    )
+    cand = (
+        codes_df.join(F.broadcast(q.select("q_id", "q_nrm", "lut")), F.col("n_id") != F.col("q_id"))
+        .withColumn("approx_cos", adc_dot / (F.col("q_nrm") * F.col("nrm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("approx_cos"), F.asc("n_id"))
+    shortlist = cand.withColumn("arank", F.row_number().over(w)).filter(
+        F.col("arank") <= rerank * k
+    ).select("q_id", "n_id")
+
+    # exact rerank: join the full vectors back for the shortlist only
+    c_full = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    exact = (
+        shortlist.join(c_full, "n_id")
+        .join(F.broadcast(q.select("q_id", "q_vec")), "q_id")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -59,6 +59,10 @@ def get_spark(
         # which Spark has no native type for; read it as epoch-nanos long
         # and convert in catalog.load (truncating to µs, matching DuckDB).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive parquet timestamps (isAdjustedToUTC=false) read as LTZ,
+        # not NTZ: under the UTC session TZ the values match the DuckDB
+        # oracle exactly, and LTZ keeps unix_micros()/date-math usable.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # Streaming state at scale: RocksDB spills state to local disk
