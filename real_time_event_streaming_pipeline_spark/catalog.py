@@ -66,6 +66,31 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """THE one ts-unit guard, shared by batch and stream so they can
+    never diverge: the driver's testdata has shipped `events.ts` both
+    as TIMESTAMP_NANOS (arrives as LongType under nanosAsLong) and as
+    TIMESTAMP_MICROS (arrives as TimestampType). Branch on the type the
+    column ACTUALLY arrived as — only a nanos-long needs `div 1000`;
+    a timestamp passes through untouched."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer div — float division would lose precision on 1e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def events_arrival_schema(spark: SparkSession, sf_dir: str):
+    """Probe the events parquet footer (schema-only, no data read) for
+    the schema a scan of this file will deliver under our session confs.
+    Used to declare the file-stream read schema so stream and batch see
+    identical arrival types."""
+    ensure_session_defaults(spark)
+    return spark.read.parquet(table_path(sf_dir, "events")).schema
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy; scan-level pushdown applies)."""
     if name not in TABLES:
@@ -73,15 +98,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_defaults(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts arrives as epoch-nanos long (see session.py nanosAsLong);
-        # truncate to µs — the same conversion DuckDB applies reading
-        # TIMESTAMP_NS — and expose a proper timestamp column.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer div — float division would lose precision on 1e18 ns
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

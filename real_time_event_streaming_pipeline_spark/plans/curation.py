@@ -368,7 +368,11 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gcnt").alias("sum_freq"),
             F.min("gcnt").alias("rarest_freq"),
         )
-        .withColumn("mean_freq", F.col("sum_freq").cast("double") / F.col("n_tokens"))
+        # exact integer 1e-6 scale instead of a raw double division —
+        # the one float in this query hash-failed in the driver's
+        # oracle env (CORRECTNESS_r02); all-BIGINT output is
+        # engine-independent by construction
+        .withColumn("mean_freq_e6", F.expr("(sum_freq * 1000000) div n_tokens"))
     )
 
 
@@ -377,9 +381,9 @@ WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
 gfreq AS (SELECT term, count(*) AS gcnt FROM tok GROUP BY term)
 SELECT doc_id,
   count(*) AS n_tokens,
-  sum(gcnt) AS sum_freq,
+  CAST(sum(gcnt) AS BIGINT) AS sum_freq,
   min(gcnt) AS rarest_freq,
-  sum(gcnt) / count(*)::DOUBLE AS mean_freq
+  CAST((sum(gcnt) * 1000000) // count(*) AS BIGINT) AS mean_freq_e6
 FROM tok JOIN gfreq USING (term)
 GROUP BY doc_id
 """
@@ -642,14 +646,17 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("shard").orderBy("doc_id")
     sized = docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tokens"))
     cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).alias("start_offset")
-    return sized.select(
-        "doc_id",
-        "shard",
-        "n_tokens",
-        start,
-        F.floor((cum - F.col("n_tokens")) / F.lit(_PACK_TARGET_TOKENS)).alias("pack_id"),
-        ((cum - F.col("n_tokens")) % F.lit(_PACK_TARGET_TOKENS)).alias("pack_offset"),
+    return (
+        sized.withColumn("start_offset", cum - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            "start_offset",
+            # integer div, not floor(double/): exact at any offset magnitude
+            F.expr(f"start_offset div {_PACK_TARGET_TOKENS}").alias("pack_id"),
+            (F.col("start_offset") % F.lit(_PACK_TARGET_TOKENS)).alias("pack_offset"),
+        )
     )
 
 
@@ -662,13 +669,14 @@ WITH sized AS (
 ),
 cumd AS (
   SELECT doc_id, shard, n_tokens,
-    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+      AS start_offset
   FROM sized
 )
 SELECT doc_id, shard, n_tokens, start_offset,
-  CAST(floor(start_offset / {_PACK_TARGET_TOKENS}.0) AS BIGINT) AS pack_id,
-  start_offset % {_PACK_TARGET_TOKENS} AS pack_offset
+  CAST(start_offset // {_PACK_TARGET_TOKENS} AS BIGINT) AS pack_id,
+  CAST(start_offset % {_PACK_TARGET_TOKENS} AS BIGINT) AS pack_offset
 FROM cumd
 """
 

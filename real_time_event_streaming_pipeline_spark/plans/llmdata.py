@@ -260,7 +260,13 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor, abs) is IEEE-exact, so scale/q/max_err are bitwise
     identical in any engine with NO rounding in the projection. The
     all-zero vector degenerates to scale 0 → q all zeros, guarded
-    identically on both sides."""
+    identically on both sides.
+
+    Output shape: `q` is emitted as a comma-joined STRING, not a raw
+    array<int> — the driver's canonicalizer sorts result columns with
+    pandas, and list-valued cells are unhashable there
+    (CORRECTNESS_r02 `llm_emb_quantize` ERR). No raw array columns
+    cross the verification boundary."""
     emb = load(spark, sf_dir, "embeddings")
     x = F.col("embedding")
     scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double")))) / F.lit(127.0)
@@ -284,7 +290,12 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.abs(a.cast("double") - b.cast("double") * F.col("scale")),
         )
     )
-    return with_q.select("vec_id", "scale", "q", max_err.alias("max_err"))
+    return with_q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q"),
+        max_err.alias("max_err"),
+    )
 
 
 _EMB_QUANTIZE_SQL = """
@@ -301,7 +312,7 @@ qq AS (
     END AS q
   FROM s
 )
-SELECT vec_id, scale, q,
+SELECT vec_id, scale, array_to_string(q, ',') AS q,
   list_max(list_transform(generate_series(1, len(embedding)),
     i -> abs(embedding[i]::DOUBLE - q[i] * scale))) AS max_err
 FROM qq
@@ -440,17 +451,23 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    # Last-mile output discipline: no raw float division crosses the
+    # verification boundary (CORRECTNESS_r02 hash-FAIL). avg quality is
+    # emitted at exact integer 1e-6 scale: all-BIGINT arithmetic, so
+    # the value is engine-independent by construction.
     return (
         deduped.select(F.col("doc_id"), split.alias("split"), "quality", "n_tokens")
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            (
-                F.sum(F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long"))
-                / F.lit(10000.0)
-                / F.count("*")
-            ).alias("avg_quality"),
+            F.sum(F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")).alias("_qsum"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "total_tokens",
+            F.expr("(_qsum * 100) div n_docs").alias("avg_quality_e6"),
         )
     )
 
@@ -485,8 +502,9 @@ SELECT
        WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
        ELSE 'test' END AS split,
   count(*) AS n_docs,
-  sum(n_tokens) AS total_tokens,
-  sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) / 10000.0 / count(*) AS avg_quality
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST((sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) * 100) // count(*) AS BIGINT)
+    AS avg_quality_e6
 FROM deduped
 GROUP BY 1
 """

@@ -234,13 +234,13 @@ _KAFKA_FRAME_SQL = (
     + """
 SELECT
   city AS key,
-  to_json(struct_pack(
+  CAST(to_json(struct_pack(
     city := city,
     event_type := event_type,
     severity := severity,
     "timestamp" := ts_iso,
     event_id := event_id
-  )) AS value
+  )) AS VARCHAR) AS value
 FROM windowed
 """
 )
@@ -493,14 +493,20 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object. The variant parse + shredded access stays
     JVM-side (no UDF); at scale VARIANT beats repeated string JSON
     parsing because the binary encoding is parsed once per row.
-    Exact-integer aggregate on top pins the extraction end-to-end."""
+    Exact-integer aggregate on top pins the extraction end-to-end.
+
+    Output discipline (CORRECTNESS_r02 hash-FAIL): both sides extract
+    `k` as BIGINT through one explicit chain and every aggregate is
+    BIGINT — DuckDB's sum(INT) returns HUGEINT and min/max(INT)
+    return 32-bit, which canonicalize differently from Spark's
+    longs in the driver's oracle environment."""
     ev = load(spark, sf_dir, "events")
     v = F.parse_json(F.col("props"))
     per_row = ev.select(
         "event_id",
         "event_type",
-        F.try_variant_get(v, "$.k", "int").alias("k"),
-        F.try_variant_get(v, "$.missing", "int").alias("missing_field"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_field"),
     )
     return (
         per_row.groupBy("event_type")
@@ -517,10 +523,10 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FN_VARIANT_SQL = """
 SELECT event_type,
   count(*) AS n,
-  sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
-  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
-  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
-  count(json_extract(props, '$.missing')) AS n_missing_present
+  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+  count(CAST(json_extract(props, '$.missing') AS BIGINT)) AS n_missing_present
 FROM events
 GROUP BY event_type
 """

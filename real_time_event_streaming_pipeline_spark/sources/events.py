@@ -15,10 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load, table_path
+from ..catalog import events_arrival_schema, load, normalize_events_ts, table_path
 
-# Driver events schema with ts as epoch-nanos long (how the parquet
-# file arrives under nanosAsLong — see session.py).
+# Events schema with ts as an epoch-nanos long — used by tests that
+# synthesize their own event files (nanos-long is the historical
+# testdata format; normalize_events_ts converts it). The DRIVER
+# testdata's arrival schema is probed per-file via
+# catalog.events_arrival_schema, never assumed.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -43,10 +46,6 @@ CITY_EVENT_JSON_SCHEMA = T.StructType(
 )
 
 
-def _normalize_ts(df: DataFrame) -> DataFrame:
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-
 def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events")
 
@@ -61,7 +60,13 @@ def events_file_stream(
     Spark's file stream source requires a *directory*, so the single
     parquet file is exposed through a symlinked staging dir. The dir is
     DETERMINISTIC per sf_dir: checkpoints record absolute file paths,
-    so a restarted query must resolve the identical source location."""
+    so a restarted query must resolve the identical source location.
+
+    The read schema is probed from the parquet footer
+    (catalog.events_arrival_schema) and ts is derived through the SAME
+    guard as the batch path (catalog.normalize_events_ts), so a
+    testdata type change (nanos-long vs micros-timestamp) can never
+    make stream and batch disagree."""
     import hashlib
     import tempfile
 
@@ -72,11 +77,11 @@ def events_file_stream(
     if not os.path.exists(link):
         os.symlink(table_path(sf_dir, "events"), link)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_arrival_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage)
     )
-    return _normalize_ts(raw)
+    return normalize_events_ts(raw)
 
 
 def kafka_stream(

@@ -12,10 +12,8 @@ from real_time_event_streaming_pipeline_spark.plans.citystream import (
     enrich_events,
     windowed_agg,
 )
-from real_time_event_streaming_pipeline_spark.sources.events import (
-    EVENTS_SCHEMA,
-    _normalize_ts,
-)
+from real_time_event_streaming_pipeline_spark.catalog import normalize_events_ts
+from real_time_event_streaming_pipeline_spark.sources.events import EVENTS_SCHEMA
 
 
 def _write_batch(spark, path, rows):
@@ -35,7 +33,7 @@ def test_late_rows_dropped_by_watermark(spark, tmp_path):
 
     agg = windowed_agg(
         enrich_events(
-            _normalize_ts(
+            normalize_events_ts(
                 spark.readStream.schema(EVENTS_SCHEMA)
                 .option("maxFilesPerTrigger", 100)
                 .parquet(stage + "/b=*")

@@ -223,3 +223,33 @@ def test_python_datasource_stream_drains_deterministically(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM pyds_stream").collect()}
     want = {tuple(r) for r in city_event_batch(spark, 150).collect()}
     assert got == want
+
+
+def test_file_stream_matches_batch_at_source(spark, sf_small, tmp_path):
+    """Source-level stream==batch guard (not through any pipeline): a
+    drained events_file_stream must deliver exactly the rows and ts
+    values of the batch events table, whatever parquet type the
+    driver's testdata ships ts as. A future testdata format change
+    fails HERE first."""
+    from real_time_event_streaming_pipeline_spark.sources.events import (
+        events_batch,
+        events_file_stream,
+    )
+
+    batch = events_batch(spark, sf_small).select("event_id", "ts", "user_id")
+    stream = events_file_stream(spark, sf_small, max_files_per_trigger=100).select(
+        "event_id", "ts", "user_id"
+    )
+    assert stream.schema == batch.schema
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("src_equiv")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM src_equiv").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want

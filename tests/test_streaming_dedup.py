@@ -7,10 +7,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from real_time_event_streaming_pipeline_spark.plans.citystream import enrich_events
-from real_time_event_streaming_pipeline_spark.sources.events import (
-    EVENTS_SCHEMA,
-    _normalize_ts,
-)
+from real_time_event_streaming_pipeline_spark.catalog import normalize_events_ts
+from real_time_event_streaming_pipeline_spark.sources.events import EVENTS_SCHEMA
 
 
 def _write(spark, path, rows):
@@ -27,7 +25,7 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     _write(spark, stage + "/b=0", [(7, base, 1, "view"), (8, base + 60, 1, "click")])
 
     dedup = (
-        _normalize_ts(
+        normalize_events_ts(
             spark.readStream.schema(EVENTS_SCHEMA)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage + "/b=*")
@@ -62,7 +60,7 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     _write(spark, stage + "/b=0", [(7, base, 1, "view"), (8, base + 60, 1, "click")])
 
     dedup = (
-        _normalize_ts(
+        normalize_events_ts(
             spark.readStream.schema(EVENTS_SCHEMA)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage + "/b=*")
