@@ -197,6 +197,52 @@ def neardup_pairs(
     )
 
 
+def neardup_pairs_ivf_candidates(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — CANDIDATE-based scale
+    path: multi-probe IVF cell assignment generates candidates, exact
+    cosine verifies them.
+
+    Each vector is assigned to its ``n_probe`` nearest of
+    ``n_centroids`` Voronoi cells; candidate pairs are vectors sharing
+    ≥1 cell (an equi-join on cell id — the O(n²) pair space is never
+    materialized). Every candidate is then scored with the exact
+    JVM-side cosine (identical fold order to the DuckDB oracle), so
+    emitted pairs are bit-identical to the exact path's — the only
+    approximation is which pairs get scored. Recall vs the exact
+    blocked-GEMM path is pinned in tests at multiple scale factors
+    (1.0 on this corpus with n_probe=6).
+
+    100 TB shape: corpus cost is one projection (cell assignment
+    against literal centroids) + n_probe-fold replication + a
+    cell-bucketed self-join — candidate count ≈ n²·n_probe²/n_centroids
+    per cell group, so n_centroids scales with corpus size to bound
+    per-cell work (and AQE splits residual cell skew). Compare
+    ``neardup_pairs``: exact O(n²) FLOPs as a blocked GEMM — the right
+    spend when exactness is mandatory, this path when candidates
+    suffice."""
+    cents = sample_centroids(emb, n_centroids, id_col, vec_col)
+    tagged = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")).withColumn(
+        "cell", F.explode(nearest_cells(F.col("_vec"), cents, n_probe)["cell"])
+    )
+    a = tagged.select(F.col("_id").alias("a_id"), F.col("_vec").alias("a_vec"), "cell")
+    b = tagged.select(F.col("_id").alias("b_id"), F.col("_vec").alias("b_vec"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("cos", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
 def sample_centroids(
     emb: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[tuple[int, list[float]]]:
@@ -285,6 +331,10 @@ def train_pq_codebooks(
         [list(r[0]) for r in emb.orderBy(id_col).limit(sample).select(vec_col).collect()],
         dtype=np.float64,
     )
+    if X.shape[0] < n_codes:
+        raise ValueError(
+            f"PQ training needs >= n_codes sample vectors: got {X.shape[0]} < {n_codes}"
+        )
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -358,6 +408,9 @@ def pq_ann_topk(
     rerank: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: np.ndarray | None = None,
+    sample: int = 256,
+    iters: int = 5,
 ) -> DataFrame:
     """PQ/ADC approximate top-k — the third mandated ANN shape beside
     LSH and IVF, and the one that changes the 100 TB constant factor:
@@ -378,10 +431,19 @@ def pq_ann_topk(
 
     All JVM-side expressions (nested higher-order folds); codebooks
     fold in as literals like IVF centroids → rows-only for the driver,
-    recall-pinned against brute force in tests.
+    recall-pinned against brute force in tests
+    (tests/test_ann_ivf_dlq.py::test_pq_ann_recall_beats_random).
+
+    ``books`` accepts a prebuilt codebook (the index's immutable
+    contract — train once, reuse across queries/epochs); when None,
+    one is trained here with ``sample``/``iters`` forwarded to
+    train_pq_codebooks.
     """
-    books = train_pq_codebooks(emb, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
-    sub = books.shape[2]
+    if books is None:
+        books = train_pq_codebooks(
+            emb, m=m, n_codes=n_codes, sample=sample, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    m, n_codes, sub = books.shape
     codes_df = pq_encode(emb, books, id_col, vec_col)
 
     flat_books = F.array(
@@ -395,7 +457,7 @@ def pq_ann_topk(
     lut = F.transform(
         F.sequence(F.lit(0), F.lit(m * n_codes - 1)),
         lambda i: dot(
-            F.slice(qv, (i / n_codes).cast("int") * sub + 1, sub),
+            F.slice(qv, F.floor(i / n_codes).cast("int") * sub + 1, sub),
             F.element_at(flat_books, i + 1),
         ),
     )

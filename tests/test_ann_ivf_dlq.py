@@ -37,3 +37,46 @@ def test_parse_with_dlq_splits(spark):
     assert good.count() == 1 and good.first().city == "SF"
     rejects = {r.raw for r in dlq.collect()}
     assert rejects == {"garbage", '{"event_type":"weather"}'}
+
+
+def test_pq_ann_recall_beats_random(spark, sf_small):
+    """PQ/ADC shortlist + exact rerank must recover a large share of
+    the true brute-force top-k (and beat random-candidate recall by a
+    wide margin) — the same pin the IVF/LSH paths carry."""
+    from real_time_event_streaming_pipeline_spark.operators import similarity as S
+
+    emb = load(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r.q_id, r.n_id) for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    got = {(r.q_id, r.n_id) for r in S.pq_ann_topk(emb, q, k=5).collect()}
+    recall = len(truth & got) / len(truth)
+    # 500 vecs, shortlist = rerank*k = 20 → random recall ≈ 20/500 = 4%
+    assert recall >= 0.5, f"PQ recall {recall:.2f} below pin"
+
+
+def test_pq_train_guards_small_sample(spark, sf_small):
+    """Training with fewer sample vectors than codes must raise a
+    clear ValueError, not a numpy broadcast error."""
+    import pytest
+
+    from real_time_event_streaming_pipeline_spark.operators import similarity as S
+
+    emb = load(spark, sf_small, "embeddings").filter(F.col("vec_id") < 8)
+    with pytest.raises(ValueError, match="n_codes"):
+        S.train_pq_codebooks(emb, m=4, n_codes=16, sample=8)
+
+
+def test_pq_prebuilt_codebook_reused(spark, sf_small):
+    """pq_ann_topk must accept a prebuilt codebook (the immutable
+    index contract) and produce identical results to in-call training
+    with the same sample/iters."""
+    from real_time_event_streaming_pipeline_spark.operators import similarity as S
+
+    emb = load(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    books = S.train_pq_codebooks(emb, m=4, n_codes=16)
+    a = {tuple(r) for r in S.pq_ann_topk(emb, q, k=3, books=books).collect()}
+    b = {tuple(r) for r in S.pq_ann_topk(emb, q, k=3).collect()}
+    assert a == b

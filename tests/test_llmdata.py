@@ -332,3 +332,34 @@ def test_semdedup_keeps_one_representative_per_cluster(spark, sf_small):
         kept = [r for r in members if r.keep]
         assert len(kept) == 1
         assert kept[0].vec_id == comp == min(r.vec_id for r in members)
+
+
+def test_neardup_ivf_candidates_recall_pinned(spark, sf_small, sf_med):
+    """The registered semdedup pair generator (IVF candidates + exact
+    verify) must reproduce the exact blocked-GEMM pair set — recall
+    1.0 on this corpus at every testdata sf — so the DuckDB oracle
+    (exact all-pairs) stays valid for the candidate-based query."""
+    for sf in (sf_small, sf_med):
+        emb = load(spark, sf, "embeddings")
+        exact = {
+            (r.a_id, r.b_id, r.cos)
+            for r in S.neardup_pairs(emb, threshold=0.45).collect()
+        }
+        cand = {
+            (r.a_id, r.b_id, r.cos)
+            for r in S.neardup_pairs_ivf_candidates(emb, threshold=0.45).collect()
+        }
+        assert cand == exact, f"candidate pair set diverged at {sf}"
+
+
+def test_semdedup_registered_plan_has_no_python_gemm(spark, sf_small):
+    """The registered llm_semdedup (candidate-based) must not contain
+    the applyInPandas GEMM seam or a nested-loop join — pair
+    generation is cell-bucketed equi-join + JVM cosine only."""
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import q_semdedup
+
+    df = q_semdedup(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
