@@ -44,6 +44,7 @@ HEADLINE = [
 def main() -> None:
     import re
 
+    headline_only = "--headline-only" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     sf = float(m.group(1)) if m else -1.0  # unknown layout: still emit JSON
@@ -73,29 +74,35 @@ def main() -> None:
     # round, not a precision number; headline keeps best-of-N). A query
     # erroring records "error:..." instead of aborting the bench line.
     full: dict[str, float | str] = {}
-    for name, fn in queries.items():
-        if name in times:
-            full[name] = times[name]
-            continue
-        try:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            full[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001 — bench must emit its line
-            full[name] = f"error: {type(e).__name__}"
+    if not headline_only:
+        for name, fn in queries.items():
+            if name in times:
+                full[name] = times[name]
+                continue
+            try:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                full[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001 — bench must emit its line
+                full[name] = f"error: {type(e).__name__}"
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall-clock (execute+collect, warm session)",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "full": full,
-                "sf": sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline query wall-clock (execute+collect, warm session)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    # The driver records only the output TAIL: r2's line went out with
+    # the ~90-entry full map inline and came back truncated/unparseable.
+    # The printed line now carries the compact headline summary only
+    # (always parseable); the full per-query sweep goes to a sidecar
+    # file next to this script.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w"
+    ) as f:
+        json.dump({**summary, "full": full}, f, indent=1, sort_keys=True)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -82,9 +82,20 @@ def _spread(df: DataFrame) -> DataFrame:
     already yields >= shuffle-partitions splits (the 100 TB case:
     thousands of file splits), adding a repartition would be a full
     extra shuffle of the biggest column for nothing, so it is
-    skipped."""
+    skipped.
+
+    The under-parallel check reads the scan's FILE COUNT (DataFrame
+    inputFiles — driver-side listing), not df.rdd.getNumPartitions():
+    the latter forces plan analysis + an RDD conversion at every
+    plan-build call (VERDICT r2 #4). File count is a conservative
+    proxy — splits >= files — so it only ever errs toward adding the
+    repartition, never toward leaving a wide scan on one core."""
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() >= n_part:
+    try:
+        n_src = len(df.inputFiles())
+    except Exception:  # non-file source (e.g. createDataFrame): assume narrow
+        n_src = 0
+    if n_src >= n_part:
         return df
     return df.repartition(n_part)
 

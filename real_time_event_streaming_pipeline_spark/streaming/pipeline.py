@@ -26,7 +26,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import ALERT_SEVERITIES, event_key
+from ..functions import ALERT_SEVERITIES, event_key, ttl_from
 from ..plans.citystream import enrich_events, windowed_agg
 from .sinks import append_parquet, upsert_parquet, upsert_parquet_bucketed
 
@@ -45,6 +45,12 @@ class PipelineConfig:
     # layout (kb=N hive partitions; an epoch rewrites only the buckets
     # its keys hash into — the at-scale sink short of Delta MERGE)
     upsert_buckets: int = 0
+    # stamp each raw event with ttl = event_time + 30d (the reference's
+    # DynamoDB TTL attribute, setup-dynamodb.sh:29-32 /
+    # SparkDynamoDBConsumer.java:259-262); expired rows are dropped by
+    # run_retention(), the maintenance pass standing in for DynamoDB's
+    # background expiry
+    with_ttl: bool = False
 
     def upsert(self, name: str, key_cols: list[str], order_col: str):
         if self.upsert_buckets > 0:
@@ -82,15 +88,18 @@ def start_pipeline(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) 
     enriched = _prepared(source, cfg)
     queries = {}
 
-    raw = enriched.select(
-        "event_id",
+    raw_cols = [
+        F.col("event_id"),
         event_key(F.col("city"), F.col("event_type"), F.col("ts_iso")).alias("event_key"),
-        "city",
-        "event_type",
-        "severity",
-        "ts",
-        "value",
-    )
+        F.col("city"),
+        F.col("event_type"),
+        F.col("severity"),
+        F.col("ts"),
+        F.col("value"),
+    ]
+    if cfg.with_ttl:
+        raw_cols.append(ttl_from(F.col("ts")).alias("ttl"))
+    raw = enriched.select(*raw_cols)
     queries["raw_events"] = _start(
         raw.writeStream.outputMode("append")
         .option("checkpointLocation", cfg.checkpoint("raw-events"))
@@ -127,6 +136,24 @@ def start_pipeline(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) 
         queries["counts"] = _start(writer.format("console").option("truncate", "false"), cfg)
 
     return queries
+
+
+def run_retention(spark: SparkSession, cfg: PipelineConfig, now_epoch: int) -> dict:
+    """Drop TTL-expired rows from the pipeline's raw-events store —
+    the reference's DynamoDB TTL expiry (setup-dynamodb.sh:29-32)
+    reproduced end-to-end: events carry ttl = event_time + 30 d
+    (cfg.with_ttl) and this maintenance pass removes rows whose ttl
+    has passed, riding the compaction rewrite the file-backed sink
+    needs anyway. Deterministic: the caller supplies now_epoch.
+
+    Requires the pipeline to have run with cfg.with_ttl=True."""
+    from ..sources.maintenance import compact_parquet
+
+    if not cfg.with_ttl:
+        raise ValueError("retention requires PipelineConfig(with_ttl=True)")
+    return compact_parquet(
+        spark, cfg.path("raw_events"), ttl_col="ttl", now_epoch=now_epoch
+    )
 
 
 def start_reference_simulation(

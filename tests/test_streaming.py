@@ -344,3 +344,29 @@ def test_pipeline_bucketed_sink_matches_batch(spark, sf_small, tmp_path):
     assert _rows(got) == _rows(want)
     dirs = {d.name for d in pathlib.Path(cfg.path("aggregations")).iterdir()}
     assert any(d.startswith("kb=") for d in dirs)
+
+
+def test_pipeline_ttl_retention_drops_expired(spark, sf_small, tmp_path):
+    """Reference DynamoDB-TTL behavior end-to-end
+    (setup-dynamodb.sh:29-32): the pipeline stamps raw events with
+    ttl = event_time + 30 d, and the retention pass drops rows whose
+    ttl has passed — here, a now_epoch between the min and max expiry
+    removes exactly the older events and keeps the rest."""
+    from real_time_event_streaming_pipeline_spark.streaming.pipeline import run_retention
+
+    cfg = PipelineConfig(out_dir=str(tmp_path), with_ttl=True)
+    src = events_file_stream(spark, sf_small)
+    run_to_completion(start_pipeline(spark, src, cfg))
+
+    raw = spark.read.parquet(cfg.path("raw_events"))
+    ttls = sorted(r.ttl for r in raw.select("ttl").collect())
+    assert ttls, "pipeline wrote no raw events"
+    n_total = len(ttls)
+    cutoff = ttls[n_total // 2]  # expire the older half (ties keep)
+
+    stats = run_retention(spark, cfg, now_epoch=cutoff)
+    kept = spark.read.parquet(cfg.path("raw_events"))
+    n_expired = sum(1 for t in ttls if t <= cutoff)
+    assert stats["expired_rows"] == n_expired
+    assert kept.count() == n_total - n_expired
+    assert kept.filter(F.col("ttl") <= cutoff).count() == 0
