@@ -503,6 +503,93 @@ FROM documents LEFT JOIN dup USING (doc_id)
 """
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN removal — the cleaning step on
+    top of q_dup_chunk_fraction's scoring: docs are cut into
+    non-overlapping 8-token chunks, any chunk appearing in ≥2 distinct
+    documents is dropped from every document, and the surviving chunks
+    are re-joined in order (the "dedup the repeated spans, keep the
+    rest of the doc" pass of large-corpus curation, vs. dropping whole
+    near-dup docs).
+
+    Output is canonicalization-safe: per doc, chunk counts plus md5 +
+    length of the cleaned text (not the text itself).
+
+    Scale shape: one posexplode → one two-level distinct-count agg on
+    chunk (map-side partials) → one equi-join back on chunk (AQE
+    splits boilerplate-chunk skew) → one per-doc ordered
+    reconstruction (collect_list of (pos, chunk) structs — bounded by
+    the doc's own chunk count, the same per-key state as any per-doc
+    agg). The O(n²) pair space never appears; cost is linear in corpus
+    tokens."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_DUP_CHUNK_K))).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * _DUP_CHUNK_K + 1, _DUP_CHUNK_K), " "),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+    )
+    freq = exploded.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    kept = exploded.join(freq, "chunk").filter(F.col("ndocs") < 2)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select("doc_id", n_chunks.alias("n_chunks"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+            F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_md5"),
+            F.length(F.coalesce(F.col("clean_text"), F.lit(""))).cast("long").alias("clean_len"),
+        )
+    )
+
+
+_DUP_SPAN_REMOVAL_SQL = f"""
+WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+pos_tbl AS (
+  SELECT doc_id, t,
+    unnest(generate_series(0, CAST(ceil(len(t) / {_DUP_CHUNK_K}.0) AS INT) - 1)) AS pos
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, pos,
+    array_to_string(t[(pos * {_DUP_CHUNK_K} + 1):(pos * {_DUP_CHUNK_K} + {_DUP_CHUNK_K})], ' ') AS chunk
+  FROM pos_tbl
+),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY chunk),
+kept AS (
+  SELECT c.doc_id, c.pos, c.chunk FROM chunks c JOIN freq USING (chunk) WHERE ndocs < 2
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+    array_to_string(list(chunk ORDER BY pos), ' ') AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(ceil(len(str_split(d.text, ' ')) / {_DUP_CHUNK_K}.0) AS BIGINT) AS n_chunks,
+  CAST(ceil(len(str_split(d.text, ' ')) / {_DUP_CHUNK_K}.0) AS BIGINT)
+    - COALESCE(n_kept, 0) AS n_removed,
+  md5(COALESCE(clean_text, '')) AS clean_md5,
+  CAST(length(COALESCE(clean_text, '')) AS BIGINT) AS clean_len
+FROM documents d LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram language-model score per document — the
     KenLM-style fluency/quality proxy: sum over tokens of
@@ -694,6 +781,7 @@ QUERIES = {
     "llm_source_mixture": q_source_mixture,
     "llm_seq_packing": q_seq_packing,
     "llm_dup_chunk_fraction": q_dup_chunk_fraction,
+    "llm_dup_span_removal": q_dup_span_removal,
     "llm_unigram_logprob": q_unigram_logprob,
 }
 
@@ -710,5 +798,6 @@ ORACLE = {
     "llm_stratified_sample": _STRATIFIED_SAMPLE_SQL,
     "llm_per_source_cap": _PER_SOURCE_CAP_SQL,
     "llm_dup_chunk_fraction": _DUP_CHUNK_SQL,
+    "llm_dup_span_removal": _DUP_SPAN_REMOVAL_SQL,
     "llm_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
 }

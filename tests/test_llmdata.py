@@ -363,3 +363,38 @@ def test_semdedup_registered_plan_has_no_python_gemm(spark, sf_small):
     assert "FlatMapGroupsInPandas" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dup_span_removal_planted(spark):
+    """Planted shared boilerplate: an 8-token span shared by two docs
+    is removed from BOTH, unique spans survive, and a doc made
+    entirely of shared spans cleans to empty."""
+    import hashlib
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    u1 = "u1 u2 u3 u4 u5 u6 u7 u8"
+    u2 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + u1, "s"),
+            (2, boiler + " " + u2, "s"),
+            (3, boiler, "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # drive the registered plan over the fixture via a patched load
+    import real_time_event_streaming_pipeline_spark.plans.curation as cur
+
+    orig = cur.load
+    cur.load = lambda _s, _d, _n: df
+    try:
+        got = {r.doc_id: r for r in cur.q_dup_span_removal(spark, "unused").collect()}
+    finally:
+        cur.load = orig
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1].n_chunks == 2 and got[1].n_removed == 1
+    assert got[1].clean_md5 == md5(u1)
+    assert got[2].clean_md5 == md5(u2)
+    assert got[3].n_chunks == 1 and got[3].n_removed == 1
+    assert got[3].clean_md5 == md5("") and got[3].clean_len == 0

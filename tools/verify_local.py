@@ -6,6 +6,11 @@ compares row count, column names, and order-insensitive value
 multiset. Use while iterating:
 
     python tools/verify_local.py [sf_dir] [query ...]
+
+Flags: --strict for bitwise float comparison; --driver-canon to ALSO
+replicate the external driver's pandas sort_values canonicalization
+(catches output-shape hazards — raw array columns, HUGEINT→float —
+that the tuple comparison tolerates).
 """
 
 from __future__ import annotations
@@ -51,10 +56,44 @@ def df_multiset(rows, colnames):
     return out
 
 
+def driver_canon_check(name, srows, scols, con, sql):
+    """Replicate the external driver's pandas-based canonicalization
+    (CORRECTNESS gate): load both sides into pandas, sort_values over
+    all columns, hash stringified rows. This is the exact path that
+    ERRed on a raw array column and float-ified DuckDB HUGEINTs in
+    round 2 — running it locally catches output-shape hazards that the
+    tuple-multiset comparison above tolerates. Returns None if OK, else
+    a problem string."""
+    import pandas as pd
+
+    try:
+        odf = con.sql(sql).df()
+        sdf = pd.DataFrame(srows, columns=scols)
+        cols = sorted(scols)
+        sc = sdf[cols].sort_values(by=cols, ignore_index=True)
+        oc = odf[cols].sort_values(by=cols, ignore_index=True)
+    except Exception as e:  # the r2 llm_emb_quantize failure mode
+        return f"driver-canon raised {type(e).__name__}: {e}"
+    def cell(v):
+        # null spellings unify: Spark collect yields None (object
+        # dtype), duckdb .df() yields NaN/NaT — the real driver's
+        # canon treats them as equal (fn_try_arith was driver-green
+        # with nulls in r2), so this replica must too
+        return "NULL" if v is None or v != v or str(v) == "NaT" else str(v)
+
+    sh = [tuple(cell(v) for v in r) for r in sc.itertuples(index=False)]
+    oh = [tuple(cell(v) for v in r) for r in oc.itertuples(index=False)]
+    if sh != oh:
+        diffs = [(a, b) for a, b in zip(sh, oh) if a != b][:2]
+        return f"driver-canon mismatch (pandas dtypes spark={list(sc.dtypes)} duck={list(oc.dtypes)}), first: {diffs}"
+    return None
+
+
 def main():
     global STRICT
-    args = [a for a in sys.argv[1:] if a != "--strict"]
+    args = [a for a in sys.argv[1:] if a not in ("--strict", "--driver-canon")]
     STRICT = "--strict" in sys.argv
+    driver_canon = "--driver-canon" in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark("verify_local")
@@ -100,6 +139,10 @@ def main():
             if sm != om:
                 diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        if not problems and driver_canon:
+            p = driver_canon_check(name, srows, scols, con, oracles[name])
+            if p:
+                problems.append(p)
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
