@@ -352,17 +352,35 @@ def test_neardup_ivf_candidates_recall_pinned(spark, sf_small, sf_med):
         assert cand == exact, f"candidate pair set diverged at {sf}"
 
 
-def test_semdedup_registered_plan_has_no_python_gemm(spark, sf_small):
-    """The registered llm_semdedup (candidate-based) must not contain
-    the applyInPandas GEMM seam or a nested-loop join — pair
-    generation is cell-bucketed equi-join + JVM cosine only."""
+def test_semdedup_registered_plan_is_candidate_bounded(spark, sf_small):
+    """The registered llm_semdedup's pair stage must not run the FULL
+    P² pair GEMM or a nested-loop join: its only Python seam is the
+    per-CELL verify kernel over IVF candidates (FlatMapGroupsInPandas
+    grouped by cell, never by the exact path's (gi, gj) block
+    mapping). Asserted on the pair generator's own plan — the CC
+    fixpoint checkpoints it away from the final query's plan — plus a
+    nested-loop check on the full query."""
     from real_time_event_streaming_pipeline_spark.plans.llmdata import q_semdedup
 
-    df = q_semdedup(spark, sf_small)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    emb = load(spark, sf_small, "embeddings")
+    pair_plan = (
+        S.neardup_pairs_ivf_candidates(emb, threshold=0.45)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in pair_plan
+    assert "CartesianProduct" not in pair_plan
+    gemm_lines = [ln for ln in pair_plan.splitlines() if "FlatMapGroupsInPandas" in ln]
+    assert gemm_lines, "candidate verify kernel missing from pair plan"
+    assert all("cell" in ln for ln in gemm_lines)
+    assert not any("gi" in ln and "gj" in ln for ln in gemm_lines)
+
+    full_plan = (
+        q_semdedup(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in full_plan
+    assert "CartesianProduct" not in full_plan
 
 
 def test_dup_span_removal_planted(spark):

@@ -24,6 +24,8 @@ SHAPES = [
     "llm_emb_cosine_topk",
     "cs_alert_followups",
     "llm_tfidf",
+    "llm_semdedup",
+    "llm_dup_span_removal",
 ]
 
 
