@@ -85,16 +85,21 @@ def _spread(df: DataFrame) -> DataFrame:
     skipped.
 
     The under-parallel check reads the scan's FILE COUNT (DataFrame
-    inputFiles — driver-side listing), not df.rdd.getNumPartitions():
-    the latter forces plan analysis + an RDD conversion at every
-    plan-build call (VERDICT r2 #4). File count is a conservative
-    proxy — splits >= files — so it only ever errs toward adding the
-    repartition, never toward leaving a wide scan on one core."""
+    inputFiles — driver-side listing) for file-backed inputs instead
+    of df.rdd.getNumPartitions(), which forces plan analysis + an RDD
+    conversion at every plan-build call (VERDICT r2 #4). File count is
+    a conservative proxy — splits >= files — so it only ever errs
+    toward adding the repartition, never toward leaving a wide scan on
+    one core. Non-file inputs (checkpointed/parallelized) fall back to
+    the RDD partition count, which is cheap there — the RDD already
+    exists."""
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     try:
         n_src = len(df.inputFiles())
-    except Exception:  # non-file source (e.g. createDataFrame): assume narrow
+    except Exception:
         n_src = 0
+    if n_src == 0:  # non-file input: localCheckpoint/createDataFrame
+        n_src = df.rdd.getNumPartitions()
     if n_src >= n_part:
         return df
     return df.repartition(n_part)
