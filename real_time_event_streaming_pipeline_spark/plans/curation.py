@@ -590,6 +590,78 @@ FROM documents d LEFT JOIN rebuilt USING (doc_id)
 """
 
 
+def _exact_median(df: DataFrame, col: str) -> float:
+    """Global EXACT median without the full-sort single-reducer trap:
+    histogram the column (groupBy value — state bounded by DISTINCT
+    values, not rows), cumulative-count the histogram (a window over
+    the distinct-value set only), then pick the two middle positions.
+    For token-count-like columns the distinct set is tiny at any
+    corpus size, so this scales where percentile()'s per-group sorted
+    buffer would not. Returns (v_k1 + v_k2) / 2 — identical (IEEE
+    exact on integers/half-integers) to quantile_cont(0.5).
+
+    The two scalar lookups are driver-side actions on 1-row aggregates
+    (bounded collect, same pattern as IVF centroid sampling)."""
+    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    tot = df.count()
+    if tot == 0:
+        raise ValueError("median of empty input")
+    k1, k2 = (tot + 1) // 2, (tot + 2) // 2
+    v1 = cum.filter(F.col("_cum") >= k1).agg(F.min(col)).first()[0]
+    v2 = cum.filter(F.col("_cum") >= k2).agg(F.min(col)).first()[0]
+    return (float(v1) + float(v2)) / 2.0
+
+
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-statistics length filtering: flag documents whose token
+    count deviates more than 3 robust sigmas (1.4826·MAD) from the
+    corpus median — the outlier gate corpus curation applies before
+    length-sensitive steps (truncation stats, packing efficiency),
+    immune to the heavy tail that wrecks mean/stddev cuts.
+
+    Median and MAD are exact via the histogram method (_exact_median)
+    — no full-sort reducer; deviations |n − med| are half-integer so
+    their histogram is as small as the length histogram. All outputs
+    are IEEE-exact from integer inputs: med/mad interpolate two
+    integers (or half-integers), and the threshold 3·1.4826·mad folds
+    left-to-right in double on both engines — bitwise stable.
+
+    Oracle: DuckDB quantile_cont(0.5), an independent derivation of
+    the same exact median."""
+    docs = load(spark, sf_dir, "documents")
+    nt = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    med = _exact_median(nt, "n_tokens")
+    dev = nt.withColumn("ad", F.abs(F.col("n_tokens") - F.lit(med)))
+    mad = _exact_median(dev, "ad")
+    thresh = 3 * 1.4826 * mad
+    return nt.select(
+        "doc_id",
+        "n_tokens",
+        F.lit(med).alias("med"),
+        F.lit(mad).alias("mad"),
+        (F.abs(F.col("n_tokens") - F.lit(med)) > F.lit(thresh)).alias("is_outlier"),
+    )
+
+
+_LENGTH_OUTLIERS_SQL = """
+WITH nt AS (
+  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+),
+m AS (SELECT quantile_cont(n_tokens, 0.5) AS med FROM nt),
+s AS (
+  SELECT med, quantile_cont(abs(n_tokens - med), 0.5) AS mad
+  FROM nt, m GROUP BY med
+)
+SELECT doc_id, n_tokens, med, mad,
+  abs(n_tokens - med) > 3 * 1.4826 * mad AS is_outlier
+FROM nt, s
+"""
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram language-model score per document — the
     KenLM-style fluency/quality proxy: sum over tokens of
@@ -782,6 +854,7 @@ QUERIES = {
     "llm_seq_packing": q_seq_packing,
     "llm_dup_chunk_fraction": q_dup_chunk_fraction,
     "llm_dup_span_removal": q_dup_span_removal,
+    "llm_length_outliers": q_length_outliers,
     "llm_unigram_logprob": q_unigram_logprob,
 }
 
@@ -799,5 +872,6 @@ ORACLE = {
     "llm_per_source_cap": _PER_SOURCE_CAP_SQL,
     "llm_dup_chunk_fraction": _DUP_CHUNK_SQL,
     "llm_dup_span_removal": _DUP_SPAN_REMOVAL_SQL,
+    "llm_length_outliers": _LENGTH_OUTLIERS_SQL,
     "llm_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
 }

@@ -416,3 +416,37 @@ def test_dup_span_removal_planted(spark):
     assert got[2].clean_md5 == md5(u2)
     assert got[3].n_chunks == 1 and got[3].n_removed == 1
     assert got[3].clean_md5 == md5("") and got[3].clean_len == 0
+
+
+def test_length_outliers_matches_numpy_and_planted(spark, sf_small):
+    """The histogram-based exact median/MAD must equal numpy's, and a
+    planted extreme-length doc must flag as an outlier while typical
+    docs do not."""
+    import numpy as np
+
+    import real_time_event_streaming_pipeline_spark.plans.curation as cur
+
+    # real-corpus agreement with numpy
+    rows = cur.q_length_outliers(spark, sf_small).collect()
+    ns = np.array([r.n_tokens for r in rows], dtype=np.float64)
+    med = np.median(ns)
+    mad = np.median(np.abs(ns - med))
+    assert rows[0].med == med
+    assert rows[0].mad == mad
+    want = np.abs(ns - med) > 3 * 1.4826 * mad
+    got = np.array([r.is_outlier for r in rows])
+    assert (got == want).all()
+
+    # planted fixture: one absurdly long doc among uniform ones
+    df = spark.createDataFrame(
+        [(i, "w " * 50, "s") for i in range(20)] + [(99, "w " * 5000, "s")],
+        "doc_id long, text string, source string",
+    )
+    orig = cur.load
+    cur.load = lambda _s, _d, _n: df
+    try:
+        planted = {r.doc_id: r.is_outlier for r in cur.q_length_outliers(spark, "x").collect()}
+    finally:
+        cur.load = orig
+    assert planted[99] is True
+    assert sum(planted.values()) == 1
