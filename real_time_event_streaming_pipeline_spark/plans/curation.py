@@ -840,6 +840,69 @@ FROM cumd
 """
 
 
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the training batches q_seq_packing laid out: per
+    (shard, pack) the member docs concatenate in start-offset order
+    into one context-window payload — the last step before tokenized
+    shards hit the trainer. Output is canonicalization-safe (doc
+    count, token sum, md5 of the payload), proving the ordering and
+    membership end-to-end rather than just the offsets.
+
+    Scale shape: the packing layout joins back to the documents scan
+    on doc_id (no new shuffle class), then ONE groupBy (shard,
+    pack_id) whose collect_list state is bounded by a pack's members —
+    docs starting inside one ~2048-token window — so per-key state is
+    capped by TARGET/min_doc_tokens texts regardless of corpus size."""
+    packed = q_seq_packing(spark, sf_dir).select("doc_id", "shard", "n_tokens", "start_offset", "pack_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        packed.join(docs, "doc_id")
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("start_offset", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    " ",
+                )
+            ).alias("pack_md5"),
+        )
+    )
+
+
+_PACK_MATERIALIZE_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+    {split_bucket_sql('doc_id', _PACK_SHARDS)} AS shard,
+    len(str_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+cumd AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+      AS start_offset
+  FROM sized
+),
+packs AS (
+  SELECT c.shard,
+    CAST(c.start_offset // {_PACK_TARGET_TOKENS} AS BIGINT) AS pack_id,
+    c.start_offset, c.n_tokens, d.text
+  FROM cumd c JOIN documents d USING (doc_id)
+)
+SELECT shard, pack_id,
+  count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+  md5(array_to_string(list(text ORDER BY start_offset), ' ')) AS pack_md5
+FROM packs
+GROUP BY shard, pack_id
+"""
+
+
 QUERIES = {
     "llm_normalize": q_normalize,
     "llm_token_freq": q_token_freq,
@@ -855,6 +918,7 @@ QUERIES = {
     "llm_dup_chunk_fraction": q_dup_chunk_fraction,
     "llm_dup_span_removal": q_dup_span_removal,
     "llm_length_outliers": q_length_outliers,
+    "llm_pack_materialize": q_pack_materialize,
     "llm_unigram_logprob": q_unigram_logprob,
 }
 
@@ -873,5 +937,6 @@ ORACLE = {
     "llm_dup_chunk_fraction": _DUP_CHUNK_SQL,
     "llm_dup_span_removal": _DUP_SPAN_REMOVAL_SQL,
     "llm_length_outliers": _LENGTH_OUTLIERS_SQL,
+    "llm_pack_materialize": _PACK_MATERIALIZE_SQL,
     "llm_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
 }

