@@ -99,6 +99,40 @@ class CorpusEngine:
         )
         return docs.join(losers, "doc_id", "left_anti")
 
+    def dedup_semantic(self, threshold: float = 0.45, pair_method: str = "ivf") -> DataFrame:
+        """SemDeDup-style keep/drop per vector: embedding-cosine
+        near-dup pairs (IVF candidates by default; exact blocked GEMM
+        via pair_method='exact') → connected components → keep the
+        min-id representative per cluster."""
+        from .plans.llmdata import q_semdedup
+
+        assert threshold == 0.45, "plan pins the registered threshold; use operators.similarity directly for other values"
+        return q_semdedup(self.spark, self.sf_dir, pair_method=pair_method)
+
+    def remove_duplicate_spans(self) -> DataFrame:
+        """Cross-document duplicated-span removal: 8-token chunks
+        appearing in ≥2 docs are dropped from every doc; returns
+        per-doc chunk counts + cleaned-text md5/length."""
+        from .plans.curation import q_dup_span_removal
+
+        return q_dup_span_removal(self.spark, self.sf_dir)
+
+    def length_outliers(self) -> DataFrame:
+        """Robust length gate: docs beyond 3·1.4826·MAD from the
+        corpus median token count, via the histogram exact median."""
+        from .plans.curation import q_length_outliers
+
+        return q_length_outliers(self.spark, self.sf_dir)
+
+    def pack_sequences(self, materialize: bool = False) -> DataFrame:
+        """Concat-and-chunk training layout: per-doc (shard, pack,
+        offset) assignment, or with materialize=True the per-pack
+        payload digest (ordered member concat)."""
+        from .plans.curation import q_pack_materialize, q_seq_packing
+
+        fn = q_pack_materialize if materialize else q_seq_packing
+        return fn(self.spark, self.sf_dir)
+
     # -- splits / sampling / contamination -------------------------------
 
     @staticmethod

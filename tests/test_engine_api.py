@@ -99,3 +99,32 @@ def test_corpus_engine_surface(spark, sf_small):
     assert corp.token_rarity().count() == n_docs
     qz = corp.quantized_embeddings()
     assert qz.count() == corp._emb().count()
+
+
+def test_corpus_engine_round3_surface(spark, sf_small):
+    """Round-3 CorpusEngine methods: semantic dedup keep/drop covers
+    every vector, span removal keys per doc, outlier gate carries the
+    corpus stats, packing layout and materialization agree on shard
+    token totals."""
+    from real_time_event_streaming_pipeline_spark.corpus import CorpusEngine
+
+    corp = CorpusEngine(spark, sf_small)
+    n_docs = corp._docs().count()
+    n_vecs = corp._emb().count()
+
+    sem = corp.dedup_semantic()
+    assert sem.count() == n_vecs
+    assert sem.filter("keep").count() >= 1
+
+    spans = corp.remove_duplicate_spans()
+    assert spans.count() == n_docs
+
+    lo = corp.length_outliers()
+    assert lo.count() == n_docs
+    assert lo.select("med").distinct().count() == 1
+
+    layout = corp.pack_sequences()
+    packs = corp.pack_sequences(materialize=True)
+    t1 = layout.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+    t2 = packs.groupBy("shard").agg(F.sum("pack_tokens").alias("t")).collect()
+    assert {(r.shard, r.t) for r in t1} == {(r.shard, r.t) for r in t2}
