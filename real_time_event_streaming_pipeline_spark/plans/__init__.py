@@ -12,9 +12,18 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     # hard imports: a broken module must fail the registry loudly, not
     # silently shrink the driver contract to whatever still imports
-    from . import citystream, curation, llmdata, relational, scalar, tpch_extra, windowing
+    from . import (
+        citystream,
+        curation,
+        filters,
+        llmdata,
+        relational,
+        scalar,
+        tpch_extra,
+        windowing,
+    )
 
-    return [llmdata, curation, windowing, scalar, citystream, relational, tpch_extra]
+    return [llmdata, curation, filters, windowing, scalar, citystream, relational, tpch_extra]
 
 
 # The verify driver checks only the FIRST 50 registry entries against
@@ -43,6 +52,16 @@ _PRIORITY_R3 = (
     "llm_token_rarity",
     "llm_seq_packing",
     "fn_variant",
+    # new in round 3 — no driver verdict yet
+    "llm_gopher_rules",
+    "llm_char_entropy",
+    "llm_doc_chunking",
+    "llm_corpus_stats_cube",
+    "llm_dsir_weights",
+    "llm_length_outliers",
+    "llm_pack_materialize",
+    "llm_dup_span_removal",
+    "llm_emb_ann_pq",
 )
 
 

@@ -1,0 +1,441 @@
+"""Heuristic quality filtering and corpus analytics (north-star
+LLM-data extension, third wave): the rule-based gates and corpus
+roll-ups a training-data pipeline runs alongside the statistical
+signals in plans/curation.py — Gopher-style composite filter rules,
+character-distribution entropy (garbled/random-text detector),
+RAG-style overlapping chunking, a lang×source corpus CUBE, and
+DSIR-style importance weights for domain-targeted data selection.
+
+All operators follow the package's cross-engine determinism
+discipline (see plans/curation.py module docstring): ratios that feed
+booleans or outputs are integer-scaled (micro units, one int/int
+division), transcendentals are taken once per distinct key on an
+IEEE-exact double ratio and immediately rounded to integer micro-nats
+(the pattern driver-validated by llm_unigram_logprob), and sampling /
+bucketing uses the deterministic multiplicative hash. Shuffle
+profile: every operator here is one token/char explode into one or
+two hash aggregations — the same class as llm_token_freq /
+llm_unigram_logprob, which scale by adding partitions; no windows
+over unbounded partitions, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality rules
+# ---------------------------------------------------------------------------
+
+# Bounds adapted to the driver corpus (10-99 words/doc, synthetic
+# prose); the canonical Gopher bounds (50..100k words) would pass or
+# fail everything at once and test nothing. Rule STRUCTURE is the
+# reference point (Rae et al. 2021, "Scaling Language Models" §A1.1),
+# constants are corpus-tuned and centralised here.
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MAX_WORDS = 80
+_GOPHER_MIN_MWL_MICRO = 3_000_000  # mean word length in micro-chars
+_GOPHER_MAX_MWL_MICRO = 10_000_000
+_GOPHER_MIN_ALPHA_PPM = 800_000  # >= 80% of words contain a letter
+_GOPHER_MAX_SYMBOL_PPM = 100_000  # <= 10% of words are symbol-ish (#, ...)
+_GOPHER_MIN_STOPWORDS = 2  # distinct stopwords present
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that")
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate: per document, the five classic
+    repetition-independent quality rules (word-count bounds, mean word
+    length bounds, alpha-word fraction, symbol-word fraction, stopword
+    presence) and the composite pass flag.
+
+    Everything a boolean depends on is integer: mean word length and
+    the two fractions are computed in micro/ppm units with one
+    BIGINT div, so no engine's float rounding can flip a rule at the
+    boundary. One explode → one hash agg keyed by doc_id (map-side
+    combine applies: the per-token projections collapse into partial
+    counts before the shuffle), then a projection."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("term")).alias("sum_len"),
+        F.count_if(F.col("term").rlike("[A-Za-z]")).alias("n_alpha"),
+        F.count_if(F.col("term").rlike("#|\\.\\.\\.")).alias("n_symbol"),
+        F.count_distinct(
+            F.when(F.col("term").isin(*_STOPWORDS), F.col("term"))
+        ).alias("n_stop"),
+    )
+    mwl = (F.col("sum_len") * F.lit(1_000_000)).cast("long") / F.col("n_words")
+    mwl = F.floor(mwl).cast("long")
+    alpha_ppm = F.floor(
+        (F.col("n_alpha") * F.lit(1_000_000)).cast("long") / F.col("n_words")
+    ).cast("long")
+    symbol_ppm = F.floor(
+        (F.col("n_symbol") * F.lit(1_000_000)).cast("long") / F.col("n_words")
+    ).cast("long")
+    out = per_doc.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_wl_micro"),
+        alpha_ppm.alias("alpha_ppm"),
+        symbol_ppm.alias("symbol_ppm"),
+        F.col("n_stop").cast("long").alias("n_stop"),
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS).alias("r_nwords"),
+        mwl.between(_GOPHER_MIN_MWL_MICRO, _GOPHER_MAX_MWL_MICRO).alias("r_wordlen"),
+        (alpha_ppm >= _GOPHER_MIN_ALPHA_PPM).alias("r_alpha"),
+        (symbol_ppm <= _GOPHER_MAX_SYMBOL_PPM).alias("r_symbol"),
+        (F.col("n_stop") >= _GOPHER_MIN_STOPWORDS).alias("r_stop"),
+    )
+    return out.withColumn(
+        "passes",
+        F.col("r_nwords")
+        & F.col("r_wordlen")
+        & F.col("r_alpha")
+        & F.col("r_symbol")
+        & F.col("r_stop"),
+    )
+
+
+_GOPHER_RULES_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+agg AS (
+  SELECT doc_id,
+    count(*) AS n_words,
+    sum(len(term)) AS sum_len,
+    count(*) FILTER (WHERE regexp_matches(term, '[A-Za-z]')) AS n_alpha,
+    count(*) FILTER (WHERE regexp_matches(term, '#|\\.\\.\\.')) AS n_symbol,
+    CAST(count(DISTINCT CASE WHEN term IN {_STOPWORDS!r} THEN term END) AS BIGINT)
+      AS n_stop
+  FROM tok GROUP BY doc_id
+),
+scaled AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+    CAST(sum_len * 1000000 // n_words AS BIGINT) AS mean_wl_micro,
+    CAST(n_alpha * 1000000 // n_words AS BIGINT) AS alpha_ppm,
+    CAST(n_symbol * 1000000 // n_words AS BIGINT) AS symbol_ppm,
+    n_stop
+  FROM agg
+)
+SELECT *,
+  (r_nwords AND r_wordlen AND r_alpha AND r_symbol AND r_stop) AS passes
+FROM (
+  SELECT doc_id, n_words, mean_wl_micro, alpha_ppm, symbol_ppm, n_stop,
+    n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} AS r_nwords,
+    mean_wl_micro BETWEEN {_GOPHER_MIN_MWL_MICRO} AND {_GOPHER_MAX_MWL_MICRO}
+      AS r_wordlen,
+    alpha_ppm >= {_GOPHER_MIN_ALPHA_PPM} AS r_alpha,
+    symbol_ppm <= {_GOPHER_MAX_SYMBOL_PPM} AS r_symbol,
+    n_stop >= {_GOPHER_MIN_STOPWORDS} AS r_stop
+  FROM scaled
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy (garbled/random-text detector)
+# ---------------------------------------------------------------------------
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document character distribution in
+    micro-nats — near-zero entropy flags repeated-char junk, maximal
+    entropy flags random bytes; natural text sits in a narrow band.
+
+    Char extraction is position-explode + substr (an empty-pattern
+    split differs between engines on trailing empties, so it is
+    avoided). ln is taken once per distinct (doc, char) on the exact
+    double ratio c/n and rounded to micro-nats immediately
+    (llm_unigram_logprob discipline); the final per-doc division is
+    BIGINT, with both operands non-negative so truncating and flooring
+    division agree across engines.
+
+    Shuffle profile: one char explode → hash agg on (doc_id, ch) →
+    hash agg on doc_id; n_chars rides along from length(text), so no
+    join back to the scan. Per-key state is O(alphabet) per doc."""
+    docs = load(spark, sf_dir, "documents")
+    chars = (
+        docs.select("doc_id", "text", F.length("text").alias("n"))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+            F.col("text"),
+        )
+        .select("doc_id", "n", F.expr("substr(text, i, 1)").alias("ch"))
+    )
+    counts = chars.groupBy("doc_id", "n", "ch").agg(F.count(F.lit(1)).alias("c"))
+    mn = F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double")) * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        counts.select("doc_id", "n", (F.col("c") * mn).alias("cmn"))
+        .groupBy("doc_id", "n")
+        .agg(
+            (-F.sum("cmn")).alias("neg_sum_micronats"),
+            F.count(F.lit(1)).alias("distinct_chars"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "distinct_chars",
+            F.expr("neg_sum_micronats div n").alias("entropy_micronats"),
+        )
+    )
+
+
+_CHAR_ENTROPY_SQL = """
+WITH pos AS (
+  SELECT doc_id, len(text) AS n, text,
+    unnest(generate_series(1, len(text))) AS i
+  FROM documents
+),
+chars AS (SELECT doc_id, n, substr(text, CAST(i AS INT), 1) AS ch FROM pos),
+counts AS (SELECT doc_id, n, ch, count(*) AS c FROM chars GROUP BY doc_id, n, ch),
+scored AS (
+  SELECT doc_id, n,
+    c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+      AS cmn
+  FROM counts
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+  CAST(count(*) AS BIGINT) AS distinct_chars,
+  CAST((-sum(cmn)) // n AS BIGINT) AS entropy_micronats
+FROM scored
+GROUP BY doc_id, n
+"""
+
+
+# ---------------------------------------------------------------------------
+# RAG-style overlapping chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_WORDS = 32
+_CHUNK_STRIDE = 24
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping word-window chunks
+    (W=32, stride=24 — the retrieval/embedding chunker): one row per
+    (doc, chunk) with the token span and an md5 of the chunk text, so
+    the driver hash pins membership, ordering, and reconstruction
+    without shipping the payload.
+
+    Chunk starts are 0, S, 2S, ... while start < n_words, i.e.
+    k ∈ [0, (n-1) div S] — all integer, no boundary ambiguity. The
+    explode emits ~n/S rows per doc with no shuffle at all (chunking
+    is a per-row map; the one Exchange in this plan is whatever the
+    sink needs). At 100 TB this is the ideal shape: narrow
+    projection, linear output, embarrassingly parallel."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    with_k = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_words"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.size(toks) - 1) / F.lit(_CHUNK_STRIDE)).cast("int")
+            )
+        ).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_WORDS
+    )
+    return with_k.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.col("chunk_id").cast("long") * _CHUNK_STRIDE).alias("start_word"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+_DOC_CHUNKING_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, str_split(text, ' ') AS toks, len(str_split(text, ' ')) AS n_words
+  FROM documents
+),
+ks AS (
+  SELECT doc_id, toks, n_words,
+    unnest(generate_series(0, (n_words - 1) // {_CHUNK_STRIDE})) AS chunk_id
+  FROM sized
+)
+SELECT doc_id,
+  CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS start_word,
+  CAST(len(toks[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WORDS}])
+       AS BIGINT) AS chunk_tokens,
+  md5(array_to_string(
+    toks[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WORDS}],
+    ' ')) AS chunk_md5
+FROM ks
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus roll-up CUBE
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition CUBE over (lang, source): doc count, char
+    mass, token mass at every granularity — the dataset-card /
+    mixture-design summary. GROUPING() flags disambiguate rollup rows
+    from genuine NULL dimension values.
+
+    CUBE is a single pass: Spark expands the grouping sets and
+    aggregates once with map-side partials (Expand → HashAggregate);
+    the token count derives from n_chars-free arithmetic on the
+    split-size projection, so the scan reads only three columns."""
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        sized.cube("lang", "source")
+        .agg(
+            F.grouping("lang").cast("long").alias("g_lang"),
+            F.grouping("source").cast("long").alias("g_source"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "lang", "source", "g_lang", "g_source",
+            "n_docs", "total_chars", "total_tokens",
+        )
+    )
+
+
+_CORPUS_STATS_CUBE_SQL = """
+SELECT lang, source,
+  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+  CAST(GROUPING(source) AS BIGINT) AS g_source,
+  count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023)
+    reduced to its unigram core: per document, the importance weight
+    ln p_target(doc) − ln p_raw(doc) under add-one-smoothed unigram
+    LMs, target = the `en` slice, raw = everything else. High-weight
+    docs look target-like and get upsampled when composing a
+    domain-targeted mixture.
+
+    Integer discipline: ln is taken per distinct term on each side's
+    exact smoothed ratio and rounded to micro-nats; the per-doc score
+    is a BIGINT dot product (tf × Δmicronats summed) — bitwise
+    identical on any engine and partitioning.
+
+    Shuffle profile identical to llm_unigram_logprob: one explode →
+    (doc, term) tf agg (checkpointed diamond), a vocab-sized term-stat
+    leg (one groupBy over tf), scalar totals broadcast, one join back
+    on term — AQE handles the head-term skew by splitting the join."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == _DSIR_TARGET_LANG).alias("is_t"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "is_t", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=False)
+    stats = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_t"), F.col("tf")).otherwise(0)).alias("cr"),
+    )
+    totals = stats.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("tr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    mn = lambda c, t: F.round(  # noqa: E731 — local twin of the SQL expr
+        F.log((c + F.lit(1)).cast("double") / (t + F.col("v")).cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = (
+        tf.join(stats, "term")
+        .join(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "tf",
+            (F.col("tf") * (mn(F.col("ct"), F.col("tt")) - mn(F.col("cr"), F.col("tr")))).alias(
+                "wmn"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum("wmn").alias("dsir_micronats"),
+    )
+
+
+_DSIR_WEIGHTS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang = '{_DSIR_TARGET_LANG}' AS is_t,
+    unnest(str_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, is_t, term, count(*) AS tf FROM tok GROUP BY doc_id, is_t, term
+),
+stats AS (
+  SELECT term,
+    CAST(sum(CASE WHEN is_t THEN tf ELSE 0 END) AS BIGINT) AS ct,
+    CAST(sum(CASE WHEN NOT is_t THEN tf ELSE 0 END) AS BIGINT) AS cr
+  FROM tf GROUP BY term
+),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr,
+    CAST(count(*) AS BIGINT) AS v
+  FROM stats
+),
+scored AS (
+  SELECT doc_id, tf,
+    tf * (CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE)) * 1000000)
+               AS BIGINT)
+        - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + v AS DOUBLE)) * 1000000)
+               AS BIGINT)) AS wmn
+  FROM tf JOIN stats USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+  CAST(sum(wmn) AS BIGINT) AS dsir_micronats
+FROM scored
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "llm_gopher_rules": q_gopher_rules,
+    "llm_char_entropy": q_char_entropy,
+    "llm_doc_chunking": q_doc_chunking,
+    "llm_corpus_stats_cube": q_corpus_stats_cube,
+    "llm_dsir_weights": q_dsir_weights,
+}
+
+ORACLE = {
+    "llm_gopher_rules": _GOPHER_RULES_SQL,
+    "llm_char_entropy": _CHAR_ENTROPY_SQL,
+    "llm_doc_chunking": _DOC_CHUNKING_SQL,
+    "llm_corpus_stats_cube": _CORPUS_STATS_CUBE_SQL,
+    "llm_dsir_weights": _DSIR_WEIGHTS_SQL,
+}

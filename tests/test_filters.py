@@ -1,0 +1,109 @@
+"""Behavior tests for plans/filters.py — planted-input semantics for
+the Gopher rule gate, char entropy, chunking, corpus CUBE, and DSIR
+weights (the registered queries are pinned cross-engine by the DuckDB
+oracle; these check the MATH on inputs with known answers)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from real_time_event_streaming_pipeline_spark.catalog import load
+from real_time_event_streaming_pipeline_spark.plans.filters import (
+    _CHUNK_STRIDE,
+    _CHUNK_WORDS,
+    q_char_entropy,
+    q_corpus_stats_cube,
+    q_doc_chunking,
+    q_dsir_weights,
+    q_gopher_rules,
+)
+
+
+def _plant_docs(spark, tmp_path, rows):
+    """Write planted documents as a sf_dir the queries can load."""
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_gopher_rules_planted(spark, tmp_path):
+    normal = "the cat sat on that mat and then ran off to find food " * 2  # 28 words
+    short = "too few words here"  # fails r_nwords
+    longwords = " ".join(["abcdefghijklmno"] * 30)  # mwl 15 > 10
+    symbolic = " ".join(["the", "of", "that"] + ["###"] * 27)  # 10%+ symbols
+    sf = _plant_docs(
+        spark,
+        tmp_path,
+        [(t.strip(), "en", "s0") for t in (normal, short, longwords, symbolic)],
+    )
+    out = {r.doc_id: r for r in q_gopher_rules(spark, sf).collect()}
+    assert out[0].passes and out[0].r_nwords and out[0].r_stop
+    assert not out[1].r_nwords and not out[1].passes
+    assert not out[2].r_wordlen and not out[2].passes
+    assert out[2].mean_wl_micro == 15_000_000
+    assert not out[3].r_symbol and not out[3].passes
+    assert out[3].symbol_ppm == 27 * 1_000_000 // 30
+
+
+def test_char_entropy_known_values(spark, tmp_path):
+    sf = _plant_docs(
+        spark, tmp_path, [("aaaa", "en", "s0"), ("abab", "en", "s0")]
+    )
+    out = {r.doc_id: r for r in q_char_entropy(spark, sf).collect()}
+    # single repeated char: ln(1) = 0 entropy
+    assert (out[0].entropy_micronats, out[0].distinct_chars, out[0].n_chars) == (0, 1, 4)
+    # two equiprobable chars: entropy = ln 2 -> round(ln .5 * 1e6) = -693147
+    assert out[1].entropy_micronats == round(-math.log(0.5) * 1_000_000)
+    assert out[1].distinct_chars == 2
+
+
+def test_chunking_reconstructs_and_covers(spark, tmp_path, sf_small):
+    # planted doc: 50 words -> starts 0, 24, 48 -> lengths 32, 26, 2
+    words = [f"w{i:02d}" for i in range(50)]
+    sf = _plant_docs(spark, tmp_path, [(" ".join(words), "en", "s0")])
+    rows = sorted(q_doc_chunking(spark, sf).collect(), key=lambda r: r.chunk_id)
+    assert [r.chunk_tokens for r in rows] == [_CHUNK_WORDS, 26, 2]
+    for r in rows:
+        expected = " ".join(words[r.start_word : r.start_word + _CHUNK_WORDS])
+        assert r.chunk_md5 == hashlib.md5(expected.encode()).hexdigest()
+
+    # real corpus: every doc fully covered, strides exact
+    docs = {r.doc_id: r.n_words for r in q_doc_chunking(spark, sf_small).collect()}
+    per_doc = {}
+    for r in q_doc_chunking(spark, sf_small).collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = chunks[0].n_words
+        assert len(chunks) == (n - 1) // _CHUNK_STRIDE + 1
+        last = chunks[-1]
+        assert last.start_word + last.chunk_tokens == n  # tail reaches the end
+        for c in chunks:
+            assert c.chunk_tokens == min(_CHUNK_WORDS, n - c.start_word)
+
+
+def test_corpus_cube_totals_consistent(spark, sf_small):
+    rows = q_corpus_stats_cube(spark, sf_small).collect()
+    total = [r for r in rows if r.g_lang == 1 and r.g_source == 1]
+    leaves = [r for r in rows if r.g_lang == 0 and r.g_source == 0]
+    assert len(total) == 1
+    n_docs = load(spark, sf_small, "documents").count()
+    assert total[0].n_docs == n_docs
+    assert sum(r.n_docs for r in leaves) == n_docs
+    assert sum(r.total_tokens for r in leaves) == total[0].total_tokens
+
+
+def test_dsir_upweights_target_like_docs(spark, tmp_path):
+    # en docs share one vocabulary, de docs another; an en-vocab doc
+    # must score strictly above a de-vocab doc
+    en = [("alpha beta gamma alpha beta " * 4, "en", "s0") for _ in range(3)]
+    de = [("zeta eta theta zeta eta " * 4, "de", "s0") for _ in range(3)]
+    sf = _plant_docs(spark, tmp_path, en + de)
+    out = {r.doc_id: r.dsir_micronats for r in q_dsir_weights(spark, sf).collect()}
+    assert min(out[i] for i in (0, 1, 2)) > max(out[i] for i in (3, 4, 5))
