@@ -62,6 +62,7 @@ _PRIORITY_R3 = (
     "llm_pack_materialize",
     "llm_dup_span_removal",
     "llm_emb_ann_pq",
+    "llm_knn_classify",
 )
 
 

@@ -12,7 +12,7 @@ ground truth in tests/test_llmdata.py instead):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -253,6 +253,80 @@ def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs brute force asserted in tests/test_ann_ivf_dlq.py."""
     emb = load(spark, sf_dir, "embeddings")
     return S.pq_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label propagation over the embedding space — the standard
+    weak-labeling / label-QA pass of an embedding pipeline: every 20th
+    vector is held out as a query, classified by majority vote of its
+    k=5 exact-cosine neighbors among the rest (tie → smallest label).
+
+    Composes the driver-green brute_force_topk ranking (round-6 cos,
+    n_id tiebreak) so rank membership is cross-engine deterministic;
+    votes and the (votes desc, label asc) argmax are pure integers.
+    Scale posture: the query side is the broadcast (held-out sets are
+    small by construction); the corpus side streams through one scan —
+    swap brute_force_topk for ivf/pq_ann_topk for the approximate
+    scale path with the same downstream vote shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    nn = S.brute_force_topk(corpus, queries, k=5)
+    votes = (
+        nn.join(
+            corpus.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")),
+            "n_id",
+        )
+        .groupBy("q_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("q_id", F.col("n_label").cast("long").alias("pred_label"), "votes")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("label").cast("long").alias("true_label")
+    )
+    return pred.join(truth, "q_id").select(
+        "q_id",
+        "true_label",
+        "pred_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+_KNN_CLASSIFY_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, CAST(label AS BIGINT) AS true_label
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+c AS (
+  SELECT vec_id AS n_id, embedding AS n_vec, label AS n_label
+  FROM embeddings WHERE vec_id % 20 != 0
+),
+scored AS (
+  SELECT q_id, n_id, n_label, {_cos_sql('q_vec', 'n_vec')} AS cos
+  FROM c, q WHERE n_id != q_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+votes AS (SELECT q_id, n_label, count(*) AS votes FROM top GROUP BY q_id, n_label),
+pred AS (
+  SELECT q_id, CAST(n_label AS BIGINT) AS pred_label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT q_id, true_label, pred_label, votes, pred_label = true_label AS correct
+FROM pred JOIN q USING (q_id)
+"""
 
 
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,6 +674,7 @@ QUERIES = {
     "llm_emb_ann_ivf": q_emb_ann_ivf,
     "llm_emb_ann_pq": q_emb_ann_pq,
     "llm_emb_quantize": q_emb_quantize,
+    "llm_knn_classify": q_knn_classify,
     "llm_dedup_clusters": q_dedup_clusters,
     "llm_semdedup": q_semdedup,
     "llm_corpus_pipeline": q_corpus_pipeline,
@@ -619,6 +694,7 @@ ORACLE = {
     "llm_emb_cosine_topk": _COSINE_TOPK_SQL,
     "llm_emb_neardup": _EMB_NEARDUP_SQL,
     "llm_emb_quantize": _EMB_QUANTIZE_SQL,
+    "llm_knn_classify": _KNN_CLASSIFY_SQL,
     "llm_dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "llm_semdedup": _SEMDEDUP_SQL,
     "llm_corpus_pipeline": _CORPUS_PIPELINE_SQL,

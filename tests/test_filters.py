@@ -107,3 +107,33 @@ def test_dsir_upweights_target_like_docs(spark, tmp_path):
     sf = _plant_docs(spark, tmp_path, en + de)
     out = {r.doc_id: r.dsir_micronats for r in q_dsir_weights(spark, sf).collect()}
     assert min(out[i] for i in (0, 1, 2)) > max(out[i] for i in (3, 4, 5))
+
+
+def test_knn_classify_planted_clusters(spark, tmp_path):
+    """Two tight, well-separated embedding clusters with one held-out
+    query each (vec_id % 20 == 0): the vote must be unanimous and the
+    prediction correct."""
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import q_knn_classify
+
+    # cluster A around e1 (label 1): ids 0..10; cluster B around e3
+    # (label 2): ids 12..22. Queries (vec_id % 20 == 0): 0 and 20 —
+    # each cluster keeps 5 corpus members after the holdout.
+    rows = []
+    for j in range(12):
+        vid = j * 2
+        if j <= 5:
+            vec, label = [1.0, 0.01 * j, 0.0, 0.0], 1
+        else:
+            vec, label = [0.0, 0.01 * j, 1.0, 0.0], 2
+        rows.append((vid, vec, label))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {r.q_id: r for r in q_knn_classify(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 20}
+    assert out[0].pred_label == 1 and out[0].correct
+    assert out[20].pred_label == 2 and out[20].correct
+    assert out[0].votes == 5 and out[20].votes == 5  # unanimous
