@@ -63,6 +63,7 @@ _PRIORITY_R3 = (
     "llm_dup_span_removal",
     "llm_emb_ann_pq",
     "llm_knn_classify",
+    "llm_bigram_logprob",
 )
 
 

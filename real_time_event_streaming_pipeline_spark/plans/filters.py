@@ -424,12 +424,110 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model score per document — the
+    next-order fluency proxy above llm_unigram_logprob: sum over
+    bigram occurrences of ln P(w2 | w1), with add-one smoothing
+    P(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V) so unseen continuations stay
+    finite. Repetitive/templated text scores high, shuffled text low —
+    the classic perplexity gate reduced to its countable core.
+
+    Same micro-nat integer discipline as the unigram scorer: ln is
+    taken once per distinct bigram TYPE on the exact smoothed ratio,
+    rounded to BIGINT micro-nats, and per-doc scores are integer dot
+    products — bitwise stable on any engine and partitioning.
+
+    Shuffle profile: one bigram explode → (doc, w1, w2) tf agg
+    (checkpointed diamond), a bigram-type stats leg (groupBy (w1,w2)
+    then w1), scalar V broadcast, two equi-joins back (bigram type,
+    then prefix) — both AQE-skew-splittable. The bigram-type table is
+    the biggest intermediate; it grows sublinearly in corpus size
+    (vocab² ceiling), not with the 100 TB payload."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # guard: F.sequence(1, 0) would generate DESCENDING [1, 0] — an
+    # empty array, not a reversed one, is the right "no bigrams" value
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=False)
+    cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    vocab = (
+        docs.select(F.explode(toks).alias("term"))
+        .agg(F.count_distinct("term").alias("v"))
+    )
+    mn = F.round(
+        F.log(
+            (F.col("cb") + F.lit(1)).cast("double")
+            / (F.col("cu") + F.col("v")).cast("double")
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        tf.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .join(F.broadcast(vocab))
+        .select("doc_id", "tf", (F.col("tf") * mn).alias("mn"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum("mn").alias("logprob_micronats"),
+        )
+    )
+
+
+_BIGRAM_LOGPROB_SQL = """
+WITH tok AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tok)
+),
+tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb FROM tf GROUP BY w1, w2),
+cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY w1),
+voc AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+  FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents)
+),
+scored AS (
+  SELECT doc_id, tf,
+    tf * CAST(round(ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE)) * 1000000)
+              AS BIGINT) AS mn
+  FROM tf JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN voc
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+  CAST(sum(mn) AS BIGINT) AS logprob_micronats
+FROM scored
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "llm_gopher_rules": q_gopher_rules,
     "llm_char_entropy": q_char_entropy,
     "llm_doc_chunking": q_doc_chunking,
     "llm_corpus_stats_cube": q_corpus_stats_cube,
     "llm_dsir_weights": q_dsir_weights,
+    "llm_bigram_logprob": q_bigram_logprob,
 }
 
 ORACLE = {
@@ -438,4 +536,5 @@ ORACLE = {
     "llm_doc_chunking": _DOC_CHUNKING_SQL,
     "llm_corpus_stats_cube": _CORPUS_STATS_CUBE_SQL,
     "llm_dsir_weights": _DSIR_WEIGHTS_SQL,
+    "llm_bigram_logprob": _BIGRAM_LOGPROB_SQL,
 }

@@ -137,3 +137,41 @@ def test_knn_classify_planted_clusters(spark, tmp_path):
     assert out[0].pred_label == 1 and out[0].correct
     assert out[20].pred_label == 2 and out[20].correct
     assert out[0].votes == 5 and out[20].votes == 5  # unanimous
+
+
+def test_bigram_logprob_matches_local_model(spark, tmp_path):
+    """Replicate the add-one-smoothed bigram LM in plain Python on a
+    planted corpus and assert exact micro-nat equality; a repetitive
+    doc must outscore a same-length all-distinct doc per bigram."""
+    import math
+    from collections import Counter
+
+    from real_time_event_streaming_pipeline_spark.plans.filters import (
+        q_bigram_logprob,
+    )
+
+    texts = ["x y x y x y", "p q r s t u", "x y p q x y"]
+    sf = _plant_docs(spark, tmp_path, [(t, "en", "s0") for t in texts])
+
+    docs_toks = [t.split() for t in texts]
+    cb = Counter(b for toks in docs_toks for b in zip(toks, toks[1:]))
+    cu = Counter()
+    for (w1, _), c in cb.items():
+        cu[w1] += c
+    v = len({w for toks in docs_toks for w in toks})
+    expect = {}
+    for i, toks in enumerate(docs_toks):
+        tf = Counter(zip(toks, toks[1:]))
+        score = sum(
+            c * round(math.log((cb[b] + 1) / (cu[b[0]] + v)) * 1_000_000)
+            for b, c in tf.items()
+        )
+        expect[i] = (sum(tf.values()), score)
+
+    out = {
+        r.doc_id: (r.n_bigrams, r.logprob_micronats)
+        for r in q_bigram_logprob(spark, sf).collect()
+    }
+    assert out == expect
+    # per-bigram average: repetitive >> distinct
+    assert out[0][1] / out[0][0] > out[1][1] / out[1][0]
