@@ -64,6 +64,7 @@ _PRIORITY_R3 = (
     "llm_emb_ann_pq",
     "llm_knn_classify",
     "llm_bigram_logprob",
+    "llm_fuzzy_linkage",
 )
 
 

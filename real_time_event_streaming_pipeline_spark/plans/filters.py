@@ -521,6 +521,74 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Fuzzy entity linkage (SymSpell-style deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution at edit distance ≤ 1 over customer names —
+    the record-linkage / fuzzy-dedup primitive, built the way it
+    scales: each name emits its SymSpell deletion neighborhood (the
+    name itself + every single-char deletion, O(L) variants), distance
+    ≤1 pairs MUST share a variant (substitution pairs share a
+    same-position deletion; insert/delete pairs share the shorter
+    string itself), so candidate generation is an equi-join on the
+    variant string — never an all-pairs product — followed by an exact
+    levenshtein verify of the (distinct) candidates.
+
+    Scale posture: n·L variant rows, one equi-join whose bucket sizes
+    are bounded by the alphabet per position (not by n); the verify is
+    a per-row expression. The brute-force O(n²) twin lives only in the
+    DuckDB oracle, where it is the ground truth this blocking provably
+    reproduces at k=1."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length("name")),
+        lambda i: F.concat(
+            F.col("name").substr(F.lit(1), i - 1),
+            F.col("name").substr(i + 1, F.length("name") - i),
+        ),
+    )
+    variants = cust.select(
+        "id",
+        "name",
+        F.explode(F.array_union(F.array(F.col("name")), deletions)).alias("variant"),
+    )
+    b = variants.select(
+        F.col("id").alias("b_id"),
+        F.col("name").alias("b_name"),
+        F.col("variant").alias("variant"),
+    )
+    cand = (
+        variants.select(
+            F.col("id").alias("a_id"), F.col("name").alias("a_name"), "variant"
+        )
+        .join(b, "variant")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_name", "b_name")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("a_name", "b_name") <= 1).select(
+        "a_id",
+        "b_id",
+        "a_name",
+        "b_name",
+        F.levenshtein("a_name", "b_name").cast("long").alias("dist"),
+    )
+
+
+_FUZZY_LINKAGE_SQL = """
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+  a.c_name AS a_name, b.c_name AS b_name,
+  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 QUERIES = {
     "llm_gopher_rules": q_gopher_rules,
     "llm_char_entropy": q_char_entropy,
@@ -528,6 +596,7 @@ QUERIES = {
     "llm_corpus_stats_cube": q_corpus_stats_cube,
     "llm_dsir_weights": q_dsir_weights,
     "llm_bigram_logprob": q_bigram_logprob,
+    "llm_fuzzy_linkage": q_fuzzy_linkage,
 }
 
 ORACLE = {
@@ -537,4 +606,5 @@ ORACLE = {
     "llm_corpus_stats_cube": _CORPUS_STATS_CUBE_SQL,
     "llm_dsir_weights": _DSIR_WEIGHTS_SQL,
     "llm_bigram_logprob": _BIGRAM_LOGPROB_SQL,
+    "llm_fuzzy_linkage": _FUZZY_LINKAGE_SQL,
 }

@@ -175,3 +175,35 @@ def test_bigram_logprob_matches_local_model(spark, tmp_path):
     assert out == expect
     # per-bigram average: repetitive >> distinct
     assert out[0][1] / out[0][0] > out[1][1] / out[1][0]
+
+
+def test_fuzzy_linkage_planted_and_no_cartesian(spark, tmp_path, sf_small):
+    """Deletion-neighborhood blocking must find substitution AND
+    insert/delete pairs at distance 1, skip distance-2 pairs, and
+    never plan an all-pairs join."""
+    from real_time_event_streaming_pipeline_spark.plans.filters import q_fuzzy_linkage
+
+    names = [(0, "abc"), (1, "abcd"), (2, "axc"), (3, "xyz"), (4, "abc")]
+    spark.createDataFrame(names, "c_custkey long, c_name string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        (r.a_id, r.b_id, r.dist)
+        for r in q_fuzzy_linkage(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (0, 1, 1),  # insert: abc -> abcd
+        (0, 2, 1),  # substitution: abc -> axc
+        (0, 4, 0),  # exact duplicate
+        (1, 4, 1),
+        (2, 4, 1),
+    }
+
+    plan = (
+        q_fuzzy_linkage(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
