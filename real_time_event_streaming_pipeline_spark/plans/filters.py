@@ -57,7 +57,12 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary. One explode → one hash agg keyed by doc_id (map-side
     combine applies: the per-token projections collapse into partial
     counts before the shuffle), then a projection."""
-    docs = load(spark, sf_dir, "documents")
+    return gopher_rules_df(load(spark, sf_dir, "documents"))
+
+
+def gopher_rules_df(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of q_gopher_rules — also the per-batch
+    gate of streaming/corpus_ingest.py."""
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     per_doc = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
@@ -229,7 +234,12 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a per-row map; the one Exchange in this plan is whatever the
     sink needs). At 100 TB this is the ideal shape: narrow
     projection, linear output, embarrassingly parallel."""
-    docs = load(spark, sf_dir, "documents")
+    return doc_chunks_df(load(spark, sf_dir, "documents"))
+
+
+def doc_chunks_df(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of q_doc_chunking — stateless map, so it
+    runs unchanged on a streaming DataFrame or inside foreachBatch."""
     toks = F.split("text", " ")
     with_k = docs.select(
         "doc_id",

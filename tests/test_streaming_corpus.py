@@ -1,0 +1,45 @@
+"""Streaming corpus ingestion (streaming/corpus_ingest.py): the
+gate+chunk pipeline over a document stream must equal the batch sweep,
+and a checkpointed restart must not duplicate chunks."""
+
+from __future__ import annotations
+
+from real_time_event_streaming_pipeline_spark.catalog import load
+from real_time_event_streaming_pipeline_spark.plans.filters import (
+    doc_chunks_df,
+    gopher_rules_df,
+)
+from real_time_event_streaming_pipeline_spark.streaming.corpus_ingest import (
+    start_corpus_ingest,
+)
+
+
+def _batch_chunks(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    passing = gopher_rules_df(docs).filter("passes").select("doc_id")
+    return doc_chunks_df(docs.join(passing, "doc_id"))
+
+
+def test_corpus_ingest_matches_batch(spark, sf_small, tmp_path):
+    out = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_corpus_ingest(spark, sf_small, out, ckpt)
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.doc_id, r.chunk_id, r.chunk_md5)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.doc_id, r.chunk_id, r.chunk_md5)
+        for r in _batch_chunks(spark, sf_small).collect()
+    }
+    assert streamed == batch
+    assert streamed  # the gate keeps a non-trivial subset
+
+    # restart on the same checkpoint: nothing new to process, so the
+    # chunk store must not grow (epoch replay would duplicate rows)
+    q2 = start_corpus_ingest(spark, sf_small, out, ckpt)
+    q2.awaitTermination(120)
+    again = [r for r in spark.read.parquet(out).collect()]
+    assert len(again) == len(streamed)
