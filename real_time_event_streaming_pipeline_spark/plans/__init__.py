@@ -65,6 +65,8 @@ _PRIORITY_R3 = (
     "llm_knn_classify",
     "llm_bigram_logprob",
     "llm_fuzzy_linkage",
+    "rel_lateral_topk",
+    "fn_url",
 )
 
 

@@ -357,6 +357,85 @@ WHERE o_totalprice > 1.5 * (
 """
 
 
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL-parser surface beyond
+    rel_sql_subqueries): top-2 orders per customer expressed as a
+    JOIN LATERAL with ORDER BY + LIMIT — the per-row-subquery idiom
+    SQL users reach for before they learn window functions. Catalyst
+    decorrelates it into the same ranked-window/join shape as
+    rel_top_orders_per_customer, so the plan scales identically; the
+    point here is parser + decorrelation coverage."""
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.orderkey, t.price
+        FROM customer c
+        JOIN LATERAL (
+          SELECT o_orderkey AS orderkey, o_totalprice AS price
+          FROM orders WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
+
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.orderkey, t.price
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey AS orderkey, o_totalprice AS price
+  FROM orders WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t ON true
+"""
+
+
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing scalar family (parse_url HOST/PATH/QUERY + keyed
+    query param): the log-processing staple. The URL is synthesized
+    from event columns (the corpus carries none), so every extraction
+    is a deterministic string op — floor(value) is IEEE-exact, no
+    float reaches the output. Pure codegen projection, no shuffle."""
+    ev = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("event_type"),
+        F.lit(".example.com/u/"),
+        F.col("user_id"),
+        F.lit("?v="),
+        F.floor("value").cast("long"),
+        F.lit("&t="),
+        F.col("event_type"),
+    )
+    u = F.col("url")
+    return ev.select("event_id", url.alias("url")).select(
+        "event_id",
+        "url",
+        F.parse_url(u, F.lit("HOST")).alias("host"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY")).alias("query"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("v")).alias("v"),
+    )
+
+
+_FN_URL_SQL = """
+WITH u AS (
+  SELECT event_id,
+    'https://' || event_type || '.example.com/u/' || user_id
+      || '?v=' || CAST(floor(value) AS BIGINT) || '&t=' || event_type AS url
+  FROM events
+)
+SELECT event_id, url,
+  regexp_extract(url, '^https://([^/]+)', 1) AS host,
+  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+  regexp_extract(url, '\\?(.*)$', 1) AS query,
+  regexp_extract(url, '[?&]v=([^&]*)', 1) AS v
+FROM u
+"""
+
+
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction (the S2 from_json family generalized):
     typed extraction, modular bucketing of the extracted value, and a
@@ -547,6 +626,8 @@ QUERIES = {
     "fn_array": q_fn_array,
     "fn_posexplode": q_fn_posexplode,
     "rel_sql_subqueries": q_sql_subqueries,
+    "rel_lateral_topk": q_lateral_topk,
+    "fn_url": q_fn_url,
     "cs_kafka_producer_frame": q_kafka_producer_frame,
     "cs_producer_metrics": q_producer_metrics,
 }
@@ -566,6 +647,8 @@ ORACLE = {
     "fn_array": _FN_ARRAY_SQL,
     "fn_posexplode": _FN_POSEXPLODE_SQL,
     "rel_sql_subqueries": _SQL_SUBQUERIES_SQL,
+    "rel_lateral_topk": _LATERAL_TOPK_SQL,
+    "fn_url": _FN_URL_SQL,
     "cs_kafka_producer_frame": _KAFKA_FRAME_SQL,
     "cs_producer_metrics": _PRODUCER_METRICS_SQL,
 }
