@@ -67,6 +67,9 @@ _PRIORITY_R3 = (
     "llm_fuzzy_linkage",
     "rel_lateral_topk",
     "fn_url",
+    "rel_event_transitions",
+    "rel_funnel_conversion",
+    "rel_value_outliers",
 )
 
 

@@ -346,6 +346,154 @@ FROM chain GROUP BY user_id, session_start_us
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition mining over per-user event sequences: order
+    each user's events by (ts, event_id), pair each with its
+    successor via lead(), count (from, to) transitions globally, and
+    rank each from-type's successors — the funnel/next-action
+    analysis every event pipeline grows.
+
+    One window pass (partitioned by user — the same shuffle key the
+    sessionization family uses) into one small groupBy (|types|² keys
+    at most); ranks are integers with a deterministic (n desc, to_type
+    asc) tiebreak."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type", F.lead("event_type", 1).over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = t.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    w2 = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("next_type"))
+    return counts.withColumn("rk", F.row_number().over(w2).cast("long"))
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+  CAST(row_number() OVER (PARTITION BY event_type ORDER BY n DESC, next_type ASC)
+       AS BIGINT) AS rk
+FROM counts
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → click → purchase, each stage strictly
+    after the previous one for the same user (first-touch semantics:
+    stage k anchors on the EARLIEST qualifying event after stage k−1).
+    Output is the one-row conversion table.
+
+    Shape: three per-user min-aggregations chained by user_id joins —
+    every join key is the one the aggregations already partitioned by,
+    so at scale AQE reuses co-partitioning; no windows, no ordering of
+    the full stream. All outputs are counts (integers)."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    total = ev.agg(F.count_distinct("user_id").alias("users_total"))
+    return (
+        total.join(F.broadcast(v.agg(F.count(F.lit(1)).alias("stage_view"))))
+        .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("stage_click"))))
+        .join(F.broadcast(p.agg(F.count(F.lit(1)).alias("stage_purchase"))))
+    )
+
+
+_FUNNEL_CONVERSION_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT count(DISTINCT user_id) FROM events) AS users_total,
+  (SELECT count(*) FROM v) AS stage_view,
+  (SELECT count(*) FROM c) AS stage_click,
+  (SELECT count(*) FROM p) AS stage_purchase
+"""
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) anomaly detection per event type: exact
+    p25/p75 (the percentile parity fn_percentiles already pins
+    cross-engine), fences at 1.5·IQR, outliers counted per type.
+
+    Two aggregations over one scan: the quantile pass produces a
+    |types|-row fence table that broadcasts back onto the scan-side
+    comparison — the same tiny-dimension broadcast shape as
+    llm_source_mixture. Since both engines compute bitwise-identical
+    fences, the boundary comparisons can never disagree."""
+    ev = load(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    fenced = ev.join(F.broadcast(fences), "event_type")
+    iqr = F.col("p75") - F.col("p25")
+    is_out = (F.col("value") < F.col("p25") - 1.5 * iqr) | (
+        F.col("value") > F.col("p75") + 1.5 * iqr
+    )
+    return fenced.groupBy("event_type", "p25", "p75").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(is_out).alias("n_outliers"),
+    )
+
+
+_VALUE_OUTLIERS_SQL = """
+WITH fences AS (
+  SELECT event_type,
+    CAST(quantile_cont(value, 0.25) AS DOUBLE) AS p25,
+    CAST(quantile_cont(value, 0.75) AS DOUBLE) AS p75
+  FROM events GROUP BY event_type
+)
+SELECT event_type, p25, p75,
+  count(*) AS n_total,
+  count(*) FILTER (
+    WHERE value < p25 - 1.5 * (p75 - p25) OR value > p75 + 1.5 * (p75 - p25)
+  ) AS n_outliers
+FROM events JOIN fences USING (event_type)
+GROUP BY event_type, p25, p75
+"""
+
+
 QUERIES = {
     "cs_sliding_agg": q_sliding_agg,
     "rel_recursive_sessions": q_recursive_sessions,
@@ -355,6 +503,9 @@ QUERIES = {
     "fn_bitwise": q_fn_bitwise,
     "rel_session_window_native": q_session_window_native,
     "fn_map": q_fn_map,
+    "rel_event_transitions": q_event_transitions,
+    "rel_funnel_conversion": q_funnel_conversion,
+    "rel_value_outliers": q_value_outliers,
 }
 
 ORACLE = {
@@ -365,4 +516,7 @@ ORACLE = {
     "fn_bitwise": _FN_BITWISE_SQL,
     "rel_session_window_native": _SESSION_WINDOW_NATIVE_SQL,
     "fn_map": _FN_MAP_SQL,
+    "rel_event_transitions": _EVENT_TRANSITIONS_SQL,
+    "rel_funnel_conversion": _FUNNEL_CONVERSION_SQL,
+    "rel_value_outliers": _VALUE_OUTLIERS_SQL,
 }
