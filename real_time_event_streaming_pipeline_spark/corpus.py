@@ -133,6 +133,69 @@ class CorpusEngine:
         fn = q_pack_materialize if materialize else q_seq_packing
         return fn(self.spark, self.sf_dir)
 
+    def fuzzy_links(self) -> DataFrame:
+        """Edit-distance-≤1 entity links over customer names via
+        SymSpell deletion-neighborhood blocking (never all-pairs)."""
+        from .plans.filters import q_fuzzy_linkage
+
+        return q_fuzzy_linkage(self.spark, self.sf_dir)
+
+    # -- filtering / scoring ---------------------------------------------
+
+    def gate(self) -> DataFrame:
+        """Gopher-style rule gate per document (integer-scaled rule
+        inputs + composite `passes` flag)."""
+        from .plans.filters import gopher_rules_df
+
+        return gopher_rules_df(self._docs())
+
+    def char_entropy(self) -> DataFrame:
+        """Per-doc character-distribution entropy in micro-nats — the
+        garbled/random-text detector."""
+        from .plans.filters import q_char_entropy
+
+        return q_char_entropy(self.spark, self.sf_dir)
+
+    def lm_score(self, order: int = 1) -> DataFrame:
+        """Corpus-LM fluency score per document in integer micro-nats
+        (order=1 unigram, order=2 add-one-smoothed bigram)."""
+        from .plans.curation import q_unigram_logprob
+        from .plans.filters import q_bigram_logprob
+
+        if order == 1:
+            return q_unigram_logprob(self.spark, self.sf_dir)
+        if order == 2:
+            return q_bigram_logprob(self.spark, self.sf_dir)
+        raise ValueError(f"order must be 1 or 2, got {order}")
+
+    def importance_weights(self) -> DataFrame:
+        """DSIR-style target-vs-raw importance weight per document
+        (micro-nat integer log-ratio dot product)."""
+        from .plans.filters import q_dsir_weights
+
+        return q_dsir_weights(self.spark, self.sf_dir)
+
+    def chunks(self) -> DataFrame:
+        """Overlapping word-window chunks (W=32, stride=24) with spans
+        and chunk md5 — the RAG/embedding chunker; zero-shuffle."""
+        from .plans.filters import doc_chunks_df
+
+        return doc_chunks_df(self._docs())
+
+    def stats_cube(self) -> DataFrame:
+        """lang × source corpus composition CUBE with GROUPING
+        flags — the dataset-card roll-up."""
+        from .plans.filters import q_corpus_stats_cube
+
+        return q_corpus_stats_cube(self.spark, self.sf_dir)
+
+    def classify_knn(self) -> DataFrame:
+        """k-NN majority-vote label propagation over held-out
+        embeddings (label-QA pass)."""
+        from .plans.llmdata import q_knn_classify
+
+        return q_knn_classify(self.spark, self.sf_dir)
+
     # -- splits / sampling / contamination -------------------------------
 
     @staticmethod

@@ -128,3 +128,43 @@ def test_corpus_engine_round3_surface(spark, sf_small):
     t1 = layout.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
     t2 = packs.groupBy("shard").agg(F.sum("pack_tokens").alias("t")).collect()
     assert {(r.shard, r.t) for r in t1} == {(r.shard, r.t) for r in t2}
+
+
+def test_corpus_engine_filter_wave_surface(spark, sf_small):
+    """Round-3 filter-wave CorpusEngine methods: the gate flags a
+    nonempty pass subset, entropy/LM scores cover every doc, chunks
+    cover every doc's tokens, the cube's grand total matches, knn
+    classifies every held-out query, and fuzzy_links returns the
+    verified pair set."""
+    from real_time_event_streaming_pipeline_spark.corpus import CorpusEngine
+
+    corp = CorpusEngine(spark, sf_small)
+    n_docs = corp._docs().count()
+
+    g = corp.gate()
+    assert g.count() == n_docs
+    assert 0 < g.filter("passes").count() < n_docs
+
+    assert corp.char_entropy().count() == n_docs
+    assert corp.lm_score(order=1).count() == n_docs
+    assert corp.lm_score(order=2).count() == n_docs
+    assert corp.importance_weights().count() == n_docs
+
+    ch = corp.chunks()
+    assert ch.select("doc_id").distinct().count() == n_docs
+
+    cube = corp.stats_cube()
+    total = cube.filter("g_lang = 1 AND g_source = 1").collect()
+    assert len(total) == 1 and total[0].n_docs == n_docs
+
+    knn = corp.classify_knn()
+    n_queries = corp._emb().filter("vec_id % 20 = 0").count()
+    assert knn.count() == n_queries
+
+    fl = corp.fuzzy_links()
+    assert fl.filter("dist > 1").count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        corp.lm_score(order=3)

@@ -116,3 +116,46 @@ def test_hash_sample_partitioning_invariant(spark, parts, seed_rows):
     }
     want = {i for i in range(seed_rows) if (i * _SPLIT_MULT) % 1000 < 100}
     assert picked == want
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5), min_size=2, max_size=12
+    )
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+def test_fuzzy_linkage_blocking_complete(names):
+    """Deletion-neighborhood blocking must reproduce the brute-force
+    edit-distance-<=1 pair set for ARBITRARY short strings — the
+    completeness claim llm_fuzzy_linkage's oracle relies on, checked
+    in pure Python (the Spark plan mirrors this construction
+    expression-for-expression)."""
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def variants(s: str) -> set[str]:
+        return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+    brute = {
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    vs = [variants(s) for s in names]
+    blocked = {
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if vs[i] & vs[j] and lev(names[i], names[j]) <= 1
+    }
+    assert blocked == brute
