@@ -70,6 +70,7 @@ _PRIORITY_R3 = (
     "rel_event_transitions",
     "rel_funnel_conversion",
     "rel_value_outliers",
+    "rel_cep_pattern",
 )
 
 

@@ -494,6 +494,98 @@ GROUP BY event_type, p25, p75
 """
 
 
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event pattern matching (the MATCH_RECOGNIZE class;
+    HYPERSONIC, SIGMOD 2022 is the scale-out treatment): `view
+    FOLLOWED BY purchase WITHIN 30 min, NO error BETWEEN`, first-match
+    semantics per view. Spark has no MATCH_RECOGNIZE; the pattern
+    compiles to relational primitives that DO scale:
+
+    - the "no C between" negation becomes an equality on the running
+      error count (one user-partitioned window pass — prefix sums
+      turn sequence negation into an equi-predicate);
+    - the "followed by within T" becomes a per-user join with a time
+      horizon; per-user candidates are bounded by event rate × T
+      (the cs_alert_followups analysis — bucket the equi key by T if
+      a key gets hot);
+    - first-match is a WindowGroupLimit rank, pruned pre-shuffle.
+
+    The gap is integer microseconds end to end."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.count_if(F.col("event_type") == "error").over(wcum).alias("err_cum"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    v = seq.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_id"),
+        F.col("ts_us").alias("v_us"),
+        F.col("err_cum").alias("v_err"),
+    )
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts_us").alias("p_us"),
+        F.col("err_cum").alias("p_err"),
+    )
+    cand = v.join(p, "user_id").filter(
+        (F.col("p_us") > F.col("v_us"))
+        & (F.col("p_us") - F.col("v_us") <= 1_800_000_000)
+        & (F.col("p_err") == F.col("v_err"))
+    )
+    first = Window.partitionBy("v_id").orderBy("p_us", "p_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(first))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "v_id",
+            "p_id",
+            (F.col("p_us") - F.col("v_us")).alias("gap_us"),
+        )
+    )
+
+
+_CEP_PATTERN_SQL = """
+WITH seq AS (
+  SELECT event_id, user_id, ts, event_type,
+    count(*) FILTER (WHERE event_type = 'error')
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_cum
+  FROM events
+),
+v AS (
+  SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_us, err_cum AS v_err
+  FROM seq WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us, err_cum AS p_err
+  FROM seq WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT v.user_id, v.v_id, p.p_id, p.p_us - v.v_us AS gap_us,
+    row_number() OVER (PARTITION BY v.v_id ORDER BY p.p_us, p.p_id) AS rk
+  FROM v JOIN p ON v.user_id = p.user_id
+   AND p.p_us > v.v_us
+   AND p.p_us - v.v_us <= 1800000000
+   AND p.p_err = v.v_err
+)
+SELECT user_id, v_id, p_id, CAST(gap_us AS BIGINT) AS gap_us
+FROM matched WHERE rk = 1
+"""
+
+
 QUERIES = {
     "cs_sliding_agg": q_sliding_agg,
     "rel_recursive_sessions": q_recursive_sessions,
@@ -506,6 +598,7 @@ QUERIES = {
     "rel_event_transitions": q_event_transitions,
     "rel_funnel_conversion": q_funnel_conversion,
     "rel_value_outliers": q_value_outliers,
+    "rel_cep_pattern": q_cep_pattern,
 }
 
 ORACLE = {
@@ -519,4 +612,5 @@ ORACLE = {
     "rel_event_transitions": _EVENT_TRANSITIONS_SQL,
     "rel_funnel_conversion": _FUNNEL_CONVERSION_SQL,
     "rel_value_outliers": _VALUE_OUTLIERS_SQL,
+    "rel_cep_pattern": _CEP_PATTERN_SQL,
 }

@@ -207,3 +207,35 @@ def test_fuzzy_linkage_planted_and_no_cartesian(spark, tmp_path, sf_small):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cep_pattern_planted(spark, tmp_path):
+    """Pattern semantics on a planted sequence: a clean view->purchase
+    within horizon matches (first purchase wins), an error between
+    blocks the match, and an out-of-horizon purchase doesn't count."""
+    from datetime import datetime, timedelta
+
+    from real_time_event_streaming_pipeline_spark.plans.windowing import (
+        q_cep_pattern,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: view -> purchase(+5m) matches; second purchase ignored
+        (1, at(0), 1, "view"), (2, at(5), 1, "purchase"), (3, at(10), 1, "purchase"),
+        # user 2: view -> error -> purchase: blocked
+        (4, at(0), 2, "view"), (5, at(5), 2, "error"), (6, at(10), 2, "purchase"),
+        # user 3: purchase 40m later: out of the 30m horizon
+        (7, at(0), 3, "view"), (8, at(40), 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {(r.user_id, r.v_id, r.p_id, r.gap_us) for r in q_cep_pattern(spark, str(tmp_path)).collect()}
+    assert got == {(1, 1, 2, 5 * 60 * 1_000_000)}
