@@ -71,6 +71,7 @@ _PRIORITY_R3 = (
     "rel_funnel_conversion",
     "rel_value_outliers",
     "rel_cep_pattern",
+    "rel_ts_similarity",
 )
 
 

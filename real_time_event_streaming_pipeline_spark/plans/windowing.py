@@ -586,6 +586,99 @@ FROM matched WHERE rk = 1
 """
 
 
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the EDBT 2019 streaming-TS
+    class): resample each user's value series to hourly integer-cent
+    sums, then find the top-3 most Pearson-correlated users for each
+    query user (user_id < 5), over ≥3 shared hours.
+
+    Determinism: every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    BIGINT from cent-integers, so both engines feed IDENTICAL integers
+    into the one double expression; division and sqrt are
+    IEEE-correctly-rounded, so r matches bitwise and ranks can't flip.
+
+    Scale: resample is one (user, hour) agg; the query side is tiny by
+    construction (broadcast), so candidate scoring is a linear scan of
+    the series table joined on hour — never user × user. Top-3 is a
+    WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    series = (
+        ev.withColumn("h", F.date_trunc("hour", "ts"))
+        .withColumn("cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .groupBy("user_id", "h")
+        .agg(F.sum("cents").alias("v"))
+    )
+    q = series.filter(F.col("user_id") < 5).select(
+        F.col("user_id").alias("qu"), "h", F.col("v").alias("x")
+    )
+    c = series.select(F.col("user_id").alias("other"), "h", F.col("v").alias("y"))
+    moments = (
+        F.broadcast(q)
+        .join(c, "h")
+        .filter(F.col("qu") != F.col("other"))
+        .groupBy("qu", "other")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    scored = moments.filter(den > 0).select(
+        "qu", "other", "n", F.round(num / den, 6).alias("r")
+    )
+    w = Window.partitionBy("qu").orderBy(F.desc("r"), F.asc("other"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_TS_SIMILARITY_SQL = """
+WITH series AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+moments AS (
+  SELECT q.user_id AS qu, c.user_id AS other,
+    count(*) AS n,
+    CAST(sum(q.v) AS BIGINT) AS sx, CAST(sum(c.v) AS BIGINT) AS sy,
+    CAST(sum(q.v * c.v) AS BIGINT) AS sxy,
+    CAST(sum(q.v * q.v) AS BIGINT) AS sxx,
+    CAST(sum(c.v * c.v) AS BIGINT) AS syy
+  FROM series q JOIN series c ON q.h = c.h AND q.user_id != c.user_id
+  WHERE q.user_id < 5
+  GROUP BY q.user_id, c.user_id
+  HAVING count(*) >= 3
+),
+scored AS (
+  SELECT qu, other, n,
+    round(CAST(n * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+  FROM moments
+  WHERE sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             * CAST(n * syy - sy * sy AS DOUBLE)) > 0
+)
+SELECT qu, other, n, r,
+  CAST(row_number() OVER (PARTITION BY qu ORDER BY r DESC, other ASC) AS BIGINT)
+    AS rk
+FROM scored
+QUALIFY rk <= 3
+"""
+
+
 QUERIES = {
     "cs_sliding_agg": q_sliding_agg,
     "rel_recursive_sessions": q_recursive_sessions,
@@ -599,6 +692,7 @@ QUERIES = {
     "rel_funnel_conversion": q_funnel_conversion,
     "rel_value_outliers": q_value_outliers,
     "rel_cep_pattern": q_cep_pattern,
+    "rel_ts_similarity": q_ts_similarity,
 }
 
 ORACLE = {
@@ -613,4 +707,5 @@ ORACLE = {
     "rel_funnel_conversion": _FUNNEL_CONVERSION_SQL,
     "rel_value_outliers": _VALUE_OUTLIERS_SQL,
     "rel_cep_pattern": _CEP_PATTERN_SQL,
+    "rel_ts_similarity": _TS_SIMILARITY_SQL,
 }

@@ -239,3 +239,32 @@ def test_cep_pattern_planted(spark, tmp_path):
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     got = {(r.user_id, r.v_id, r.p_id, r.gap_us) for r in q_cep_pattern(spark, str(tmp_path)).collect()}
     assert got == {(1, 1, 2, 5 * 60 * 1_000_000)}
+
+
+def test_ts_similarity_planted_correlations(spark, tmp_path):
+    """Planted hourly series: user 100 moves WITH query user 0
+    (r=+1), user 200 moves AGAINST it (r=-1) — the ranking must put
+    100 first and 200 last."""
+    from datetime import datetime, timedelta
+
+    from real_time_event_streaming_pipeline_spark.plans.windowing import (
+        q_ts_similarity,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 30, 0)
+    base = [10.0, 20.0, 30.0, 40.0]
+    rows = []
+    eid = 0
+    for h, v in enumerate(base):
+        for uid, val in ((0, v), (100, v * 2), (200, 50.0 - v)):
+            rows.append((eid, t0 + timedelta(hours=h), uid, "view", val, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {(r.qu, r.other): (r.r, r.rk) for r in q_ts_similarity(spark, str(tmp_path)).collect()}
+    assert out[(0, 100)] == (1.0, 1)
+    assert out[(0, 200)][0] == -1.0
+    assert out[(0, 200)][1] == 2
