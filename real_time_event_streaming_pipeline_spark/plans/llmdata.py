@@ -255,7 +255,9 @@ def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
-def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_classify(
+    spark: SparkSession, sf_dir: str, method: str = "exact"
+) -> DataFrame:
     """k-NN label propagation over the embedding space — the standard
     weak-labeling / label-QA pass of an embedding pipeline: every 20th
     vector is held out as a query, classified by majority vote of its
@@ -265,13 +267,19 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_id tiebreak) so rank membership is cross-engine deterministic;
     votes and the (votes desc, label asc) argmax are pure integers.
     Scale posture: the query side is the broadcast (held-out sets are
-    small by construction); the corpus side streams through one scan —
-    swap brute_force_topk for ivf/pq_ann_topk for the approximate
-    scale path with the same downstream vote shape."""
+    small by construction); the corpus side streams through one scan.
+    method="ivf" swaps the neighbor stage for the partition-pruned
+    IVF path with the IDENTICAL vote stage — the 100x route, probing
+    n_probe/n_centroids of the corpus per query. On THIS corpus the
+    two disagree on predictions because cosine margins sit at the
+    random ceiling (the semdedup data-dependence note,
+    operators/similarity.py); on real clustered embeddings IVF recall
+    is the tested dial. The registered/oracled query stays exact."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     corpus = emb.filter(F.col("vec_id") % 20 != 0)
-    nn = S.brute_force_topk(corpus, queries, k=5)
+    topk = {"exact": S.brute_force_topk, "ivf": S.ivf_ann_topk}[method]
+    nn = topk(corpus, queries, k=5)
     votes = (
         nn.join(
             corpus.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")),

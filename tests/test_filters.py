@@ -268,3 +268,21 @@ def test_ts_similarity_planted_correlations(spark, tmp_path):
     assert out[(0, 100)] == (1.0, 1)
     assert out[(0, 200)][0] == -1.0
     assert out[(0, 200)][1] == 2
+
+
+def test_knn_classify_ivf_variant_structure(spark, sf_small):
+    """The IVF-backed knn variant (the 100x scale path) must produce
+    one integer-vote prediction per held-out query through the same
+    vote stage; prediction AGREEMENT with exact is data-dependent
+    (this corpus's cosine margins sit at the random ceiling) and is
+    deliberately not pinned."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import q_knn_classify
+
+    n_queries = (
+        load(spark, sf_small, "embeddings").filter("vec_id % 20 = 0").count()
+    )
+    out = q_knn_classify(spark, sf_small, method="ivf").collect()
+    assert len(out) == n_queries
+    assert all(1 <= r.votes <= 5 for r in out)
+    assert all(r.correct == (r.pred_label == r.true_label) for r in out)
