@@ -72,6 +72,7 @@ _PRIORITY_R3 = (
     "rel_value_outliers",
     "rel_cep_pattern",
     "rel_ts_similarity",
+    "rel_retention_cohorts",
 )
 
 

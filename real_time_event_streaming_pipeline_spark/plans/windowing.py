@@ -679,6 +679,49 @@ QUALIFY rk <= 3
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple: users grouped
+    by first-active day, counted at each day offset they return.
+    Output is the (cohort_day, offset_days, n_users) retention
+    triangle.
+
+    Shape: one distinct over (user, day) — the only event-volume
+    shuffle; the first-day aggregate and the join back both reuse the
+    user partitioning (AQE co-partitions), and the final aggregate
+    has cohort×offset keys (≤ span² rows). Everything is dates and
+    integers."""
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort", F.datediff("day", "cohort").cast("long").alias("offset_days")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            "offset_days",
+            "n_users",
+        )
+    )
+
+
+_RETENTION_COHORTS_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+firsts AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+  CAST(date_diff('day', cohort, day) AS BIGINT) AS offset_days,
+  count(*) AS n_users
+FROM act JOIN firsts USING (user_id)
+GROUP BY cohort, date_diff('day', cohort, day)
+"""
+
+
 QUERIES = {
     "cs_sliding_agg": q_sliding_agg,
     "rel_recursive_sessions": q_recursive_sessions,
@@ -693,6 +736,7 @@ QUERIES = {
     "rel_value_outliers": q_value_outliers,
     "rel_cep_pattern": q_cep_pattern,
     "rel_ts_similarity": q_ts_similarity,
+    "rel_retention_cohorts": q_retention_cohorts,
 }
 
 ORACLE = {
@@ -708,4 +752,5 @@ ORACLE = {
     "rel_value_outliers": _VALUE_OUTLIERS_SQL,
     "rel_cep_pattern": _CEP_PATTERN_SQL,
     "rel_ts_similarity": _TS_SIMILARITY_SQL,
+    "rel_retention_cohorts": _RETENTION_COHORTS_SQL,
 }

@@ -43,3 +43,27 @@ def test_corpus_ingest_matches_batch(spark, sf_small, tmp_path):
     q2.awaitTermination(120)
     again = [r for r in spark.read.parquet(out).collect()]
     assert len(again) == len(streamed)
+
+
+def test_gated_chunks_closed_under_partitioning(spark, sf_small):
+    """The property streaming ingestion relies on: the gate+chunk
+    operator is per-document (no corpus-level state), so applying it
+    to any partition of the corpus and unioning equals applying it to
+    the whole corpus — micro-batch boundaries can never change
+    results."""
+    from real_time_event_streaming_pipeline_spark.streaming.corpus_ingest import (
+        gated_chunks_df,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    whole = {
+        (r.doc_id, r.chunk_id, r.chunk_md5)
+        for r in gated_chunks_df(docs).collect()
+    }
+    halves = set()
+    for m in (0, 1):
+        halves |= {
+            (r.doc_id, r.chunk_id, r.chunk_md5)
+            for r in gated_chunks_df(docs.filter(f"doc_id % 2 = {m}")).collect()
+        }
+    assert halves == whole
