@@ -165,3 +165,30 @@ def test_alert_followups_bucketed_equi_join(spark, sf_med):
     plan = _plan(q_alert_followups(spark, sf_med))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bkt" in plan
+
+
+def test_round3_filter_family_plan_invariants(spark, sf_med):
+    """Plan-shape guards for the round-3 additions: the chunker must
+    stay shuffle-free (it rides the scan), CEP first-match and
+    TS-similarity top-k must plan WindowGroupLimit (pre-shuffle group
+    pruning), and none of the family may ever plan a cartesian
+    product."""
+    from real_time_event_streaming_pipeline_spark.plans.filters import (
+        q_doc_chunking,
+        q_fuzzy_linkage,
+        q_gopher_rules,
+    )
+    from real_time_event_streaming_pipeline_spark.plans.windowing import (
+        q_cep_pattern,
+        q_ts_similarity,
+    )
+
+    chunk_plan = _plan(q_doc_chunking(spark, sf_med))
+    assert "Exchange" not in chunk_plan, chunk_plan
+
+    for fn in (q_gopher_rules, q_fuzzy_linkage, q_cep_pattern, q_ts_similarity):
+        plan = _plan(fn(spark, sf_med))
+        assert "CartesianProduct" not in plan, fn.__name__
+
+    assert "WindowGroupLimit" in _plan(q_cep_pattern(spark, sf_med))
+    assert "WindowGroupLimit" in _plan(q_ts_similarity(spark, sf_med))
