@@ -161,14 +161,15 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg on doc_id; n_chars rides along from length(text), so no
     join back to the scan. Per-key state is O(alphabet) per doc."""
     docs = load(spark, sf_dir, "documents")
+    # guard: F.sequence(1, 0) generates DESCENDING [1, 0], not an
+    # empty array — an empty-text doc must vanish from the explode
+    # exactly as it does under DuckDB's generate_series(1, 0)
+    idx = F.when(
+        F.length("text") >= 1, F.sequence(F.lit(1), F.length("text"))
+    ).otherwise(F.array().cast("array<int>"))
     chars = (
         docs.select("doc_id", "text", F.length("text").alias("n"))
-        .select(
-            "doc_id",
-            "n",
-            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
-            F.col("text"),
-        )
+        .select("doc_id", "n", F.explode(idx).alias("i"), F.col("text"))
         .select("doc_id", "n", F.expr("substr(text, i, 1)").alias("ch"))
     )
     counts = chars.groupBy("doc_id", "n", "ch").agg(F.count(F.lit(1)).alias("c"))

@@ -286,3 +286,12 @@ def test_knn_classify_ivf_variant_structure(spark, sf_small):
     assert len(out) == n_queries
     assert all(1 <= r.votes <= 5 for r in out)
     assert all(r.correct == (r.pred_label == r.true_label) for r in out)
+
+
+def test_char_entropy_empty_text_drops_like_oracle(spark, tmp_path):
+    """An empty-text doc must vanish from the entropy output (as
+    DuckDB's generate_series(1,0) drops it) — guards Spark's
+    descending-sequence surprise on sequence(1, 0)."""
+    sf = _plant_docs(spark, tmp_path, [("", "en", "s0"), ("ab", "en", "s0")])
+    out = {r.doc_id for r in q_char_entropy(spark, sf).collect()}
+    assert out == {1}
