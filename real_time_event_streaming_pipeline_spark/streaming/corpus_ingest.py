@@ -35,19 +35,29 @@ from ..plans.filters import doc_chunks_df, gopher_rules_df
 
 
 def documents_file_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+    source_dir: str | None = None,
 ) -> DataFrame:
     """The documents table as a micro-batched file stream (same
     symlinked-staging-dir pattern as sources/events.events_file_stream;
     schema probed from the parquet footer so stream and batch always
-    agree)."""
-    tag = hashlib.md5(f"docs:{sf_dir}".encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(table_path(sf_dir, "documents"), link)
-    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    agree). ``source_dir`` points the stream at a multi-file document
+    directory instead — one micro-batch per file under
+    maxFilesPerTrigger=1, the arriving-corpus shape."""
+    if source_dir is not None:
+        stage = source_dir
+    else:
+        tag = hashlib.md5(f"docs:{sf_dir}".encode()).hexdigest()[:12]
+        stage = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(table_path(sf_dir, "documents"), link)
+    schema = spark.read.parquet(
+        source_dir if source_dir is not None else table_path(sf_dir, "documents")
+    ).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -68,12 +78,13 @@ def start_corpus_ingest(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    source_dir: str | None = None,
 ):
     """Stream documents through the gate+chunk pipeline into an
     append-only parquet chunk store. availableNow drains everything
     currently present and stops — the test/backfill trigger; a live
     deployment drops it and the same query runs forever."""
-    raw = documents_file_stream(spark, sf_dir, max_files_per_trigger)
+    raw = documents_file_stream(spark, sf_dir, max_files_per_trigger, source_dir)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         gated_chunks_df(batch_df).write.mode("append").parquet(out_dir)

@@ -67,3 +67,36 @@ def test_gated_chunks_closed_under_partitioning(spark, sf_small):
             for r in gated_chunks_df(docs.filter(f"doc_id % 2 = {m}")).collect()
         }
     assert halves == whole
+
+
+def test_corpus_ingest_multi_epoch(spark, sf_small, tmp_path):
+    """Documents arriving as MULTIPLE files (one micro-batch each,
+    maxFilesPerTrigger=1) must append to the same chunk store and
+    still equal the batch sweep — the true incremental-ingestion
+    path, exercising cross-epoch appends."""
+    src = str(tmp_path / "arriving_docs")
+    load(spark, sf_small, "documents").repartition(3).write.parquet(src)
+    out = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+
+    from real_time_event_streaming_pipeline_spark.streaming.corpus_ingest import (
+        start_corpus_ingest,
+    )
+
+    q = start_corpus_ingest(spark, sf_small, out, ckpt, source_dir=src)
+    q.awaitTermination(180)
+
+    streamed = {
+        (r.doc_id, r.chunk_id, r.chunk_md5)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.doc_id, r.chunk_id, r.chunk_md5)
+        for r in _batch_chunks(spark, sf_small).collect()
+    }
+    assert streamed == batch
+    # >1 epoch actually ran: the offsets log has one entry per batch
+    import os
+
+    offsets = os.listdir(os.path.join(ckpt, "offsets"))
+    assert len([f for f in offsets if not f.startswith(".")]) >= 2
