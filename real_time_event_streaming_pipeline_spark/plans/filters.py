@@ -73,14 +73,12 @@ def gopher_rules_df(docs: DataFrame) -> DataFrame:
             F.when(F.col("term").isin(*_STOPWORDS), F.col("term"))
         ).alias("n_stop"),
     )
-    mwl = (F.col("sum_len") * F.lit(1_000_000)).cast("long") / F.col("n_words")
-    mwl = F.floor(mwl).cast("long")
-    alpha_ppm = F.floor(
-        (F.col("n_alpha") * F.lit(1_000_000)).cast("long") / F.col("n_words")
-    ).cast("long")
-    symbol_ppm = F.floor(
-        (F.col("n_symbol") * F.lit(1_000_000)).cast("long") / F.col("n_words")
-    ).cast("long")
+    # BIGINT `div` (not float `/` + floor): sum_len*1e6 can exceed the
+    # 2^53 double-exact range on long documents, and a float quotient
+    # landing one ULP under an integer would flip a boundary rule
+    mwl = F.expr("sum_len * CAST(1000000 AS BIGINT) div n_words")
+    alpha_ppm = F.expr("n_alpha * CAST(1000000 AS BIGINT) div n_words")
+    symbol_ppm = F.expr("n_symbol * CAST(1000000 AS BIGINT) div n_words")
     out = per_doc.select(
         "doc_id",
         "n_words",
@@ -556,13 +554,19 @@ def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
-    deletions = F.transform(
-        F.sequence(F.lit(1), F.length("name")),
-        lambda i: F.concat(
-            F.col("name").substr(F.lit(1), i - 1),
-            F.col("name").substr(i + 1, F.length("name") - i),
+    # guard: F.sequence(1, 0) on a zero-length name would yield the
+    # DESCENDING [1, 0] — same trap guarded at the q_char_entropy and
+    # q_bigram_logprob call sites above; empty neighborhood is correct
+    deletions = F.when(
+        F.length("name") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length("name")),
+            lambda i: F.concat(
+                F.col("name").substr(F.lit(1), i - 1),
+                F.col("name").substr(i + 1, F.length("name") - i),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     variants = cust.select(
         "id",
         "name",

@@ -263,9 +263,13 @@ def q_knn_classify(
     vector is held out as a query, classified by majority vote of its
     k=5 exact-cosine neighbors among the rest (tie → smallest label).
 
-    Composes the driver-green brute_force_topk ranking (round-6 cos,
-    n_id tiebreak) so rank membership is cross-engine deterministic;
-    votes and the (votes desc, label asc) argmax are pure integers.
+    Composes the driver-green brute_force_topk ranking: neighbors are
+    ranked on the RAW double cosine (fold-order matched to the SQL
+    oracle's dot-product expansion; round(,6) is applied to the output
+    column only), with n_id as the tiebreak — so rank membership is
+    deterministic given both engines evaluate the identical
+    double-precision fold; votes and the (votes desc, label asc)
+    argmax are pure integers.
     Scale posture: the query side is the broadcast (held-out sets are
     small by construction); the corpus side streams through one scan.
     method="ivf" swaps the neighbor stage for the partition-pruned
