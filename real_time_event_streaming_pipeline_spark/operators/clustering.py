@@ -14,8 +14,19 @@ data itself.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Loop-stage sizing: after the edge set is materialized its row count
+# is known exactly, so the per-round join/groupBy runs on
+# ceil(n_edges / this) partitions instead of the static
+# shuffle-partition count. At 100 TB (billions of edges) this keeps
+# every partition ~1M rows; at test scale it collapses the loop to a
+# couple of tasks per round — round latency is scheduling-bound, not
+# data-bound, so idle tasks are pure overhead.
+_EDGES_PER_PARTITION = 1_000_000
 
 
 def connected_components(
@@ -23,38 +34,54 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 20,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """(vertex, component) for every vertex in `pairs`; component =
-    min vertex id reachable. Converges when no label changes."""
+    min vertex id reachable. Converges when no label changes.
+
+    `pairs_unique=True` asserts the input has one row per undirected
+    pair (a < b) — the contract of every pair generator in
+    operators/dedup.py — and skips the defensive `distinct()` on the
+    symmetrized edge set, saving a full shuffle of the edges."""
     # materialize the edge set ONCE — without this every iteration
     # re-evaluates the (potentially expensive) upstream pair-generation
     # plan, and label lineage grows a join per round until planning
     # itself dominates. localCheckpoint truncates lineage; cluster
     # deployments would use checkpoint() on reliable storage.
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
-        .distinct()
-        .localCheckpoint()
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).union(
+        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
     )
+    if not pairs_unique:
+        e = e.distinct()
+    edges = e.localCheckpoint()
+    # count is ~free on the checkpointed partitions and buys exact
+    # loop sizing (see _EDGES_PER_PARTITION); coalesce is narrow — no
+    # extra shuffle, and never increases the partition count
+    n_edges = edges.count()
+    n_part = max(1, math.ceil(n_edges / _EDGES_PER_PARTITION))
+    if n_part < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(n_part)
     labels = (
         edges.select("u")
         .distinct()
         .select(F.col("u").alias("vertex"), F.col("u").alias("component"))
-        .localCheckpoint()
     )
+
     # labels only ever decrease (min over own + neighbors), so
     # Σcomponent strictly decreases every non-converged round: a 1-row
     # aggregate detects the fixpoint without the old-vs-new join the
     # naive convergence check needs (halves the per-round job count —
-    # round latency, not data volume, dominates this loop). Summed as
-    # decimal(38,0): many vertices with snowflake-scale 64-bit ids
-    # would overflow a long sum, which throws under ANSI mode.
+    # round latency, not data volume, dominates this loop). Starting
+    # prev_sum at None (≠ any sum) skips the pre-loop sum job the
+    # previous version paid: round 0 must run regardless, so its sum
+    # doubles as the baseline. Summed as decimal(38,0): many vertices
+    # with snowflake-scale 64-bit ids would overflow a long sum, which
+    # throws under ANSI mode.
     def _label_sum(df):
         return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
 
-    prev_sum = _label_sum(labels)
-    converged = False
+    prev_sum = None
+    first = True
     for _ in range(max_iter):
         # candidate label per vertex: min over (own label, neighbors' labels)
         neighbor_labels = (
@@ -68,22 +95,24 @@ def connected_components(
             .localCheckpoint()
         )
         new_sum = _label_sum(labels)
-        if new_sum == prev_sum:
-            converged = True
-            break
+        if not first and new_sum == prev_sum:
+            return labels
+        if first and new_sum is None:  # empty edge set: nothing to propagate
+            return labels
         prev_sum = new_sum
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(rounds ~ graph diameter — raise max_iter for long-chain graphs)"
-        )
-    return labels
+        first = False
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(rounds ~ graph diameter — raise max_iter for long-chain graphs)"
+    )
 
 
-def dedup_clusters(pairs: DataFrame) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, pairs_unique: bool = True) -> DataFrame:
     """Cluster summary: representative (min doc id), size, members —
-    ready for the 'keep one per cluster' join back to the corpus."""
-    cc = connected_components(pairs)
+    ready for the 'keep one per cluster' join back to the corpus.
+    Pair generators in operators/dedup.py emit one row per (a < b)
+    pair, so the symmetrized edge set is distinct by construction."""
+    cc = connected_components(pairs, pairs_unique=pairs_unique)
     return cc.groupBy("component").agg(
         F.count("*").alias("cluster_size"),
         F.array_join(F.array_sort(F.collect_list(F.col("vertex").cast("string"))), ",").alias(
