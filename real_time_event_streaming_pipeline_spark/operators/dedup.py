@@ -238,6 +238,53 @@ def _cap_buckets(grp, max_bucket: int, observation):
     return grp.filter(F.size("xs") <= max_bucket)
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig, band, bhash) — one row per document per band; bhash
+    hashes the band's slice of the signature. This is both the LSH
+    candidate key (docs agreeing on any full band collide) and the
+    record the persisted dedup index stores per document
+    (streaming/dedup_index.py): assignment depends only on the
+    document text and the fixed permutation constants, so a row
+    computed at ingest time equals one computed in a batch sweep."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, k, num_hashes, id_col)
+    return sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", "bk.band", "bk.bhash")
+
+
+def est_jaccard(a_sig, b_sig, num_hashes: int):
+    """Estimated Jaccard = fraction of matching signature positions
+    (rounded to 4 — the precision every minhash output column uses)."""
+    matches = F.size(
+        F.filter(
+            F.zip_with(a_sig, b_sig, lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return F.round(matches.cast("double") / F.lit(float(num_hashes)), 4)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 3,
@@ -257,25 +304,21 @@ def minhash_lsh_pairs(
     once, not once per self-join side. Buckets larger than
     ``max_bucket`` are dropped (see `_cap_buckets`).
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, k, num_hashes, id_col)
-    banded = sig.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "sig", "bk.band", "bk.bhash")
+    banded = minhash_band_rows(df, k, num_hashes, bands, id_col)
+    return pairs_from_band_rows(banded, num_hashes, id_col, max_bucket, observation)
+
+
+def pairs_from_band_rows(
+    banded: DataFrame,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+    observation=None,
+) -> DataFrame:
+    """Candidate pairs (a_id < b_id, est_jaccard) from precomputed
+    band rows — the back half of minhash_lsh_pairs, split out so the
+    incremental dedup path can reuse one set of band rows for both
+    within-batch pairing and the index append."""
     grp = (
         banded.groupBy("band", "bhash")
         .agg(
@@ -309,16 +352,10 @@ def minhash_lsh_pairs(
         .select("p.*")
         .dropDuplicates(["a_id", "b_id"])
     )
-    matches = F.size(
-        F.filter(
-            F.zip_with("a_sig", "b_sig", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
     return cand.select(
         "a_id",
         "b_id",
-        F.round(matches.cast("double") / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        est_jaccard(F.col("a_sig"), F.col("b_sig"), num_hashes).alias("est_jaccard"),
     )
 
 

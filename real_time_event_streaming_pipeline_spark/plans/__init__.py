@@ -27,57 +27,77 @@ def _modules():
 
 
 # The verify driver checks only the FIRST 50 registry entries against
-# the DuckDB oracle each round (r1 covered cs_*/rel_*, r2 covered
-# llm_*/fn_*/windowing). Round 3 front-loads (a) the 10 queries that
-# were never inside a driver window in r1+r2 and (b) the 5 queries the
-# r2 driver marked red, whose output shapes were hardened this round —
-# so by r3 every registered query has at least one driver verdict and
-# every fix gets driver confirmation. Everything else keeps module
-# order and its local strict-oracle coverage via tools/verify_local.py.
-_PRIORITY_R3 = (
-    # never in a driver window across r1+r2 (VERDICT r2, missing #1)
-    "fn_percentiles",
-    "fn_unpivot",
-    "fn_array",
-    "fn_posexplode",
-    "rel_sql_subqueries",
-    "cs_kafka_producer_frame",
-    "cs_producer_metrics",
-    "cs_alert_followups",
-    "rel_large_volume_customer",
-    "rel_dominant_part_suppliers",
-    # driver-red in CORRECTNESS_r02, output shapes hardened this round
-    "llm_emb_quantize",
-    "llm_corpus_pipeline",
-    "llm_token_rarity",
-    "llm_seq_packing",
-    "fn_variant",
-    # new in round 3 — no driver verdict yet
+# the DuckDB oracle each round. Every registered query has at least
+# one green driver verdict (r1-r3), but 80 of them last sat in a
+# window on r1/r2 code. Round 4 front-loads (a) queries that are new
+# or whose code changed this round, then (b) the stale-verdict set
+# the round-3 judge prioritized (cs_* family, the TPC-H pricing/
+# shipping/supplier wave, fn_* scalar families, llm_* text/corpus
+# ops). The ~30 stale rel_* analytics left over rotate in round 5;
+# all of them stay covered by tools/verify_local.py --strict locally.
+_PRIORITY_R4 = (
+    # new in round 4 — no driver verdict yet
+    "llm_dedup_ngram_survivors",
+    "llm_dedup_minhash_survivors",
+    "llm_corpus_ingest_epochs",
+    # code changed in round 4 (integer-div ratios, deletion guard,
+    # connected-components loop, minhash band-row refactor)
     "llm_gopher_rules",
-    "llm_char_entropy",
-    "llm_doc_chunking",
-    "llm_corpus_stats_cube",
-    "llm_dsir_weights",
-    "llm_length_outliers",
-    "llm_pack_materialize",
-    "llm_dup_span_removal",
-    "llm_emb_ann_pq",
-    "llm_knn_classify",
-    "llm_bigram_logprob",
     "llm_fuzzy_linkage",
-    "rel_lateral_topk",
-    "fn_url",
-    "rel_event_transitions",
-    "rel_funnel_conversion",
-    "rel_value_outliers",
-    "rel_cep_pattern",
-    "rel_ts_similarity",
-    "rel_retention_cohorts",
+    "llm_dedup_clusters",
+    "llm_semdedup",
+    "llm_dedup_minhash_lsh",
+    # stale-verdict rotation: cs_* reference family (last driver row r1)
+    "cs_raw_events",
+    "cs_windowed_agg",
+    "cs_alerts",
+    "cs_events_by_city",
+    "cs_summary_city",
+    "cs_cities",
+    "cs_aggregations_filtered",
+    "cs_stats",
+    "cs_global_counts",
+    "cs_alerts_recent",
+    "cs_raw_with_ttl",
+    "cs_sliding_agg",
+    # stale-verdict rotation: llm text/corpus ops (last driver row r2)
+    "llm_tfidf",
+    "llm_normalize",
+    "llm_token_freq",
+    "llm_contamination",
+    "llm_doc_repetition",
+    "llm_stratified_sample",
+    "llm_per_source_cap",
+    "llm_pii_redact",
+    "llm_source_mixture",
+    "llm_dup_chunk_fraction",
+    "llm_unigram_logprob",
+    # stale-verdict rotation: fn_* scalar families (last driver row r2)
+    "fn_string",
+    "fn_datetime",
+    "fn_json",
+    "fn_map",
+    "fn_higher_order",
+    "fn_math",
+    "fn_window_analytic",
+    "fn_bitwise",
+    "fn_try_arith",
+    "fn_conditional",
+    # stale-verdict rotation: TPC-H pricing/shipping/supplier wave (r1)
+    "rel_pricing_summary",
+    "rel_shipping_priority",
+    "rel_local_supplier_volume",
+    "rel_customer_order_counts",
+    "rel_customers_with_urgent_orders",
+    "rel_customers_without_orders",
+    "rel_setops_suppliers",
+    "rel_nation_profit",
+    "rel_promo_revenue",
 )
 
 
 def _reorder(merged: dict) -> dict:
-    out = {k: merged[k] for k in _PRIORITY_R3 if k in merged}
+    out = {k: merged[k] for k in _PRIORITY_R4 if k in merged}
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out
 

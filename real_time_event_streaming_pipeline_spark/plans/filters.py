@@ -21,6 +21,8 @@ over unbounded partitions, no driver collects.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -604,6 +606,59 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-epoch ingestion audit
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_ingest_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch audit of the multi-epoch streaming ingest: documents
+    arrive as three id-ordered files (one micro-batch each), flow
+    through the gate+chunk pipeline (streaming/corpus_ingest.py) with
+    epoch tagging on, and this query reports per epoch how many
+    documents survived the gate and how many chunks they produced.
+
+    The REAL streaming machinery runs inside this query (availableNow
+    drain into a scratch chunk store) — it is the driver-checkable
+    face of the multi-epoch ingest path: file tiles are cut with
+    ntile(n) over doc_id and arrive in mtime order, so the oracle
+    reconstructs epoch membership as pure SQL and every per-epoch
+    count is value-checked, not just the union."""
+    import tempfile
+
+    from ..streaming.corpus_ingest import stage_epoch_files, start_corpus_ingest
+
+    base = tempfile.mkdtemp(prefix="ingest_epochs_")
+    src = stage_epoch_files(spark, sf_dir, os.path.join(base, "arriving"), n_files=3)
+    out = os.path.join(base, "chunks")
+    ckpt = os.path.join(base, "ckpt")
+    q = start_corpus_ingest(
+        spark, sf_dir, out, ckpt, source_dir=src, tag_epoch=True
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .groupBy("epoch")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+    )
+
+
+_CORPUS_INGEST_EPOCHS_SQL = f"""
+WITH ep AS (
+  SELECT doc_id, CAST(ntile(3) OVER (ORDER BY doc_id) - 1 AS BIGINT) AS epoch
+  FROM documents
+),
+passing AS (SELECT doc_id FROM ({_GOPHER_RULES_SQL}) WHERE passes),
+chunks AS (SELECT doc_id FROM ({_DOC_CHUNKING_SQL}) JOIN passing USING (doc_id))
+SELECT epoch, count(DISTINCT doc_id) AS n_docs, CAST(count(*) AS BIGINT) AS n_chunks
+FROM chunks JOIN ep USING (doc_id)
+GROUP BY epoch
+"""
+
+
 QUERIES = {
     "llm_gopher_rules": q_gopher_rules,
     "llm_char_entropy": q_char_entropy,
@@ -612,6 +667,7 @@ QUERIES = {
     "llm_dsir_weights": q_dsir_weights,
     "llm_bigram_logprob": q_bigram_logprob,
     "llm_fuzzy_linkage": q_fuzzy_linkage,
+    "llm_corpus_ingest_epochs": q_corpus_ingest_epochs,
 }
 
 ORACLE = {
@@ -622,4 +678,5 @@ ORACLE = {
     "llm_dsir_weights": _DSIR_WEIGHTS_SQL,
     "llm_bigram_logprob": _BIGRAM_LOGPROB_SQL,
     "llm_fuzzy_linkage": _FUZZY_LINKAGE_SQL,
+    "llm_corpus_ingest_epochs": _CORPUS_INGEST_EPOCHS_SQL,
 }

@@ -183,6 +183,44 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_neardup_pairs(load(spark, sf_dir, "documents"))
 
 
+def q_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving-document set of a batch MinHash sweep: keep a doc
+    iff no smaller-id doc band-matches it at est-Jaccard >= 0.5. This
+    is the exact semantics the persisted-band-index incremental path
+    (streaming/dedup_index.py) reproduces micro-batch by micro-batch —
+    the closure is pinned in tests/test_dedup_index.py. Rows-only for
+    the driver (xxhash64 signatures); the oracle-able twin on the
+    exact pair set is llm_dedup_ngram_survivors."""
+    from ..streaming.dedup_index import batch_minhash_survivors
+
+    return batch_minhash_survivors(
+        load(spark, sf_dir, "documents"), threshold=0.5
+    ).select("doc_id", F.md5("text").alias("content_md5"))
+
+
+def q_ngram_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same survivor semantics on the EXACT n-gram Jaccard pair set
+    (deterministic across engines, so fully oracle-checked): documents
+    minus the b_id side of the pair table — pairs carry a_id < b_id,
+    so dropping b_ids is precisely 'drop docs with a smaller-id
+    match'. One anti-join off the one-shuffle pair pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    dropped = (
+        D.ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_doc_freq=100)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", F.md5("text").alias("content_md5")
+    )
+
+
+_NGRAM_SURVIVORS_SQL = f"""
+SELECT doc_id, md5(text) AS content_md5 FROM documents
+WHERE doc_id NOT IN (SELECT b_id FROM ({_NGRAM_JACCARD_SQL}))
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -680,6 +718,8 @@ QUERIES = {
     "llm_dedup_ngram_jaccard": q_ngram_jaccard,
     "llm_dedup_minhash_lsh": q_minhash_lsh,
     "llm_dedup_simhash_pairs": q_simhash_pairs,
+    "llm_dedup_minhash_survivors": q_minhash_survivors,
+    "llm_dedup_ngram_survivors": q_ngram_survivors,
     "llm_emb_cosine_topk": q_cosine_topk,
     "llm_emb_neardup": q_emb_neardup,
     "llm_emb_ann_lsh": q_emb_ann_lsh,
@@ -703,6 +743,7 @@ ORACLE = {
     "llm_dedup_exact": _DEDUP_EXACT_SQL,
     "llm_dedup_exact_hash": _DEDUP_EXACT_HASH_SQL,
     "llm_dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "llm_dedup_ngram_survivors": _NGRAM_SURVIVORS_SQL,
     "llm_emb_cosine_topk": _COSINE_TOPK_SQL,
     "llm_emb_neardup": _EMB_NEARDUP_SQL,
     "llm_emb_quantize": _EMB_QUANTIZE_SQL,

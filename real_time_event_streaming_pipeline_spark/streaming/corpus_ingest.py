@@ -79,15 +79,24 @@ def start_corpus_ingest(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     source_dir: str | None = None,
+    tag_epoch: bool = False,
 ):
     """Stream documents through the gate+chunk pipeline into an
     append-only parquet chunk store. availableNow drains everything
     currently present and stops — the test/backfill trigger; a live
-    deployment drops it and the same query runs forever."""
+    deployment drops it and the same query runs forever. With
+    ``tag_epoch`` every chunk row carries the micro-batch epoch that
+    produced it — the ingestion-lineage column the epoch-audit query
+    (plans/filters.q_corpus_ingest_epochs) aggregates."""
+    from pyspark.sql import functions as F
+
     raw = documents_file_stream(spark, sf_dir, max_files_per_trigger, source_dir)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        gated_chunks_df(batch_df).write.mode("append").parquet(out_dir)
+        chunks = gated_chunks_df(batch_df)
+        if tag_epoch:
+            chunks = chunks.withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+        chunks.write.mode("append").parquet(out_dir)
 
     return (
         raw.writeStream.foreachBatch(_process)
@@ -95,3 +104,38 @@ def start_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stage_epoch_files(
+    spark: SparkSession, sf_dir: str, dest: str, n_files: int = 3
+) -> str:
+    """Lay the documents table out as ``n_files`` parquet files whose
+    modification-time order matches doc_id order, one ntile of ids per
+    file — the deterministic multi-file arrival fixture: with
+    maxFilesPerTrigger=1 the file stream assigns epoch i to tile i, so
+    a SQL oracle can reconstruct epoch membership as
+    ``ntile(n) OVER (ORDER BY doc_id) - 1``."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    tiled = docs.withColumn(
+        "_tile", F.ntile(n_files).over(Window.orderBy("doc_id")) - 1
+    )
+    os.makedirs(dest, exist_ok=True)
+    now = time.time() - 3600
+    for i in range(n_files):
+        part_dir = os.path.join(dest, f"_stage{i}")
+        tiled.filter(F.col("_tile") == i).drop("_tile").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        out = os.path.join(dest, f"{i:02d}.parquet")
+        shutil.copyfile(part, out)
+        os.utime(out, (now + 60 * i, now + 60 * i))
+        shutil.rmtree(part_dir)
+    return dest

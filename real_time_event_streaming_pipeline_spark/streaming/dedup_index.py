@@ -1,0 +1,206 @@
+"""Incremental near-duplicate detection against a persisted MinHash
+band index — the production dedup shape: new micro-batches are deduped
+against the EXISTING corpus index instead of re-sweeping the union.
+
+Semantics (chosen to be exactly parallelizable AND exactly
+incremental): a document d is a duplicate iff some document k with a
+smaller id, anywhere in the corpus seen so far, shares an LSH band
+bucket with d at estimated Jaccard >= threshold. In one batch that is
+
+    survivors = docs  ANTI-JOIN  {b_id of minhash_lsh_pairs(docs)}
+
+(pairs carry a_id < b_id, so the b_id side is precisely "has a
+smaller-id match"). Incrementally it decomposes per micro-batch into
+
+    dropped(d) = d matches an INDEXED doc with smaller id
+               | d matches a smaller-id doc in its OWN batch
+
+because every earlier-arriving doc is in the index by the time d's
+batch runs. When ids are assigned in arrival order (the streaming
+corpus contract) the two are identical batch-for-batch — the closure
+property pinned in tests/test_dedup_index.py against
+`batch_minhash_survivors` over the union.
+
+The index stores the band rows of EVERY seen document (survivors and
+duplicates alike): a duplicate of a duplicate must still be caught
+even when its direct match was itself dropped. Index growth is
+O(corpus x bands) rows of (band, bhash, id, sig) — the signature, not
+the payload; document text never enters the index.
+
+Crash safety: each epoch writes its band rows and its survivors to an
+epoch=N subdirectory with overwrite mode, so a foreachBatch replay
+after a mid-epoch crash overwrites the same paths instead of
+appending duplicates (the same exactly-once discipline as the upsert
+sink's staged swap, streaming/sinks.py). A replay that runs AFTER the
+epoch's band rows landed still computes the identical survivor set:
+the only extra index rows are the batch's own, and the strict
+`idx_id < id` comparison makes them replicate the within-batch rule,
+not contradict it.
+
+At 100 TB: the per-epoch cost is O(new docs) signatures + one
+equi-join against the index on (band, bhash) — at cluster scale the
+index side would be laid out bucketed by bhash so the join co-locates
+without a full index shuffle; the epoch=N layout additionally gives
+time-travel (dedup state as of any epoch) and cheap compaction
+(rewrite old epochs into one, keep the newest ones as-is).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import est_jaccard, minhash_band_rows, pairs_from_band_rows
+
+
+def _bands_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "bands")
+
+
+def _survivors_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "survivors")
+
+
+def read_index_bands(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The accumulated band rows across every committed epoch, or None
+    before the first epoch lands."""
+    path = _bands_dir(index_dir)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def read_survivors(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(_survivors_dir(index_dir))
+
+
+def batch_minhash_survivors(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """The batch twin: documents with no smaller-id near-match in the
+    whole input. One anti-join off the LSH pair set — the ground truth
+    the incremental path must reproduce for any batch split."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    dropped = (
+        minhash_lsh_pairs(docs, k, num_hashes, bands, id_col, max_bucket)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return docs.join(dropped, id_col, "left_anti")
+
+
+def ingest_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+) -> None:
+    """Dedup one micro-batch against the index, then commit the batch
+    to it. Callable directly (batch backfill) or from foreachBatch."""
+    spark = batch.sparkSession
+    # one signature pass serves the index lookup, the within-batch
+    # pairing, and the index append — localCheckpoint so the shingle
+    # explode + 32-way min-agg runs once, not three times
+    banded = minhash_band_rows(batch, k, num_hashes, bands, id_col).localCheckpoint()
+
+    idx = read_index_bands(spark, index_dir)
+    if idx is not None:
+        cross_dropped = (
+            banded.join(
+                idx.select(
+                    "band",
+                    "bhash",
+                    F.col(id_col).alias("_idx_id"),
+                    F.col("sig").alias("_idx_sig"),
+                ),
+                ["band", "bhash"],
+            )
+            .filter(
+                (F.col("_idx_id") < F.col(id_col))
+                & (est_jaccard(F.col("_idx_sig"), F.col("sig"), num_hashes) >= threshold)
+            )
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        cross_dropped = None
+    within_dropped = (
+        pairs_from_band_rows(banded, num_hashes, id_col, max_bucket)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    dropped = (
+        within_dropped
+        if cross_dropped is None
+        else within_dropped.unionByName(cross_dropped).distinct()
+    )
+    # materialize the verdict BEFORE touching the index: on a replay
+    # the bands overwrite below deletes the very files the (lazy)
+    # cross-match plan references — the survivor write would then read
+    # through to vanished parquet. The dropped set is ids only, so the
+    # checkpoint is tiny.
+    dropped = dropped.localCheckpoint()
+    survivors = batch.join(dropped, id_col, "left_anti")
+
+    # epoch-scoped overwrites: a replayed epoch rewrites its own
+    # subdirectories, never appends beside its previous attempt
+    banded.write.mode("overwrite").parquet(
+        os.path.join(_bands_dir(index_dir), f"epoch={epoch_id}")
+    )
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(_survivors_dir(index_dir), f"epoch={epoch_id}")
+    )
+
+
+def start_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+):
+    """Stream a document directory through the incremental dedup:
+    every micro-batch is checked against (then committed to) the band
+    index; survivors accumulate under index_dir/survivors. availableNow
+    drains what is present and stops — drop it for a live feed."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_batch(
+            batch_df, epoch_id, index_dir, k, num_hashes, bands, threshold, id_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
