@@ -1,0 +1,117 @@
+"""ANN recall pinned on a margin-BEARING fixture (round-3 review #4).
+
+The driver corpus has no cosine margin (near-dups at 0.45-0.51 vs a
+0.449 random ceiling), so its recall assertions (>= 0.5, >> random)
+cannot detect recall regressions. This fixture plants 16 Gaussian
+clusters on the 64-d unit sphere (sigma=0.04 noise -> intra-cluster
+cos ~0.95+, inter-cluster ~0 +- 0.13): the geometry ANN structures
+exploit on real corpora. Ids are assigned round-robin across clusters
+so the deterministic first-n centroid/codebook samples cover every
+cluster. Everything is seeded — recalls are deterministic."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_pipeline_spark.operators import similarity as S
+
+N_CLUSTERS, PER_CLUSTER, DIM, SIGMA = 16, 40, 64, 0.04
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for pnt in range(PER_CLUSTER):
+        for c in range(N_CLUSTERS):
+            v = centers[c] + SIGMA * rng.standard_normal(DIM)
+            v /= np.linalg.norm(v)
+            rows.append((pnt * N_CLUSTERS + c, c, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    ).cache()
+    emb.count()
+    yield emb
+    emb.unpersist()
+
+
+@pytest.fixture(scope="module")
+def queries(clustered):
+    # ids 16..47: two held-in points per cluster, skipping the first
+    # round-robin row (those ids double as the IVF centroid sample)
+    return clustered.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
+
+
+def _pairs(df):
+    return {(r.q_id, r.n_id) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def truth(clustered, queries):
+    return _pairs(S.brute_force_topk(clustered, queries, k=10))
+
+
+def _recall(truth, got):
+    return len(truth & got) / len(truth)
+
+
+def test_ivf_recall_on_clustered(clustered, queries, truth):
+    got = _pairs(S.ivf_ann_topk(clustered, queries, k=10, n_centroids=16, n_probe=2))
+    assert _recall(truth, got) >= 0.95  # measured 1.0
+
+
+def test_pq_recall_on_clustered(clustered, queries, truth):
+    got = _pairs(S.pq_ann_topk(clustered, queries, k=10, m=4, n_codes=16, rerank=4))
+    assert _recall(truth, got) >= 0.95  # measured 1.0
+
+
+def test_lsh_recall_on_clustered(clustered, queries, truth):
+    got = _pairs(
+        S.lsh_ann_topk(clustered, queries, k=10, n_planes=6, dim=DIM, multiprobe=2)
+    )
+    assert _recall(truth, got) >= 0.9  # measured 0.969
+
+
+def test_knn_ivf_agrees_with_exact(clustered, queries):
+    """The q_knn_classify composition on data with margin: the IVF
+    neighbor stage must produce the same majority-vote predictions as
+    the exact stage, and both must recover the planted labels."""
+    labels = {r.vec_id: r.label for r in clustered.select("vec_id", "label").collect()}
+
+    def predict(topk):
+        votes = defaultdict(list)
+        for r in topk.collect():
+            votes[r.q_id].append(labels[r.n_id])
+        return {q: Counter(v).most_common(1)[0][0] for q, v in votes.items()}
+
+    exact = predict(S.brute_force_topk(clustered, queries, k=5))
+    ivf = predict(S.ivf_ann_topk(clustered, queries, k=5, n_centroids=16, n_probe=2))
+    true = {r.vec_id: r.label for r in queries.select("vec_id", "label").collect()}
+    assert exact == ivf
+    assert all(exact[q] == true[q] for q in true)
+
+
+def test_ivf_neardup_candidates_exact_on_clustered(clustered):
+    """The measured counterpart to the semdedup data-dependence note
+    (operators/similarity.py): on a corpus WITH margin the IVF
+    candidate path reproduces the exact blocked-GEMM pair set
+    bit-for-bit at the SemDeDup operating point (threshold 0.9) —
+    pruning is what varies with data, never recall."""
+    exact = {
+        (r.a_id, r.b_id, r.cos)
+        for r in S.neardup_pairs(clustered, threshold=0.9).collect()
+    }
+    ivf = {
+        (r.a_id, r.b_id, r.cos)
+        for r in S.neardup_pairs_ivf_candidates(
+            clustered, threshold=0.9, n_centroids=16, n_probe=2
+        ).collect()
+    }
+    assert exact == ivf
+    assert len(exact) > 5000  # the planted clusters actually produced mass
