@@ -4,6 +4,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Per-query time = wall clock of execute+collect (plan reuse warm, JVM
 startup excluded — the metric is query latency, not session boot).
+
+The sidecar BENCH_local.json additionally records an ``exec_noop``
+column per query: the same plan driven by a noop-format write — full
+execution, zero driver transfer — so plan regressions are not masked
+by result-set size (a full-projection query like fn_math spends ~95%
+of its collect time shipping 600k rows to the driver; its plan time
+is the number that must not regress). The printed headline metric is
+unchanged for round-over-round comparability.
 """
 
 from __future__ import annotations
@@ -70,21 +78,30 @@ def main() -> None:
         times[name] = round(best, 3)
 
     # full sweep: every registered query once (single rep — the goal is
-    # regression VISIBILITY for the 79 non-headline queries round over
+    # regression VISIBILITY for the non-headline queries round over
     # round, not a precision number; headline keeps best-of-N). A query
     # erroring records "error:..." instead of aborting the bench line.
+    # exec_noop: one additional rep through a noop-format write — the
+    # plan executes end-to-end but nothing crosses to the driver.
     full: dict[str, float | str] = {}
+    exec_noop: dict[str, float | str] = {}
     if not headline_only:
         for name, fn in queries.items():
             if name in times:
                 full[name] = times[name]
-                continue
+            else:
+                try:
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).collect()
+                    full[name] = round(time.perf_counter() - t0, 3)
+                except Exception as e:  # noqa: BLE001 — bench must emit its line
+                    full[name] = f"error: {type(e).__name__}"
             try:
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).collect()
-                full[name] = round(time.perf_counter() - t0, 3)
-            except Exception as e:  # noqa: BLE001 — bench must emit its line
-                full[name] = f"error: {type(e).__name__}"
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                exec_noop[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                exec_noop[name] = f"error: {type(e).__name__}"
 
     summary = {
         "metric": "headline query wall-clock (execute+collect, warm session)",
@@ -101,7 +118,12 @@ def main() -> None:
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w"
     ) as f:
-        json.dump({**summary, "full": full}, f, indent=1, sort_keys=True)
+        json.dump(
+            {**summary, "full": full, "exec_noop": exec_noop},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     print(json.dumps(summary))
 
 

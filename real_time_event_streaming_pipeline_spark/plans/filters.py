@@ -623,7 +623,9 @@ def q_corpus_ingest_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     face of the multi-epoch ingest path: file tiles are cut with
     ntile(n) over doc_id and arrive in mtime order, so the oracle
     reconstructs epoch membership as pure SQL and every per-epoch
-    count is value-checked, not just the union."""
+    count is value-checked, not just the union. The epoch column is
+    the chunk store's partition-discovered lineage (each micro-batch
+    writes its own epoch=N subtree)."""
     import tempfile
 
     from ..streaming.corpus_ingest import stage_epoch_files, start_corpus_ingest
@@ -632,13 +634,11 @@ def q_corpus_ingest_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stage_epoch_files(spark, sf_dir, os.path.join(base, "arriving"), n_files=3)
     out = os.path.join(base, "chunks")
     ckpt = os.path.join(base, "ckpt")
-    q = start_corpus_ingest(
-        spark, sf_dir, out, ckpt, source_dir=src, tag_epoch=True
-    )
+    q = start_corpus_ingest(spark, sf_dir, out, ckpt, source_dir=src)
     q.awaitTermination(300)
     return (
         spark.read.parquet(out)
-        .groupBy("epoch")
+        .groupBy(F.col("epoch").cast("long").alias("epoch"))
         .agg(
             F.count_distinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_chunks"),

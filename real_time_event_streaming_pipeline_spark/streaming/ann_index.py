@@ -5,10 +5,13 @@ An IVF index that stays queryable while new embeddings stream in:
 - the **centroid set** is fixed at build time (the index contract —
   any vector's cell depends only on it, so assignment is deterministic
   no matter when or in which micro-batch a vector arrives);
-- the **cell table** is parquet partitioned by `cell`; a refresh is a
-  pure partition-wise append from `foreachBatch` — no rebuild, no
-  read-modify-write, safe under task retry because each epoch's files
-  land atomically per partition;
+- the **cell table** is parquet partitioned by (epoch, cell); a
+  refresh is a pure partition-wise append from `foreachBatch` — no
+  rebuild, no read-modify-write. Each epoch OVERWRITES its own
+  `epoch=N` subtree, so a foreachBatch replay after a crash rewrites
+  the same paths instead of appending duplicates (the exactly-once
+  discipline shared with streaming/dedup_index.py, replay-tested in
+  tests/test_streaming_ann.py);
 - the **search** reads only the probed cells: the `cell IN (...)`
   predicate prunes parquet partitions, so scan cost is
   corpus × n_probe/n_centroids regardless of index size.
@@ -62,13 +65,14 @@ def build_ivf_index(
 ) -> None:
     """Assign every vector to its nearest centroid and lay the cell
     table down partitioned by cell; persist the centroid set as the
-    index's metadata."""
+    index's metadata. The base build lands under epoch=-1 so streamed
+    epochs (0, 1, ...) sit beside it in one partition scheme."""
     cents = sample_centroids(emb, n_centroids, id_col, vec_col)
     os.makedirs(index_dir, exist_ok=True)
     with open(_meta_path(index_dir), "w") as f:
         json.dump(cents, f)
     _assigned(emb, cents, id_col, vec_col).write.partitionBy("cell").parquet(
-        _cells_dir(index_dir)
+        os.path.join(_cells_dir(index_dir), "epoch=-1")
     )
 
 
@@ -81,13 +85,16 @@ def start_index_refresh(
 ):
     """Keep the index current as embeddings stream in: each micro-batch
     is assigned against the frozen centroid set and appended to the
-    partitioned cell table. Returns the StreamingQuery."""
+    partitioned cell table. Each epoch overwrites its OWN epoch=N
+    subtree — foreachBatch is at-least-once, so a replayed epoch must
+    rewrite, not append beside its previous attempt. Returns the
+    StreamingQuery."""
     cents = _load_centroids(index_dir)
 
     def refresh(batch: DataFrame, epoch_id: int) -> None:
-        _assigned(batch, cents, id_col, vec_col).write.mode("append").partitionBy(
+        _assigned(batch, cents, id_col, vec_col).write.mode("overwrite").partitionBy(
             "cell"
-        ).parquet(_cells_dir(index_dir))
+        ).parquet(os.path.join(_cells_dir(index_dir), f"epoch={int(epoch_id)}"))
 
     return (
         stream.writeStream.outputMode("append")

@@ -79,24 +79,26 @@ def start_corpus_ingest(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     source_dir: str | None = None,
-    tag_epoch: bool = False,
 ):
     """Stream documents through the gate+chunk pipeline into an
     append-only parquet chunk store. availableNow drains everything
     currently present and stops — the test/backfill trigger; a live
-    deployment drops it and the same query runs forever. With
-    ``tag_epoch`` every chunk row carries the micro-batch epoch that
-    produced it — the ingestion-lineage column the epoch-audit query
-    (plans/filters.q_corpus_ingest_epochs) aggregates."""
-    from pyspark.sql import functions as F
+    deployment drops it and the same query runs forever.
 
+    Each epoch lands in its own ``epoch=N`` subtree with overwrite
+    mode: foreachBatch is at-least-once, so a replayed epoch must
+    rewrite its previous attempt, never append beside it (replay
+    injection tested in tests/test_streaming_corpus.py). The epoch=N
+    layout doubles as partition-discovered ingestion lineage — readers
+    of the chunk store see an ``epoch`` column for free, which the
+    epoch-audit query (plans/filters.q_corpus_ingest_epochs)
+    aggregates."""
     raw = documents_file_stream(spark, sf_dir, max_files_per_trigger, source_dir)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        chunks = gated_chunks_df(batch_df)
-        if tag_epoch:
-            chunks = chunks.withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
-        chunks.write.mode("append").parquet(out_dir)
+        gated_chunks_df(batch_df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        )
 
     return (
         raw.writeStream.foreachBatch(_process)

@@ -27,3 +27,17 @@ def sf_small():
 @pytest.fixture(scope="session")
 def sf_med():
     return SF_MED
+
+
+def uncommit_newest_epoch(ckpt: str) -> str:
+    """Failure injection for streaming tests: erase the newest epoch's
+    commit marker (and its Hadoop checksum sidecar — a stale .crc makes
+    the replayed commit's atomic create fail) so a restarted query
+    replays that epoch. Returns the replayed batch id as a string."""
+    commits = os.path.join(ckpt, "commits")
+    newest = max((f for f in os.listdir(commits) if not f.startswith(".")), key=int)
+    os.remove(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return newest

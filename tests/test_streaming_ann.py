@@ -59,6 +59,50 @@ def test_streamed_index_matches_batch_index(spark, sf_small, tmp_path):
     assert n_new == incoming.count()
 
 
+def test_index_refresh_epoch_replay_no_dupes(spark, sf_small, tmp_path):
+    """Failure injection for the index append: erase the newest commit
+    marker so the restarted refresh replays its last epoch. The
+    epoch-scoped overwrite must leave the cell table bit-identical —
+    an append-mode sink would double every vector of that epoch."""
+    from conftest import uncommit_newest_epoch
+
+    emb = load(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < N_BASE)
+    incoming = emb.filter(F.col("vec_id") >= N_BASE)
+    live_dir = str(tmp_path / "live_index")
+    build_ivf_index(base, live_dir, n_centroids=16)
+
+    staging = str(tmp_path / "staging")
+    incoming.repartition(3).write.parquet(staging)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        q = start_index_refresh(stream, live_dir, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    cells = live_dir + "/cells"
+    before = sorted(
+        (r.n_id, r.cell, r.epoch) for r in spark.read.parquet(cells).collect()
+    )
+    assert len(before) == emb.count()
+
+    uncommit_newest_epoch(ckpt)
+    run()  # replays the epoch whose commit vanished
+    after = sorted(
+        (r.n_id, r.cell, r.epoch) for r in spark.read.parquet(cells).collect()
+    )
+    assert after == before
+
+
 def test_search_prunes_unprobed_cells(spark, sf_small, tmp_path):
     emb = load(spark, sf_small, "embeddings").select("vec_id", "embedding")
     index_dir = str(tmp_path / "index")

@@ -69,6 +69,50 @@ def test_gated_chunks_closed_under_partitioning(spark, sf_small):
     assert halves == whole
 
 
+def test_corpus_ingest_epoch_replay_no_dupes(spark, sf_small, tmp_path):
+    """Failure injection: erase the newest epoch's commit marker from
+    the checkpoint, so the restarted query REPLAYS that epoch through
+    the real streaming machinery (foreachBatch at-least-once). The
+    epoch-scoped overwrite must rewrite, not duplicate."""
+    import os
+    import shutil
+
+    from conftest import uncommit_newest_epoch
+
+    src = str(tmp_path / "arriving_docs")
+    load(spark, sf_small, "documents").repartition(3).write.parquet(src)
+    out = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_corpus_ingest(spark, sf_small, out, ckpt, source_dir=src)
+    q.awaitTermination(180)
+    before = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_md5, r.epoch)
+        for r in spark.read.parquet(out).collect()
+    )
+
+    # sink output intact but commit lost — replay must rewrite in place
+    newest = uncommit_newest_epoch(ckpt)
+    q2 = start_corpus_ingest(spark, sf_small, out, ckpt, source_dir=src)
+    q2.awaitTermination(180)
+    after = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_md5, r.epoch)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert after == before
+
+    # harsher: the replayed epoch's output is torn away entirely
+    # (crash before any files landed) — replay must restore it
+    uncommit_newest_epoch(ckpt)
+    shutil.rmtree(os.path.join(out, f"epoch={int(newest)}"))
+    q3 = start_corpus_ingest(spark, sf_small, out, ckpt, source_dir=src)
+    q3.awaitTermination(180)
+    healed = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_md5, r.epoch)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert healed == before
+
+
 def test_corpus_ingest_multi_epoch(spark, sf_small, tmp_path):
     """Documents arriving as MULTIPLE files (one micro-batch each,
     maxFilesPerTrigger=1) must append to the same chunk store and
