@@ -113,12 +113,14 @@ def test_transform_with_state_matches_batch(spark, sf_small, tmp_path):
     profile == batch aggregation, bitwise (integer-cent state)."""
     import pytest
 
-    # The TWS state server speaks protobuf; this image ships a broken
-    # google.protobuf (no installs allowed — gate, per the brief).
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unusable here; TWS needs its state protocol")
+    from conftest import enable_vendored_protobuf
+
+    # The TWS state server speaks protobuf; no installs allowed, but
+    # the gcloud SDK on this image vendors a usable runtime — wire it
+    # in (conftest.enable_vendored_protobuf). Still a loud skip on
+    # images with neither.
+    if not enable_vendored_protobuf():
+        pytest.skip("no google.protobuf available; TWS needs its state protocol")
 
     from real_time_event_streaming_pipeline_spark.streaming.stateful import (
         running_user_counts_tws,
