@@ -36,15 +36,21 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def brute_force_topk(
+def brute_force_topk_rowexpr(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors per query (excluding self): broadcast the
-    query set against the corpus, rank per query."""
+    """Exact top-k neighbors per query (excluding self), per-row
+    expression form: broadcast the query set against the corpus, score
+    every pair with the JVM zip_with/aggregate cosine, rank per query.
+
+    TEST ORACLE ONLY: the per-pair higher-order fold is ~100x slower
+    than the blocked GEMM below (the same measurement that motivated
+    neardup_pairs' kernel); kept so tests can assert the blocked form
+    is bit-identical. Never registered as a query."""
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -61,6 +67,114 @@ def brute_force_topk(
             "q_id",
             "n_id",
             F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self) — blocked
+    Arrow-GEMM form, bit-identical to the row-expression twin above
+    (asserted in tests/test_llmdata.py).
+
+    Shape: the corpus is split into ``n_blocks`` id-blocks; the query
+    set is replicated to every block (queries are the small side by
+    contract — held-out slices, probes — so replication is P x small);
+    each block group computes its cosine sub-matrix in ONE numpy
+    kernel with the same dimension-at-a-time float64 accumulation as
+    the zip_with/aggregate fold (hence bitwise-equal doubles, and
+    bitwise agreement with the DuckDB oracle's generate_series fold),
+    emits its block-local top-k per query, and a final window keeps
+    the global top-k — top-k of a union is the top-k of per-block
+    top-ks, so only P*k candidate rows per query cross the last
+    shuffle.
+
+    At 100 TB: one corpus shuffle (groupBy block) + GEMM beats the
+    shuffle-free broadcast join whose per-pair expression interpreter
+    is ~100x slower per pair; raise n_blocks so each block fits
+    executor memory."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    c = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+        F.lit("c").alias("role"),
+    )
+    blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk"))
+    q = (
+        queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .crossJoin(F.broadcast(blocks))
+        .select("_id", "_vec", "blk", F.lit("q").alias("role"))
+    )
+    tagged = c.unionByName(q)
+
+    def _block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # local import: runs on executors
+
+        qs = pdf[pdf["role"] == "q"]
+        cs = pdf[pdf["role"] == "c"]
+        empty = pd.DataFrame(
+            {
+                "q_id": pd.Series(dtype="int64"),
+                "n_id": pd.Series(dtype="int64"),
+                "cos_raw": pd.Series(dtype="float64"),
+            }
+        )
+        if len(qs) == 0 or len(cs) == 0:
+            return empty
+        Q = np.stack(qs["_vec"].to_numpy()).astype(np.float64)
+        C = np.stack(cs["_vec"].to_numpy()).astype(np.float64)
+        q_ids = qs["_id"].to_numpy()
+        c_ids = cs["_id"].to_numpy()
+        # dimension-at-a-time accumulation == the zip_with/aggregate
+        # left-to-right float64 fold, vectorized across the matrix
+        dots = np.zeros((len(Q), len(C)))
+        nq = np.zeros(len(Q))
+        nc = np.zeros(len(C))
+        for d in range(Q.shape[1]):
+            dots += Q[:, d : d + 1] * C[None, :, d]
+            nq += Q[:, d] * Q[:, d]
+            nc += C[:, d] * C[:, d]
+        cos = dots / (np.sqrt(nq)[:, None] * np.sqrt(nc)[None, :])
+        cos[q_ids[:, None] == c_ids[None, :]] = -np.inf  # self-exclusion
+        kk = min(k, len(c_ids))
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(Q)):
+            # block-local (cos desc, n_id asc): lexsort's last key is
+            # primary, ties on the exact double broken by id
+            order = np.lexsort((c_ids, -cos[i]))[:kk]
+            keep = order[np.isfinite(cos[i][order])]
+            out_q.append(np.full(len(keep), q_ids[i]))
+            out_n.append(c_ids[keep])
+            out_c.append(cos[i][keep])
+        return pd.DataFrame(
+            {
+                "q_id": np.concatenate(out_q),
+                "n_id": np.concatenate(out_n),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    cand = tagged.groupBy("blk").applyInPandas(
+        _block_topk, "q_id long, n_id long, cos_raw double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round("cos_raw", 6).alias("cos"),
             F.col("rank").cast("long").alias("rank"),
         )
     )

@@ -33,6 +33,19 @@ def test_shingles_short_doc_guard(spark):
     assert got == {1: 0, 2: 2}
 
 
+def test_brute_force_topk_gemm_bitwise_vs_rowexpr(spark, sf_small):
+    """The blocked-GEMM brute_force_topk must be BIT-identical (ids,
+    rounded cos, ranks) to the per-row expression twin it replaced —
+    the dim-at-a-time kernel reproduces the zip_with/aggregate fold
+    exactly, so rank membership cannot drift."""
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    gemm = {tuple(r) for r in S.brute_force_topk(emb, queries, k=7).collect()}
+    rowx = {tuple(r) for r in S.brute_force_topk_rowexpr(emb, queries, k=7).collect()}
+    assert gemm == rowx
+    assert len(gemm) > 0
+
+
 def test_minhash_lsh_recall_vs_exact(spark, sf_small):
     docs = load(spark, sf_small, "documents")
     exact = {
