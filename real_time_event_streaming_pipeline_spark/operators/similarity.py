@@ -100,8 +100,6 @@ def brute_force_topk(
     shuffle-free broadcast join whose per-pair expression interpreter
     is ~100x slower per pair; raise n_blocks so each block fits
     executor memory."""
-    import pandas as pd
-
     spark = emb.sparkSession
     c = emb.select(
         F.col(id_col).alias("_id"),
@@ -116,6 +114,20 @@ def brute_force_topk(
         .select("_id", "_vec", "blk", F.lit("q").alias("role"))
     )
     tagged = c.unionByName(q)
+    return _grouped_gemm_topk(tagged, "blk", k)
+
+
+def _topk_kernel(k: int):
+    """Per-group GEMM top-k kernel factory, shared by the brute-force
+    (id-block), IVF (cell), and LSH (bucket) groupings: each group
+    holds a corpus slice (role 'c') plus the query rows routed to it
+    (role 'q'); the kernel computes the group's cosine sub-matrix with
+    the same dimension-at-a-time float64 accumulation as the
+    zip_with/aggregate fold (bitwise-equal doubles) and emits the
+    group-local top-k per query — top-k of a union is the top-k of
+    per-group top-ks, so only |groups-routed-to| * k candidate rows
+    per query reach the global ranking."""
+    import pandas as pd
 
     def _block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np  # local import: runs on executors
@@ -149,7 +161,7 @@ def brute_force_topk(
         kk = min(k, len(c_ids))
         out_q, out_n, out_c = [], [], []
         for i in range(len(Q)):
-            # block-local (cos desc, n_id asc): lexsort's last key is
+            # group-local (cos desc, n_id asc): lexsort's last key is
             # primary, ties on the exact double broken by id
             order = np.lexsort((c_ids, -cos[i]))[:kk]
             keep = order[np.isfinite(cos[i][order])]
@@ -164,9 +176,22 @@ def brute_force_topk(
             }
         )
 
-    cand = tagged.groupBy("blk").applyInPandas(
-        _block_topk, "q_id long, n_id long, cos_raw double"
+    return _block_topk
+
+
+def _grouped_gemm_topk(
+    tagged: DataFrame, group_col: str, k: int, dedup: bool = False
+) -> DataFrame:
+    """groupBy(group_col) → per-group GEMM top-k → global window.
+    ``dedup`` drops repeated (q_id, n_id) candidates before ranking —
+    needed when a query routes to multiple groups that can hold the
+    same corpus row (LSH multiprobe); the duplicates carry the
+    identical double, so keeping any one is exact."""
+    cand = tagged.groupBy(group_col).applyInPandas(
+        _topk_kernel(k), "q_id long, n_id long, cos_raw double"
     )
+    if dedup:
+        cand = cand.dropDuplicates(["q_id", "n_id"])
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("n_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -444,28 +469,37 @@ def ivf_ann_topk(
     """IVF (inverted-file) ANN — the other mandated scale path besides
     LSH: partition the corpus into Voronoi cells around centroids,
     probe only the n_probe nearest cells per query. Cell assignment is
-    one broadcast-join projection over the corpus (linear); the probe
-    joins on cell id, so scored candidates ≈ corpus × n_probe/n_centroids."""
+    one projection over the corpus (linear, centroids as plan
+    literals); each CELL group then scores its candidates in one
+    Arrow GEMM kernel (see _topk_kernel — same dim-at-a-time fold as
+    the expression cosine, bit-identical doubles), so scored
+    candidates ≈ corpus × n_probe/n_centroids and per-candidate cost
+    is a numpy multiply, not a per-row interpreter fold. A corpus
+    vector lives in exactly one cell, so no (q, n) pair is scored
+    twice and no pre-ranking dedup is needed."""
     cents = sample_centroids(emb, n_centroids, id_col, vec_col)
 
-    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")).withColumn(
-        "cell", nearest_cells(F.col("n_vec"), cents, 1)[0]["cell"]
+    c = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        nearest_cells(F.col(vec_col), cents, 1)[0]["cell"].alias("cell"),
+        F.lit("c").alias("role"),
     )
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")).withColumn(
-        "cells", nearest_cells(F.col("q_vec"), cents, n_probe)
+    q = (
+        queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .withColumn("cells", nearest_cells(F.col("_vec"), cents, n_probe))
+        .select(
+            "_id", "_vec", F.explode(F.col("cells")["cell"]).alias("cell"),
+            F.lit("q").alias("role"),
+        )
     )
-    q = q.select("q_id", "q_vec", F.explode(F.col("cells")["cell"]).alias("cell"))
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("long").alias("rank"))
-    )
+    # the full corpus enters one cell-keyed shuffle; pruning to only
+    # the PROBED cells belongs to the storage layer (the persisted
+    # index path, streaming/ann_index.search, reads a cell-partitioned
+    # table so unprobed cells never leave disk) — an inline semi-join
+    # here was measured to cost more in extra stages than it saves at
+    # query counts where this in-memory path is the right tool
+    return _grouped_gemm_topk(c.unionByName(q), "cell", k)
 
 
 def train_pq_codebooks(
@@ -691,13 +725,21 @@ def lsh_ann_topk(
     Plane count trades recall for candidate-set size: 2^n_planes
     buckets should be ~corpus_size/expected_bucket_occupancy. On
     near-orthogonal data (this corpus: max cosine ≈ 0.5) recall is
-    intrinsically modest; tests assert it beats random candidates."""
+    intrinsically modest; tests assert it beats random candidates.
+    Each BUCKET group scores its candidates in one Arrow GEMM kernel
+    (_topk_kernel); a query's multiprobe set can route it to several
+    buckets holding the same corpus row, so repeated (q, n)
+    candidates — identical doubles — are deduped before the global
+    ranking."""
     planes = _hyperplanes(dim, n_planes)
-    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")).withColumn(
-        "bucket", lsh_signature(F.col("n_vec"), planes)
+    c = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        F.lit("c").alias("role"),
     )
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")).withColumn(
-        "sig", lsh_signature(F.col("q_vec"), planes)
+    q = queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")).withColumn(
+        "sig", lsh_signature(F.col("_vec"), planes)
     )
     masks = [0]
     if multiprobe >= 1:
@@ -707,16 +749,7 @@ def lsh_ann_topk(
             (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
         ]
     probes = F.array(*[F.col("sig").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
-    q = q.select("q_id", "q_vec", F.explode(probes).alias("bucket"))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "n_id"])
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    q = q.select(
+        "_id", "_vec", F.explode(probes).alias("bucket"), F.lit("q").alias("role")
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("long").alias("rank"))
-    )
+    return _grouped_gemm_topk(c.unionByName(q), "bucket", k, dedup=True)
