@@ -174,3 +174,88 @@ def zorder_parquet(
     os.rename(staging, path)
     shutil.rmtree(old)
     return {"before": stats, "after": table_file_stats(spark, path), "files": n_out}
+
+
+def compact_epochs(
+    spark: SparkSession,
+    store_dir: str,
+    upto_epoch: int,
+    partition_cols: list[str] | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Consolidate the epoch=N subtrees of an epoch-partitioned store
+    (streaming/dedup_index.py bands, streaming/ann_index.py cells,
+    streaming/corpus_ingest.py chunks) for every N <= upto_epoch into
+    ONE epoch=upto_epoch subtree, leaving newer epochs untouched.
+
+    Epoch-per-micro-batch layouts are what make streaming appends
+    replay-idempotent, but they accumulate one directory per trigger —
+    at 100 TB the scan is file-count-bound long before volume-bound,
+    so old epochs (whose per-epoch lineage no longer matters) get
+    rewritten into ~target_bytes files while the recent epochs keep
+    their replayability. Compacted rows adopt upto_epoch as their
+    epoch value: lineage granularity is the explicit trade.
+
+    Crash safety (same idiom as compact_parquet's backup swap): the
+    consolidated subtree is staged beside the store; source epochs are
+    moved into a ._old_epochs backup before the staging rename; an
+    interrupted run is healed on the next invocation by restoring the
+    backup. The multi-directory swap is not atomic for concurrent
+    readers — the same documented caveat as the bucketed upsert sink;
+    a metastore commit (Delta/Iceberg) is the atomic variant.
+    """
+    import re
+    import shutil
+
+    backup = os.path.join(store_dir, "._old_epochs")
+    staging = os.path.join(store_dir, "._epoch_compacting")
+    # heal an interrupted previous run: put backed-up epochs back and
+    # drop any half-written staging
+    if os.path.isdir(backup):
+        for d in os.listdir(backup):
+            dst = os.path.join(store_dir, d)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.rename(os.path.join(backup, d), dst)
+        os.rmdir(backup)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+
+    epoch_dirs = {
+        int(m.group(1)): os.path.join(store_dir, d)
+        for d in os.listdir(store_dir)
+        if (m := re.fullmatch(r"epoch=(-?\d+)", d))
+    }
+    merge = {n: p for n, p in epoch_dirs.items() if n <= upto_epoch}
+    before = table_file_stats(spark, store_dir)
+    if len(merge) <= 1:
+        return {"before": before, "after": before, "epochs_merged": 0}
+
+    # basePath anchors partition discovery at the store root (epoch=N
+    # dirs holding further partition levels like cell=K would otherwise
+    # conflict across the multiple read roots); the discovered epoch
+    # column is lineage only and must not be baked into the data files
+    df: DataFrame = spark.read.option("basePath", store_dir).parquet(*merge.values())
+    if "epoch" in df.columns:
+        df = df.drop("epoch")
+    total = sum(table_file_stats(spark, p)["total_bytes"] for p in merge.values())
+    n_out = max(1, math.ceil(total / target_bytes))
+    if partition_cols:
+        # one rewrite task per value-combination keeps files per
+        # partition dir at ~total/values; repartition on the partition
+        # columns so each output dir is written by few tasks
+        out = df.repartition(n_out, *partition_cols)
+        out.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(staging)
+
+    os.makedirs(backup)
+    for n, p in merge.items():
+        os.rename(p, os.path.join(backup, os.path.basename(p)))
+    os.rename(staging, os.path.join(store_dir, f"epoch={upto_epoch}"))
+    shutil.rmtree(backup)
+    return {
+        "before": before,
+        "after": table_file_stats(spark, store_dir),
+        "epochs_merged": len(merge),
+    }

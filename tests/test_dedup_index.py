@@ -149,3 +149,81 @@ def test_batch_sweep_split_invariance(spark, sf_small):
         r.doc_id for r in batch_minhash_survivors(docs, threshold=THRESHOLD).collect()
     }
     assert inc == one_shot
+
+
+def test_band_index_compaction_preserves_dedup(spark, sf_small, tmp_path):
+    """compact_epochs over the band index: merge the first two epochs,
+    then verify (a) the band-row multiset is unchanged modulo the
+    epoch lineage column, (b) a subsequent incremental batch still
+    produces exactly the batch-sweep survivor set — compaction must be
+    invisible to dedup semantics."""
+    from pyspark.sql import functions as F
+
+    from real_time_event_streaming_pipeline_spark.sources.maintenance import (
+        compact_epochs,
+        table_file_stats,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    index_dir = str(tmp_path / "index")
+    ingest_batch(docs.filter(F.col("doc_id") < cut1), 0, index_dir, threshold=THRESHOLD)
+    ingest_batch(
+        docs.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        1,
+        index_dir,
+        threshold=THRESHOLD,
+    )
+    bands_dir = index_dir + "/bands"
+    key = lambda r: (r.doc_id, r.band, r.bhash, tuple(r.sig))  # noqa: E731
+    rows_before = sorted(map(key, spark.read.parquet(bands_dir).collect()))
+    files_before = table_file_stats(spark, bands_dir)["n_files"]
+
+    res = compact_epochs(spark, bands_dir, upto_epoch=1)
+    assert res["epochs_merged"] == 2
+    assert table_file_stats(spark, bands_dir)["n_files"] < files_before
+    assert sorted(map(key, spark.read.parquet(bands_dir).collect())) == rows_before
+
+    # the third batch dedups against the compacted index identically
+    ingest_batch(docs.filter(F.col("doc_id") >= cut2), 2, index_dir, threshold=THRESHOLD)
+    inc = {r.doc_id for r in read_survivors(spark, index_dir).collect()}
+    want = {r.doc_id for r in batch_minhash_survivors(docs, threshold=THRESHOLD).collect()}
+    assert inc == want
+
+
+def test_epoch_compaction_heals_interrupted_run(spark, sf_small, tmp_path):
+    """A compaction that died between backup and staging-rename leaves
+    ._old_epochs behind; the next invocation must restore it and then
+    complete normally with identical content."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from real_time_event_streaming_pipeline_spark.sources.maintenance import (
+        compact_epochs,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    mid = sorted(r.doc_id for r in docs.select("doc_id").collect())[docs.count() // 2]
+    index_dir = str(tmp_path / "index")
+    ingest_batch(docs.filter(F.col("doc_id") < mid), 0, index_dir, threshold=THRESHOLD)
+    ingest_batch(docs.filter(F.col("doc_id") >= mid), 1, index_dir, threshold=THRESHOLD)
+    bands_dir = index_dir + "/bands"
+    key = lambda r: (r.doc_id, r.band, r.bhash)  # noqa: E731
+    want = sorted(map(key, spark.read.parquet(bands_dir).collect()))
+
+    # simulate the crash state: epochs moved into backup, no staging
+    backup = os.path.join(bands_dir, "._old_epochs")
+    os.makedirs(backup)
+    for d in list(os.listdir(bands_dir)):
+        if d.startswith("epoch="):
+            os.rename(os.path.join(bands_dir, d), os.path.join(backup, d))
+    shutil.rmtree(os.path.join(bands_dir, "epoch=1")) if os.path.isdir(
+        os.path.join(bands_dir, "epoch=1")
+    ) else None
+
+    res = compact_epochs(spark, bands_dir, upto_epoch=1)
+    assert res["epochs_merged"] == 2
+    assert sorted(map(key, spark.read.parquet(bands_dir).collect())) == want

@@ -112,3 +112,48 @@ def test_search_prunes_unprobed_cells(spark, sf_small, tmp_path):
     plan = res._jdf.queryExecution().executedPlan().toString()
     # the cell filter must reach the partitioned scan, not a post-scan Filter
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_cell_table_epoch_compaction_preserves_search(spark, sf_small, tmp_path):
+    """compact_epochs with partition_cols=['cell'] on the streamed
+    index: search results must be identical afterwards, the cell=K
+    subdirectories must survive (so probe-time partition pruning keeps
+    working), and the file count must drop."""
+    from real_time_event_streaming_pipeline_spark.sources.maintenance import (
+        compact_epochs,
+        table_file_stats,
+    )
+
+    emb = load(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < N_BASE)
+    incoming = emb.filter(F.col("vec_id") >= N_BASE)
+    live_dir = str(tmp_path / "live_index")
+    build_ivf_index(base, live_dir, n_centroids=16)
+    staging = str(tmp_path / "staging")
+    incoming.repartition(3).write.parquet(staging)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = start_index_refresh(stream, live_dir, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cells = live_dir + "/cells"
+    queries = emb.filter(F.col("vec_id") % 100 == 7)
+    want = sorted(tuple(r) for r in search(spark, live_dir, queries, k=5, n_probe=4).collect())
+    files_before = table_file_stats(spark, cells)["n_files"]
+
+    res = compact_epochs(spark, cells, upto_epoch=10**6, partition_cols=["cell"])
+    assert res["epochs_merged"] >= 3  # base (epoch=-1) + streamed epochs
+    assert table_file_stats(spark, cells)["n_files"] < files_before
+
+    got = sorted(tuple(r) for r in search(spark, live_dir, queries, k=5, n_probe=4).collect())
+    assert got == want
+    # pruning still reaches the scan through the compacted layout
+    res_df = search(spark, live_dir, queries.limit(1), k=3, n_probe=2)
+    plan = res_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
