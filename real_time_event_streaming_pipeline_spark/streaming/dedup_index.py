@@ -4,8 +4,11 @@ against the EXISTING corpus index instead of re-sweeping the union.
 
 Semantics (chosen to be exactly parallelizable AND exactly
 incremental): a document d is a duplicate iff some document k with a
-smaller id, anywhere in the corpus seen so far, shares an LSH band
-bucket with d at estimated Jaccard >= threshold. In one batch that is
+smaller id, anywhere in the corpus seen so far, either shares an LSH
+band bucket with d at estimated Jaccard >= threshold or equals d's
+text exactly (the exact clause covers sub-k-token documents, which
+have no shingles hence no signature — without it a byte-identical
+copy of a short doc would be invisible). In one batch that is
 
     survivors = docs  ANTI-JOIN  {b_id of minhash_lsh_pairs(docs)}
 
@@ -50,6 +53,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.dedup import est_jaccard, minhash_band_rows, pairs_from_band_rows
@@ -57,6 +61,10 @@ from ..operators.dedup import est_jaccard, minhash_band_rows, pairs_from_band_ro
 
 def _bands_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "bands")
+
+
+def _hashes_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "hashes")
 
 
 def _survivors_dir(index_dir: str) -> str:
@@ -67,6 +75,13 @@ def read_index_bands(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """The accumulated band rows across every committed epoch, or None
     before the first epoch lands."""
     path = _bands_dir(index_dir)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def read_index_hashes(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    path = _hashes_dir(index_dir)
     if not os.path.isdir(path):
         return None
     return spark.read.parquet(path)
@@ -83,19 +98,35 @@ def batch_minhash_survivors(
     bands: int = 8,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    text_col: str = "text",
     max_bucket: int = 256,
 ) -> DataFrame:
-    """The batch twin: documents with no smaller-id near-match in the
-    whole input. One anti-join off the LSH pair set — the ground truth
-    the incremental path must reproduce for any batch split."""
+    """The batch twin: documents with no smaller-id match in the whole
+    input, where a match is EITHER a band collision at est-Jaccard >=
+    threshold OR exact text equality. The exact clause is not
+    redundant belt-and-braces: a document shorter than k tokens has no
+    shingles, hence no signature, and would otherwise be invisible to
+    the minhash side even as a byte-identical copy. For docs with
+    signatures, exact equality implies identical signatures (est 1.0),
+    so the clause only ever ADDS the short-doc coverage. One anti-join
+    off the union of the two dropped sets — the ground truth the
+    incremental path reproduces for any batch split."""
     from ..operators.dedup import minhash_lsh_pairs
 
-    dropped = (
+    near_dropped = (
         minhash_lsh_pairs(docs, k, num_hashes, bands, id_col, max_bucket)
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("b_id").alias(id_col))
-        .distinct()
     )
+    # shuffle (md5, id) only — the payload never moves (the
+    # exact_dedup_by_hash shape); non-minimum ids per hash drop
+    exact_dropped = (
+        docs.select(F.md5(F.col(text_col)).alias("_md5"), F.col(id_col))
+        .withColumn("_min", F.min(id_col).over(W.partitionBy("_md5")))
+        .filter(F.col(id_col) != F.col("_min"))
+        .select(id_col)
+    )
+    dropped = near_dropped.unionByName(exact_dropped).distinct()
     return docs.join(dropped, id_col, "left_anti")
 
 
@@ -108,15 +139,22 @@ def ingest_batch(
     bands: int = 8,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    text_col: str = "text",
     max_bucket: int = 256,
 ) -> None:
     """Dedup one micro-batch against the index, then commit the batch
-    to it. Callable directly (batch backfill) or from foreachBatch."""
+    to it. Callable directly (batch backfill) or from foreachBatch.
+    Matching = band collision at est-Jaccard >= threshold OR exact
+    text equality (see batch_minhash_survivors on why the exact
+    clause exists: sub-k-token docs have no signature)."""
     spark = batch.sparkSession
     # one signature pass serves the index lookup, the within-batch
     # pairing, and the index append — localCheckpoint so the shingle
     # explode + 32-way min-agg runs once, not three times
     banded = minhash_band_rows(batch, k, num_hashes, bands, id_col).localCheckpoint()
+    hashes = batch.select(
+        F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col)
+    ).localCheckpoint()
 
     idx = read_index_bands(spark, index_dir)
     if idx is not None:
@@ -139,17 +177,34 @@ def ingest_batch(
         )
     else:
         cross_dropped = None
+    idx_h = read_index_hashes(spark, index_dir)
+    if idx_h is not None:
+        cross_exact = (
+            hashes.join(
+                idx_h.select("content_md5", F.col(id_col).alias("_idx_id")),
+                "content_md5",
+            )
+            .filter(F.col("_idx_id") < F.col(id_col))
+            .select(id_col)
+        )
+    else:
+        cross_exact = None
     within_dropped = (
         pairs_from_band_rows(banded, num_hashes, id_col, max_bucket)
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("b_id").alias(id_col))
-        .distinct()
     )
-    dropped = (
-        within_dropped
-        if cross_dropped is None
-        else within_dropped.unionByName(cross_dropped).distinct()
+    within_exact = (
+        hashes.withColumn("_min", F.min(id_col).over(W.partitionBy("content_md5")))
+        .filter(F.col(id_col) != F.col("_min"))
+        .select(id_col)
     )
+    dropped = within_dropped.unionByName(within_exact)
+    if cross_dropped is not None:
+        dropped = dropped.unionByName(cross_dropped)
+    if cross_exact is not None:
+        dropped = dropped.unionByName(cross_exact)
+    dropped = dropped.distinct()
     # materialize the verdict BEFORE touching the index: on a replay
     # the bands overwrite below deletes the very files the (lazy)
     # cross-match plan references — the survivor write would then read
@@ -162,6 +217,9 @@ def ingest_batch(
     # subdirectories, never appends beside its previous attempt
     banded.write.mode("overwrite").parquet(
         os.path.join(_bands_dir(index_dir), f"epoch={epoch_id}")
+    )
+    hashes.write.mode("overwrite").parquet(
+        os.path.join(_hashes_dir(index_dir), f"epoch={epoch_id}")
     )
     survivors.write.mode("overwrite").parquet(
         os.path.join(_survivors_dir(index_dir), f"epoch={epoch_id}")

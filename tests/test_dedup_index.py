@@ -227,3 +227,31 @@ def test_epoch_compaction_heals_interrupted_run(spark, sf_small, tmp_path):
     res = compact_epochs(spark, bands_dir, upto_epoch=1)
     assert res["epochs_merged"] == 2
     assert sorted(map(key, spark.read.parquet(bands_dir).collect())) == want
+
+
+def test_short_doc_exact_dupes_caught(spark, tmp_path):
+    """Documents shorter than the shingle size k have no minhash
+    signature; the exact-hash clause must still drop their
+    byte-identical copies — incrementally AND in the batch twin, with
+    the closure property intact across the split."""
+    rows = [
+        (1, "hello world", "s"),          # short: 2 tokens < k=3
+        (2, "hello world", "s"),          # exact copy, same batch
+        (3, "totally different", "s"),
+        (10, "hello world", "s"),         # exact copy, later batch
+        (11, "a much longer document with plenty of tokens for shingles", "s"),
+        (12, "a much longer document with plenty of tokens for shingles", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    want = {1, 3, 11}  # 2/10 short-copies dropped; 12 minhash-dropped
+
+    one_shot = {
+        r.doc_id for r in batch_minhash_survivors(docs, threshold=THRESHOLD).collect()
+    }
+    assert one_shot == want
+
+    index_dir = str(tmp_path / "index")
+    ingest_batch(docs.filter(F.col("doc_id") < 10), 0, index_dir, threshold=THRESHOLD)
+    ingest_batch(docs.filter(F.col("doc_id") >= 10), 1, index_dir, threshold=THRESHOLD)
+    inc = {r.doc_id for r in read_survivors(spark, index_dir).collect()}
+    assert inc == want
