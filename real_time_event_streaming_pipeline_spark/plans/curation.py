@@ -49,18 +49,25 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _spread
 
     docs = _spread(load(spark, sf_dir, "documents"))
-    tris = _shingle_expr(F.split(F.col("text"), " "), 3)
-    n_tri = F.size(tris).cast("long")
-    n_uniq = F.size(F.array_distinct(tris)).cast("long")
-    rep = F.when(n_tri == 0, F.lit(0.0)).otherwise(
-        (n_tri - n_uniq).cast("double") / n_tri
-    )
-    return docs.select(
+    # staged projections: the split lands in a named column before the
+    # shingle transform (a raw split() referenced from inside the
+    # lambda re-evaluates per element — no CSE across the lambda
+    # boundary), and the ratio references the counts BY NAME so the
+    # trigram build is not re-expanded inside the when/divide
+    toked = docs.select("doc_id", "lang", F.split("text", " ").alias("_toks"))
+    tris = _shingle_expr(F.col("_toks"), 3)
+    mid = toked.select(
         "doc_id",
         "lang",
-        n_tri.alias("n_trigrams"),
-        n_uniq.alias("n_distinct"),
-        rep.alias("rep_ratio"),
+        F.size(tris).cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct(tris)).cast("long").alias("n_distinct"),
+    )
+    rep = F.when(F.col("n_trigrams") == 0, F.lit(0.0)).otherwise(
+        (F.col("n_trigrams") - F.col("n_distinct")).cast("double")
+        / F.col("n_trigrams")
+    )
+    return mid.select(
+        "doc_id", "lang", "n_trigrams", "n_distinct", rep.alias("rep_ratio")
     )
 
 
@@ -462,10 +469,14 @@ def q_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique"))
         .withColumnRenamed("owner", "doc_id")
     )
+    # split staged before the shingle lambda (same no-CSE-across-
+    # lambda finding as q_doc_repetition)
     n_grams = F.size(
-        F.array_distinct(_shingle_expr(F.split("text", " "), _DUP_CHUNK_K))
+        F.array_distinct(_shingle_expr(F.col("_toks"), _DUP_CHUNK_K))
     ).cast("long")
-    per_doc = docs.select("doc_id", "source", n_grams.alias("n_grams"))
+    per_doc = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("_toks")
+    ).select("doc_id", "source", n_grams.alias("n_grams"))
     joined = per_doc.join(uniq_owned, "doc_id", "left").select(
         "doc_id",
         "source",
@@ -523,13 +534,17 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg). The O(n²) pair space never appears; cost is linear in corpus
     tokens."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # split staged into a named column: a raw split() referenced from
+    # inside the transform lambda is re-evaluated per element (no CSE
+    # across the lambda boundary — the q_bigram_logprob finding)
+    toked = docs.select("doc_id", F.split("text", " ").alias("_toks"))
+    toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(_DUP_CHUNK_K))).cast("long")
     chunks = F.transform(
         F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
         lambda i: F.array_join(F.slice(toks, i * _DUP_CHUNK_K + 1, _DUP_CHUNK_K), " "),
     )
-    exploded = docs.select(
+    exploded = toked.select(
         "doc_id", F.posexplode(chunks).alias("pos", "chunk")
     )
     freq = exploded.groupBy("chunk").agg(
@@ -547,7 +562,7 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
     )
     return (
-        docs.select("doc_id", n_chunks.alias("n_chunks"))
+        toked.select("doc_id", n_chunks.alias("n_chunks"))
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",

@@ -460,13 +460,18 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the biggest intermediate; it grows sublinearly in corpus size
     (vocab² ceiling), not with the 100 TB payload."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # split ONCE into a named column: referencing the raw split()
+    # expression from inside the transform lambda re-evaluates it (no
+    # codegen CSE across the lambda boundary) — staging the array
+    # measured 2x on the whole query
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     # guard: F.sequence(1, 0) would generate DESCENDING [1, 0] — an
     # empty array, not a reversed one, is the right "no bigrams" value
     idx = F.when(
         F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
     ).otherwise(F.array().cast("array<int>"))
-    bg = docs.select(
+    bg = toked.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -483,7 +488,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
     cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
     vocab = (
-        docs.select(F.explode(toks).alias("term"))
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
         .agg(F.count_distinct("term").alias("v"))
     )
     mn = F.round(
