@@ -192,3 +192,25 @@ def test_round3_filter_family_plan_invariants(spark, sf_med):
 
     assert "WindowGroupLimit" in _plan(q_cep_pattern(spark, sf_med))
     assert "WindowGroupLimit" in _plan(q_ts_similarity(spark, sf_med))
+
+
+def test_gemm_topk_plan_shape(spark, sf_med):
+    """Round-4 blocked-GEMM top-k invariants: the scoring runs through
+    ONE Arrow seam (FlatMapGroupsInPandas), a group-local
+    WindowGroupLimit prunes candidates BEFORE the final per-query
+    ranking exchange, and the corpus parquet is scanned exactly twice
+    (corpus leg + query leg) — a third scan would mean the query
+    replication re-reads the corpus."""
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        q_cosine_topk,
+        q_emb_ann_ivf,
+    )
+
+    for fn in (q_cosine_topk, q_emb_ann_ivf):
+        plan = _plan(fn(spark, sf_med))
+        assert plan.count("FlatMapGroupsInPandas") == 1, plan
+        assert "WindowGroupLimit" in plan, plan
+        scans = [
+            l for l in plan.splitlines() if "embeddings" in l and "Scan" in l
+        ]
+        assert len(scans) == 2, plan
