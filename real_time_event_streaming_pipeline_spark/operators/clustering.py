@@ -54,10 +54,18 @@ def connected_components(
     if not pairs_unique:
         e = e.distinct()
     edges = e.localCheckpoint()
-    # count is ~free on the checkpointed partitions and buys exact
-    # loop sizing (see _EDGES_PER_PARTITION); coalesce is narrow — no
-    # extra shuffle, and never increases the partition count
-    n_edges = edges.count()
+    # one cheap job over the checkpointed partitions buys BOTH the
+    # exact loop sizing (see _EDGES_PER_PARTITION) AND the initial
+    # label sum (Σ distinct u == Σ initial components, since labels
+    # start as own-id): round 0's convergence check then has a real
+    # baseline without the separate pre-loop aggregate the previous
+    # version paid — an already-converged graph exits after ONE round,
+    # and max_iter=1 callers keep working
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum_distinct(F.col("u").cast("decimal(38,0)")).alias("s"),
+    ).first()
+    n_edges, prev_sum = stats["n"], stats["s"]
     n_part = max(1, math.ceil(n_edges / _EDGES_PER_PARTITION))
     if n_part < edges.rdd.getNumPartitions():
         edges = edges.coalesce(n_part)
@@ -71,17 +79,14 @@ def connected_components(
     # Σcomponent strictly decreases every non-converged round: a 1-row
     # aggregate detects the fixpoint without the old-vs-new join the
     # naive convergence check needs (halves the per-round job count —
-    # round latency, not data volume, dominates this loop). Starting
-    # prev_sum at None (≠ any sum) skips the pre-loop sum job the
-    # previous version paid: round 0 must run regardless, so its sum
-    # doubles as the baseline. Summed as decimal(38,0): many vertices
-    # with snowflake-scale 64-bit ids would overflow a long sum, which
-    # throws under ANSI mode.
+    # round latency, not data volume, dominates this loop). Summed as
+    # decimal(38,0): many vertices with snowflake-scale 64-bit ids
+    # would overflow a long sum, which throws under ANSI mode.
     def _label_sum(df):
         return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
 
-    prev_sum = None
-    first = True
+    if n_edges == 0:  # empty graph: nothing to propagate
+        return labels
     for _ in range(max_iter):
         # candidate label per vertex: min over (own label, neighbors' labels)
         neighbor_labels = (
@@ -95,12 +100,9 @@ def connected_components(
             .localCheckpoint()
         )
         new_sum = _label_sum(labels)
-        if not first and new_sum == prev_sum:
-            return labels
-        if first and new_sum is None:  # empty edge set: nothing to propagate
+        if new_sum == prev_sum:
             return labels
         prev_sum = new_sum
-        first = False
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(rounds ~ graph diameter — raise max_iter for long-chain graphs)"

@@ -156,15 +156,26 @@ def _topk_kernel(k: int):
             dots += Q[:, d : d + 1] * C[None, :, d]
             nq += Q[:, d] * Q[:, d]
             nc += C[:, d] * C[:, d]
+        # zero-norm vectors have no cosine: the expression twin throws
+        # DIVIDE_BY_ZERO under Spark 4's ANSI mode, so the kernel must
+        # fail just as loudly — silently dropping (or NaN-ranking) the
+        # row would make the two paths diverge on dirty input
+        if (nq == 0).any() or (nc == 0).any():
+            bad = list(q_ids[nq == 0]) + list(c_ids[nc == 0])
+            raise ValueError(
+                f"zero-norm embedding(s) {bad[:5]}: cosine undefined "
+                "(the expression twin raises DIVIDE_BY_ZERO under ANSI)"
+            )
         cos = dots / (np.sqrt(nq)[:, None] * np.sqrt(nc)[None, :])
-        cos[q_ids[:, None] == c_ids[None, :]] = -np.inf  # self-exclusion
+        rank_cos = cos.copy()
+        rank_cos[q_ids[:, None] == c_ids[None, :]] = -np.inf  # self-exclusion
         kk = min(k, len(c_ids))
         out_q, out_n, out_c = [], [], []
         for i in range(len(Q)):
             # group-local (cos desc, n_id asc): lexsort's last key is
             # primary, ties on the exact double broken by id
-            order = np.lexsort((c_ids, -cos[i]))[:kk]
-            keep = order[np.isfinite(cos[i][order])]
+            order = np.lexsort((c_ids, -rank_cos[i]))[:kk]
+            keep = order[rank_cos[i][order] != -np.inf]
             out_q.append(np.full(len(keep), q_ids[i]))
             out_n.append(c_ids[keep])
             out_c.append(cos[i][keep])

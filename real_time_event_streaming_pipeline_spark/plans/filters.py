@@ -631,24 +631,41 @@ def q_corpus_ingest_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is value-checked, not just the union. The epoch column is
     the chunk store's partition-discovered lineage (each micro-batch
     writes its own epoch=N subtree)."""
+    import shutil
     import tempfile
 
     from ..streaming.corpus_ingest import stage_epoch_files, start_corpus_ingest
 
     base = tempfile.mkdtemp(prefix="ingest_epochs_")
-    src = stage_epoch_files(spark, sf_dir, os.path.join(base, "arriving"), n_files=3)
-    out = os.path.join(base, "chunks")
-    ckpt = os.path.join(base, "ckpt")
-    q = start_corpus_ingest(spark, sf_dir, out, ckpt, source_dir=src)
-    q.awaitTermination(300)
-    return (
-        spark.read.parquet(out)
-        .groupBy(F.col("epoch").cast("long").alias("epoch"))
-        .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_chunks"),
+    try:
+        src = stage_epoch_files(
+            spark, sf_dir, os.path.join(base, "arriving"), n_files=3
         )
-    )
+        out = os.path.join(base, "chunks")
+        ckpt = os.path.join(base, "ckpt")
+        q = start_corpus_ingest(spark, sf_dir, out, ckpt, source_dir=src)
+        # awaitTermination returns False on timeout WITHOUT raising —
+        # falling through would read a still-writing store and return
+        # silently partial counts; fail loudly instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("corpus ingest drain did not finish within 300s")
+        rows = (
+            spark.read.parquet(out)
+            .groupBy(F.col("epoch").cast("long").alias("epoch"))
+            .agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_chunks"),
+            )
+            .collect()
+        )
+    finally:
+        # the result (3 rows) is materialized above precisely so the
+        # scratch chunk store can be deleted here — returning a lazy
+        # DataFrame over `out` would leak one store per invocation
+        # (bench runs this query twice per sweep)
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "epoch long, n_docs long, n_chunks long")
 
 
 _CORPUS_INGEST_EPOCHS_SQL = f"""

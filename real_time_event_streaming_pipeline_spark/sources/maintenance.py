@@ -186,7 +186,8 @@ def compact_epochs(
     """Consolidate the epoch=N subtrees of an epoch-partitioned store
     (streaming/dedup_index.py bands, streaming/ann_index.py cells,
     streaming/corpus_ingest.py chunks) for every N <= upto_epoch into
-    ONE epoch=upto_epoch subtree, leaving newer epochs untouched.
+    ONE subtree named after the highest merged epoch, leaving newer
+    epochs untouched.
 
     Epoch-per-micro-batch layouts are what make streaming appends
     replay-idempotent, but they accumulate one directory per trigger —
@@ -249,10 +250,17 @@ def compact_epochs(
     else:
         df.repartition(n_out).write.mode("overwrite").parquet(staging)
 
+    # consolidate under the highest MERGED epoch, never the raw
+    # upto_epoch argument: the target dir is then always one of the
+    # backed-up sources, so a crash after the staging rename but
+    # before backup cleanup heals correctly — the restore overwrites
+    # the half-committed target instead of leaving it beside the
+    # restored originals (which would duplicate every compacted row)
+    target = max(merge)
     os.makedirs(backup)
     for n, p in merge.items():
         os.rename(p, os.path.join(backup, os.path.basename(p)))
-    os.rename(staging, os.path.join(store_dir, f"epoch={upto_epoch}"))
+    os.rename(staging, os.path.join(store_dir, f"epoch={target}"))
     shutil.rmtree(backup)
     return {
         "before": before,

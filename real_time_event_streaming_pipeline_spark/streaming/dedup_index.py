@@ -141,12 +141,28 @@ def ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 256,
-) -> None:
+) -> dict:
     """Dedup one micro-batch against the index, then commit the batch
     to it. Callable directly (batch backfill) or from foreachBatch.
     Matching = band collision at est-Jaccard >= threshold OR exact
     text equality (see batch_minhash_survivors on why the exact
-    clause exists: sub-k-token docs have no signature)."""
+    clause exists: sub-k-token docs have no signature).
+
+    Bucket capping mirrors the batch twin's `_cap_buckets` rule on the
+    UNION-so-far: a (band, bhash) bucket whose accumulated distinct
+    docs (index + this batch) exceed ``max_bucket`` produces no
+    matches — neither within-batch nor against the index — bounding
+    the per-key join fan-in at max_bucket² even when boilerplate
+    floods one bucket. Distinct-doc counting keeps a replay that runs
+    AFTER the epoch's band rows landed idempotent (its own rows don't
+    double the count). Exact streamed==batch equivalence holds as
+    long as no bucket's FINAL union size exceeds the cap; when one
+    crosses the cap mid-stream, verdicts issued while it was under
+    the cap stand (the one-shot sweep would retroactively un-drop
+    them — anti-monotone, so no online algorithm can match it), and
+    the returned stats surface the condition instead of hiding it.
+
+    Returns {"n_dropped": ..., "n_overfull_buckets": ...}."""
     spark = batch.sparkSession
     # one signature pass serves the index lookup, the within-batch
     # pairing, and the index append — localCheckpoint so the shingle
@@ -157,9 +173,26 @@ def ingest_batch(
     ).localCheckpoint()
 
     idx = read_index_bands(spark, index_dir)
+    # union-so-far bucket sizes for the batch's keys only (semi join);
+    # the index side reads (band, bhash, id) — column-pruned, far
+    # lighter than the sig-carrying match join below
+    union_rows = banded.select("band", "bhash", id_col)
+    if idx is not None:
+        union_rows = idx.select("band", "bhash", id_col).unionByName(union_rows)
+    overfull = (
+        union_rows.join(
+            banded.select("band", "bhash").distinct(), ["band", "bhash"], "left_semi"
+        )
+        .groupBy("band", "bhash")
+        .agg(F.count_distinct(id_col).alias("_uc"))
+        .filter(F.col("_uc") > max_bucket)
+        .select("band", "bhash")
+        .localCheckpoint()
+    )
+    capped = banded.join(overfull, ["band", "bhash"], "left_anti")
     if idx is not None:
         cross_dropped = (
-            banded.join(
+            capped.join(
                 idx.select(
                     "band",
                     "bhash",
@@ -189,8 +222,11 @@ def ingest_batch(
         )
     else:
         cross_exact = None
+    # within-batch pairing runs on the capped rows: every surviving
+    # bucket has union size <= max_bucket, so the generator's own
+    # per-batch cap (kept as belt) can never bind
     within_dropped = (
-        pairs_from_band_rows(banded, num_hashes, id_col, max_bucket)
+        pairs_from_band_rows(capped, num_hashes, id_col, max_bucket)
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("b_id").alias(id_col))
     )
@@ -224,6 +260,12 @@ def ingest_batch(
     survivors.write.mode("overwrite").parquet(
         os.path.join(_survivors_dir(index_dir), f"epoch={epoch_id}")
     )
+    # truncation must never be silent: both counts are on checkpointed
+    # (already materialized) frames, so these are metadata-cheap jobs
+    return {
+        "n_dropped": dropped.count(),
+        "n_overfull_buckets": overfull.count(),
+    }
 
 
 def start_dedup_ingest(

@@ -115,3 +115,22 @@ def test_ivf_neardup_candidates_exact_on_clustered(clustered):
     }
     assert exact == ivf
     assert len(exact) > 5000  # the planted clusters actually produced mass
+
+
+def test_gemm_topk_zero_vector_fails_loudly_like_rowexpr(spark):
+    """A zero-norm embedding has no cosine. Under Spark 4's ANSI mode
+    the expression twin raises DIVIDE_BY_ZERO, so the GEMM kernel must
+    fail just as loudly — the review-surfaced alternative (silently
+    dropping the candidate) would let the two paths return different
+    neighbor sets on dirty input."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, 0, [float(x) for x in rng.standard_normal(8)]) for i in range(10)]
+    rows.append((10, 0, [0.0] * 8))  # zero vector
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+    queries = emb.filter("vec_id < 3")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        S.brute_force_topk_rowexpr(emb, queries, k=4).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        S.brute_force_topk(emb, queries, k=4).collect()

@@ -10,7 +10,6 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-import time
 
 from pyspark.sql import functions as F
 
@@ -27,26 +26,14 @@ THRESHOLD = 0.5
 
 
 def _id_ordered_files(spark, sf_dir, src, n_files=3):
-    """Lay the documents table out as n_files parquet files whose file
-    order (modification time) matches doc_id order — the streaming
-    corpus contract: ids are assigned in arrival order."""
-    docs = load(spark, sf_dir, "documents")
-    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
-    cuts = [ids[i * len(ids) // n_files] for i in range(1, n_files)] + [ids[-1] + 1]
-    os.makedirs(src, exist_ok=True)
-    lo = min(ids)
-    now = time.time() - 600
-    for i, hi in enumerate(cuts):
-        part_dir = os.path.join(src, f"_stage{i}")
-        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
-            1
-        ).write.mode("overwrite").parquet(part_dir)
-        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.copyfile(part, dst)
-        os.utime(dst, (now + 60 * i, now + 60 * i))
-        shutil.rmtree(part_dir)
-        lo = hi
+    """Documents laid out as n_files id-ordered arrival files — the
+    production fixture from streaming/corpus_ingest.stage_epoch_files
+    (one ntile of doc_ids per file, mtimes in id order)."""
+    from real_time_event_streaming_pipeline_spark.streaming.corpus_ingest import (
+        stage_epoch_files,
+    )
+
+    stage_epoch_files(spark, sf_dir, src, n_files)
     return [f for f in sorted(os.listdir(src)) if f.endswith(".parquet")]
 
 
@@ -255,3 +242,92 @@ def test_short_doc_exact_dupes_caught(spark, tmp_path):
     ingest_batch(docs.filter(F.col("doc_id") >= 10), 1, index_dir, threshold=THRESHOLD)
     inc = {r.doc_id for r in read_survivors(spark, index_dir).collect()}
     assert inc == want
+
+
+def test_bucket_cap_follows_union_rule(spark, tmp_path):
+    """The over-full-bucket cap must use UNION-so-far sizes, matching
+    the batch twin's _cap_buckets rule: a boilerplate bucket over the
+    cap produces no matches within the batch OR against the index,
+    the condition is surfaced in the returned stats, and a later
+    arrival into the suppressed bucket also survives — equal to the
+    one-shot sweep over the union."""
+    # cyclic rotations of a doubled 7-word cycle: DISTINCT texts (so
+    # the exact clause never fires) with IDENTICAL trigram SETS, hence
+    # identical minhash signatures -> all docs land in the same
+    # (band, bhash) bucket in EVERY band
+    cyc = "alpha bravo charlie delta echo foxtrot golf".split()
+
+    def rot(r):
+        seq = cyc[r:] + cyc[:r]
+        return " ".join(seq * 2)
+
+    df = spark.createDataFrame(
+        [(i, rot(i), "s") for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    # sanity: uncapped, the identical-signature docs ARE minhash-dropped
+    assert batch_minhash_survivors(df, threshold=THRESHOLD).count() == 1
+    # capped at 4, every 6-doc bucket is suppressed -> everything survives
+    assert batch_minhash_survivors(df, threshold=THRESHOLD, max_bucket=4).count() == 6
+
+    index_dir = str(tmp_path / "index")
+    stats0 = ingest_batch(df, 0, index_dir, threshold=THRESHOLD, max_bucket=4)
+    assert stats0["n_overfull_buckets"] > 0
+    assert stats0["n_dropped"] == 0
+    assert {r.doc_id for r in read_survivors(spark, index_dir).collect()} == set(range(6))
+
+    late = spark.createDataFrame(
+        [(10, rot(6), "s")], "doc_id long, text string, source string"
+    )
+    stats1 = ingest_batch(late, 1, index_dir, threshold=THRESHOLD, max_bucket=4)
+    assert stats1["n_dropped"] == 0  # bucket still over cap: no match issued
+    inc = {r.doc_id for r in read_survivors(spark, index_dir).collect()}
+    union = df.unionByName(late)
+    want = {
+        r.doc_id
+        for r in batch_minhash_survivors(union, threshold=THRESHOLD, max_bucket=4).collect()
+    }
+    assert inc == want == set(range(6)) | {10}
+
+
+def test_epoch_compaction_heals_post_rename_crash(spark, sf_small, tmp_path):
+    """The other crash window: the consolidated subtree was renamed in
+    but the backup was not yet cleared. The heal must restore the
+    originals OVER the half-committed target (the target is always one
+    of the backed-up epochs) — leaving both behind would double every
+    compacted row."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from real_time_event_streaming_pipeline_spark.sources.maintenance import (
+        compact_epochs,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    mid = sorted(r.doc_id for r in docs.select("doc_id").collect())[docs.count() // 2]
+    index_dir = str(tmp_path / "index")
+    ingest_batch(docs.filter(F.col("doc_id") < mid), 0, index_dir, threshold=THRESHOLD)
+    ingest_batch(docs.filter(F.col("doc_id") >= mid), 1, index_dir, threshold=THRESHOLD)
+    bands_dir = index_dir + "/bands"
+    key = lambda r: (r.doc_id, r.band, r.bhash)  # noqa: E731
+    want = sorted(map(key, spark.read.parquet(bands_dir).collect()))
+
+    # snapshot originals, compact fully (upto beyond all epochs — the
+    # target must still be the highest MERGED epoch), then recreate
+    # the backup to simulate dying before its cleanup
+    snap = str(tmp_path / "snap")
+    shutil.copytree(bands_dir, snap)
+    res = compact_epochs(spark, bands_dir, upto_epoch=10**6)
+    assert res["epochs_merged"] == 2
+    assert os.path.isdir(os.path.join(bands_dir, "epoch=1"))  # max merged, not 10**6
+    backup = os.path.join(bands_dir, "._old_epochs")
+    os.makedirs(backup)
+    for d in os.listdir(snap):
+        if d.startswith("epoch="):
+            shutil.copytree(os.path.join(snap, d), os.path.join(backup, d))
+
+    res2 = compact_epochs(spark, bands_dir, upto_epoch=10**6)
+    assert res2["epochs_merged"] == 2
+    assert sorted(map(key, spark.read.parquet(bands_dir).collect())) == want
