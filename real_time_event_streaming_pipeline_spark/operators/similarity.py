@@ -354,10 +354,13 @@ def neardup_pairs_ivf_candidates(
     vec_col: str = "embedding",
     n_centroids: int = 64,
     n_probe: int = 10,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — CANDIDATE-based scale
     path: multi-probe IVF cell assignment generates candidates, exact
-    cosine verifies them.
+    cosine verifies them. ``cents`` accepts a FROZEN centroid set (the
+    incremental path's index contract, streaming/semdedup_index.py);
+    when None, centroids are sampled from the input.
 
     Each vector is assigned to its ``n_probe`` nearest of
     ``n_centroids`` Voronoi cells; candidate pairs are vectors sharing
@@ -394,7 +397,8 @@ def neardup_pairs_ivf_candidates(
     mandatory; this path wins when the data has margin."""
     import pandas as pd
 
-    cents = sample_centroids(emb, n_centroids, id_col, vec_col)
+    if cents is None:
+        cents = sample_centroids(emb, n_centroids, id_col, vec_col)
     tagged = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")).withColumn(
         "cell", F.explode(nearest_cells(F.col("_vec"), cents, n_probe)["cell"])
     )

@@ -39,6 +39,7 @@ _PRIORITY_R4 = (
     # new in round 4 — no driver verdict yet
     "llm_dedup_ngram_survivors",
     "llm_dedup_minhash_survivors",
+    "llm_semdedup_survivors",
     "llm_corpus_ingest_epochs",
     # code changed in round 4 (integer-div ratios, deletion guard,
     # connected-components loop, minhash band-row refactor)
@@ -92,7 +93,6 @@ _PRIORITY_R4 = (
     "rel_customers_without_orders",
     "rel_setops_suppliers",
     "rel_nation_profit",
-    "rel_promo_revenue",
 )
 
 

@@ -570,6 +570,32 @@ FROM embeddings LEFT JOIN cc ON vec_id = vertex
 """
 
 
+def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving-vector set of the semantic dedup under the
+    smaller-id-wins rule: keep a vector iff no smaller-id vector is an
+    IVF-candidate near-duplicate at cos >= 0.45. This is the exact
+    semantics the persisted-cell-index incremental path
+    (streaming/semdedup_index.py) reproduces micro-batch by
+    micro-batch — the closure is pinned in tests/test_semdedup_index.py
+    on margin-bearing data. Candidate recall vs the exact pair set is
+    1.0 on THIS corpus (the llm_semdedup configuration), so the DuckDB
+    oracle can state the rule over the exact all-pairs set."""
+    from ..streaming.semdedup_index import batch_semdedup_survivors
+
+    emb = load(spark, sf_dir, "embeddings")
+    return batch_semdedup_survivors(emb, threshold=0.45).select("vec_id")
+
+
+_SEMDEDUP_SURVIVORS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (
+  SELECT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+)
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone: the full training-corpus cleaning pass as ONE
     declarative plan — quality gate, language gate, exact dedup (keep
@@ -729,6 +755,7 @@ QUERIES = {
     "llm_knn_classify": q_knn_classify,
     "llm_dedup_clusters": q_dedup_clusters,
     "llm_semdedup": q_semdedup,
+    "llm_semdedup_survivors": q_semdedup_survivors,
     "llm_corpus_pipeline": q_corpus_pipeline,
     "llm_multimodal_meta": q_multimodal_meta,
     "llm_multimodal_features": q_multimodal_features,
@@ -750,6 +777,7 @@ ORACLE = {
     "llm_knn_classify": _KNN_CLASSIFY_SQL,
     "llm_dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "llm_semdedup": _SEMDEDUP_SQL,
+    "llm_semdedup_survivors": _SEMDEDUP_SURVIVORS_SQL,
     "llm_corpus_pipeline": _CORPUS_PIPELINE_SQL,
     "llm_multimodal_meta": _MULTIMODAL_META_SQL,
     "llm_multimodal_frames": _MULTIMODAL_FRAMES_SQL,

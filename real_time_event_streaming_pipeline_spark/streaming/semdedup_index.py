@@ -1,0 +1,200 @@
+"""Incremental SEMANTIC dedup against a persisted IVF cell index —
+the embedding-space sibling of streaming/dedup_index.py: new
+micro-batches of vectors are deduped against the accumulated index
+instead of re-running the all-corpus SemDeDup sweep.
+
+Semantics: vector b is a duplicate iff some vector a with a smaller
+id, anywhere in the corpus seen so far, shares >= 1 of the n_probe
+IVF cells with b and round(cos(a, b), 6) >= threshold — exactly the
+candidate rule of operators/similarity.neardup_pairs_ivf_candidates
+computed against a FROZEN centroid set. Because cell assignment
+depends only on (vector, centroids), a pair's candidacy is identical
+whether both members arrive in one batch or epochs apart, so the
+streamed survivor set equals the one-shot batch sweep for any
+id-ordered split (pinned in tests/test_semdedup_index.py on the
+clustered fixture, where IVF candidate recall vs the exact pair set
+is 1.0 by construction).
+
+Index contents: (cell, id, vec) — one row per vector per probed cell
+(the multi-probe analogue of the band rows in dedup_index; storing
+all n_probe assignments makes "share >= 1 cell" an equi-join). As in
+the MinHash index, EVERY seen vector is recorded, duplicates
+included, so a dup-of-a-dup is still caught. Epoch-scoped overwrites
+give replay idempotence; compact_epochs bounds directory growth.
+
+At 100 TB: per-epoch cost is O(new vectors * n_probe) assignment
+rows + one cell equi-join whose per-cell fan-in is corpus/n_centroids
+x batch/n_centroids x n_probe^2 — n_centroids is the scale dial, and
+the centroid set is swapped by an offline rebuild + directory swap
+exactly like streaming/ann_index.py documents. The per-candidate
+verify here is the expression cosine (bit-identical fold to the
+oracle); the Arrow GEMM swap used by the batch sweep applies
+unchanged when candidate volume warrants it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    cosine,
+    nearest_cells,
+    neardup_pairs_ivf_candidates,
+    sample_centroids,
+)
+
+
+def _cells_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "cells")
+
+
+def _survivors_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "survivors")
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "centroids.json")
+
+
+def init_semdedup_index(
+    centroid_source: DataFrame,
+    index_dir: str,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Freeze the centroid set — the index's immutable contract. The
+    source is typically the first arriving corpus slice (at scale: a
+    k-means sample); no vectors are ingested here."""
+    cents = sample_centroids(centroid_source, n_centroids, id_col, vec_col)
+    os.makedirs(index_dir, exist_ok=True)
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump(cents, f)
+
+
+def _load_centroids(index_dir: str) -> list[tuple[int, list[float]]]:
+    with open(_meta_path(index_dir)) as f:
+        return [(int(c), v) for c, v in json.load(f)]
+
+
+def read_survivors(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(_survivors_dir(index_dir))
+
+
+def batch_semdedup_survivors(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    cents: list[tuple[int, list[float]]] | None = None,
+    n_centroids: int = 64,
+    n_probe: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The batch twin: vectors with no smaller-id IVF-candidate match
+    in the whole input — one anti-join off the candidate pair set."""
+    dropped = (
+        neardup_pairs_ivf_candidates(
+            emb, threshold, id_col=id_col, n_centroids=n_centroids,
+            n_probe=n_probe, cents=cents,
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return emb.join(dropped, id_col, "left_anti")
+
+
+def ingest_embeddings_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    threshold: float = 0.9,
+    n_probe: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Dedup one micro-batch of vectors against the index, then commit
+    the batch's cell rows to it. Returns {"n_dropped": ...}."""
+    spark = batch.sparkSession
+    cents = _load_centroids(index_dir)
+    batch_cells = (
+        batch.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .withColumn("cell", F.explode(nearest_cells(F.col("_vec"), cents, n_probe)["cell"]))
+        .localCheckpoint()
+    )
+
+    cells_path = _cells_dir(index_dir)
+    cross_dropped = None
+    if os.path.isdir(cells_path):
+        idx = spark.read.parquet(cells_path)
+        cross_dropped = (
+            batch_cells.join(
+                idx.select(
+                    "cell",
+                    F.col("_id").alias("_idx_id"),
+                    F.col("_vec").alias("_idx_vec"),
+                ),
+                "cell",
+            )
+            .filter(
+                (F.col("_idx_id") < F.col("_id"))
+                & (F.round(cosine(F.col("_idx_vec"), F.col("_vec")), 6) >= threshold)
+            )
+            .select(F.col("_id").alias(id_col))
+        )
+    within_dropped = neardup_pairs_ivf_candidates(
+        batch, threshold, id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe, cents=cents,
+    ).select(F.col("b_id").alias(id_col))
+    dropped = (
+        within_dropped
+        if cross_dropped is None
+        else within_dropped.unionByName(cross_dropped)
+    ).distinct().localCheckpoint()  # materialize BEFORE the index write below
+    survivors = batch.join(dropped, id_col, "left_anti")
+
+    batch_cells.write.mode("overwrite").parquet(
+        os.path.join(cells_path, f"epoch={int(epoch_id)}")
+    )
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(_survivors_dir(index_dir), f"epoch={int(epoch_id)}")
+    )
+    return {"n_dropped": dropped.count()}
+
+
+def start_semdedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+    threshold: float = 0.9,
+    n_probe: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Stream an embedding directory through the incremental semantic
+    dedup (availableNow drain; drop the trigger for a live feed). The
+    index must be init'd (frozen centroids) before starting."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_embeddings_batch(
+            batch_df, epoch_id, index_dir, threshold, n_probe, id_col, vec_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
