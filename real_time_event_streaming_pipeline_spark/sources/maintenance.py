@@ -184,9 +184,10 @@ def compact_epochs(
     target_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Consolidate the epoch=N subtrees of an epoch-partitioned store
-    (streaming/dedup_index.py bands, streaming/ann_index.py cells,
-    streaming/corpus_ingest.py chunks) for every N <= upto_epoch into
-    ONE subtree named after the highest merged epoch, leaving newer
+    (streaming/dedup_index.py bands/hashes, streaming/ann_index.py
+    cells, streaming/semdedup_index.py cells, streaming/
+    corpus_ingest.py chunks) for every N <= upto_epoch into ONE
+    subtree named after the highest merged epoch, leaving newer
     epochs untouched.
 
     Epoch-per-micro-batch layouts are what make streaming appends
