@@ -54,18 +54,10 @@ def connected_components(
     if not pairs_unique:
         e = e.distinct()
     edges = e.localCheckpoint()
-    # one cheap job over the checkpointed partitions buys BOTH the
-    # exact loop sizing (see _EDGES_PER_PARTITION) AND the initial
-    # label sum (Σ distinct u == Σ initial components, since labels
-    # start as own-id): round 0's convergence check then has a real
-    # baseline without the separate pre-loop aggregate the previous
-    # version paid — an already-converged graph exits after ONE round,
-    # and max_iter=1 callers keep working
-    stats = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum_distinct(F.col("u").cast("decimal(38,0)")).alias("s"),
-    ).first()
-    n_edges, prev_sum = stats["n"], stats["s"]
+    # count is ~free on the checkpointed partitions and buys exact
+    # loop sizing (see _EDGES_PER_PARTITION); coalesce is narrow — no
+    # extra shuffle, and never increases the partition count
+    n_edges = edges.count()
     n_part = max(1, math.ceil(n_edges / _EDGES_PER_PARTITION))
     if n_part < edges.rdd.getNumPartitions():
         edges = edges.coalesce(n_part)
@@ -79,7 +71,13 @@ def connected_components(
     # Σcomponent strictly decreases every non-converged round: a 1-row
     # aggregate detects the fixpoint without the old-vs-new join the
     # naive convergence check needs (halves the per-round job count —
-    # round latency, not data volume, dominates this loop). Summed as
+    # round latency, not data volume, dominates this loop). No
+    # pre-loop baseline sum is computed: with the strict a<b pair
+    # contract every non-empty symmetrized edge set forces at least
+    # one label change in round 0 (the larger endpoint of any edge
+    # adopts the smaller), so a round-0 early exit is unreachable and
+    # round 0's own sum is the baseline; the fixpoint therefore needs
+    # max_iter >= diameter + 1 (the confirming round). Summed as
     # decimal(38,0): many vertices with snowflake-scale 64-bit ids
     # would overflow a long sum, which throws under ANSI mode.
     def _label_sum(df):
@@ -87,6 +85,7 @@ def connected_components(
 
     if n_edges == 0:  # empty graph: nothing to propagate
         return labels
+    prev_sum = None
     for _ in range(max_iter):
         # candidate label per vertex: min over (own label, neighbors' labels)
         neighbor_labels = (

@@ -60,10 +60,15 @@ def exact_dedup_by_hash(
 def _shingle_expr(toks, k: int):
     """k-word shingles from a token-array column. Explicit < k guard:
     sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty — it
-    would fabricate shingles for short docs."""
-    return F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
+    would fabricate shingles for short docs. The size is coalesced to
+    0 first: size(NULL) is NULL, NULL < k is NULL (not true), and the
+    otherwise-branch's greatest(NULL-2, 1) = 1 would then fabricate
+    ONE phantom ""-shingle for a NULL text — making all NULL-text
+    docs minhash-identical to each other."""
+    n = F.coalesce(F.size(toks), F.lit(0))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         )
     )

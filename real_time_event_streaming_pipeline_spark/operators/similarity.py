@@ -324,6 +324,12 @@ def neardup_pairs(
             dots += A[:, d : d + 1] * B[None, :, d]
             na += A[:, d] * A[:, d]
             nb += B[:, d] * B[:, d]
+        # same loud zero-norm policy as _topk_kernel: the expression/
+        # oracle twin raises DIVIDE_BY_ZERO under ANSI; silently
+        # NaN-skipping the pairs would diverge on dirty input
+        if (na == 0).any() or (nb == 0).any():
+            bad = list(a_ids[na == 0]) + list(b_ids[nb == 0])
+            raise ValueError(f"zero-norm embedding(s) {bad[:5]}: cosine undefined")
         cos = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
         if diag:
             # same id set on both sides: strict < dedupes and drops self
@@ -395,13 +401,22 @@ def neardup_pairs_ivf_candidates(
     Compare ``neardup_pairs``: exact O(n²) FLOPs as a blocked GEMM —
     the right spend when exactness over an unstructured corpus is
     mandatory; this path wins when the data has margin."""
-    import pandas as pd
-
     if cents is None:
         cents = sample_centroids(emb, n_centroids, id_col, vec_col)
     tagged = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")).withColumn(
         "cell", F.explode(nearest_cells(F.col("_vec"), cents, n_probe)["cell"])
     )
+    return pairs_from_cell_rows(tagged, threshold)
+
+
+def pairs_from_cell_rows(tagged: DataFrame, threshold: float) -> DataFrame:
+    """Verified near-dup pairs from precomputed (cell, _id, _vec) rows
+    — the back half of neardup_pairs_ivf_candidates, split out so the
+    incremental semantic dedup (streaming/semdedup_index.py) can reuse
+    one cell-assignment pass for both within-batch pairing and the
+    index append (the same economy as pairs_from_band_rows in the
+    MinHash family)."""
+    import pandas as pd
 
     pre_threshold = threshold - 1e-6  # same HALF_UP superset margin as neardup_pairs
 
@@ -427,6 +442,11 @@ def neardup_pairs_ivf_candidates(
         for d in range(dim):
             dots += A[:, d : d + 1] * A[None, :, d]
             nn += A[:, d] * A[:, d]
+        # loud zero-norm policy, matching _topk_kernel/_block_cos
+        if (nn == 0).any():
+            raise ValueError(
+                f"zero-norm embedding(s) {list(ids[nn == 0])[:5]}: cosine undefined"
+            )
         cos = dots / (np.sqrt(nn)[:, None] * np.sqrt(nn)[None, :])
         mask = (ids[:, None] < ids[None, :]) & (cos >= pre_threshold)
         ai, bi = np.nonzero(mask)

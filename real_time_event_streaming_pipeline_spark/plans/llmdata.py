@@ -185,12 +185,16 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The surviving-document set of a batch MinHash sweep: keep a doc
-    iff no smaller-id doc band-matches it at est-Jaccard >= 0.5. This
-    is the exact semantics the persisted-band-index incremental path
+    iff no smaller-id doc band-matches it at est-Jaccard >= 0.5 OR
+    equals its text exactly (the exact clause covers sub-k-token docs,
+    which have no signature — see batch_minhash_survivors). This is
+    the exact semantics the persisted-band-index incremental path
     (streaming/dedup_index.py) reproduces micro-batch by micro-batch —
     the closure is pinned in tests/test_dedup_index.py. Rows-only for
-    the driver (xxhash64 signatures); the oracle-able twin on the
-    exact pair set is llm_dedup_ngram_survivors."""
+    the driver (xxhash64 signatures); llm_dedup_ngram_survivors is the
+    oracle-able ANALOGUE on the exact n-gram pair set, not a value
+    twin: it shares the smaller-id-wins rule but has neither the
+    signature estimate nor the short-doc exact clause."""
     from ..streaming.dedup_index import batch_minhash_survivors
 
     return batch_minhash_survivors(

@@ -176,6 +176,11 @@ def zorder_parquet(
     return {"before": stats, "after": table_file_stats(spark, path), "files": n_out}
 
 
+# Reserved lineage id for compacted rows: replays target epochs >= 0
+# and the ann_index base build uses -1, so -2 can never collide.
+_COMPACTED_EPOCH = -2
+
+
 def compact_epochs(
     spark: SparkSession,
     store_dir: str,
@@ -186,34 +191,46 @@ def compact_epochs(
     """Consolidate the epoch=N subtrees of an epoch-partitioned store
     (streaming/dedup_index.py bands/hashes, streaming/ann_index.py
     cells, streaming/semdedup_index.py cells, streaming/
-    corpus_ingest.py chunks) for every N <= upto_epoch into ONE
-    subtree named after the highest merged epoch, leaving newer
-    epochs untouched.
+    corpus_ingest.py chunks) for every N <= upto_epoch into the ONE
+    reserved ``epoch=-2`` subtree, leaving newer epochs untouched.
 
     Epoch-per-micro-batch layouts are what make streaming appends
     replay-idempotent, but they accumulate one directory per trigger —
     at 100 TB the scan is file-count-bound long before volume-bound,
     so old epochs (whose per-epoch lineage no longer matters) get
     rewritten into ~target_bytes files while the recent epochs keep
-    their replayability. Compacted rows adopt upto_epoch as their
-    epoch value: lineage granularity is the explicit trade.
+    their replayability. Compacted rows adopt epoch -2 as their
+    lineage value: granularity is the explicit trade, and the reserved
+    NEGATIVE id means a foreachBatch replay (which only ever targets
+    epochs >= 0) can never overwrite the consolidated subtree — naming
+    it after a real merged epoch would let a replay of that epoch
+    silently destroy every older epoch's rows. (-1 is taken: it is the
+    ann_index base-build epoch, which merges in like any other.)
 
     Crash safety (same idiom as compact_parquet's backup swap): the
     consolidated subtree is staged beside the store; source epochs are
     moved into a ._old_epochs backup before the staging rename; an
     interrupted run is healed on the next invocation by restoring the
-    backup. The multi-directory swap is not atomic for concurrent
-    readers — the same documented caveat as the bucketed upsert sink;
-    a metastore commit (Delta/Iceberg) is the atomic variant.
+    backup — including deleting a half-committed epoch=-2 target that
+    the backup does not cover (first-ever compaction). The
+    multi-directory swap is not atomic for concurrent readers — the
+    same documented caveat as the bucketed upsert sink; a metastore
+    commit (Delta/Iceberg) is the atomic variant.
     """
     import re
     import shutil
 
     backup = os.path.join(store_dir, "._old_epochs")
     staging = os.path.join(store_dir, "._epoch_compacting")
-    # heal an interrupted previous run: put backed-up epochs back and
-    # drop any half-written staging
+    target_name = f"epoch={_COMPACTED_EPOCH}"
+    # heal an interrupted previous run: a backup means the swap never
+    # finished. If the target landed but its previous version is NOT
+    # in the backup (first compaction), it is half-committed output
+    # whose rows all live in the backup — drop it, then restore.
     if os.path.isdir(backup):
+        tgt = os.path.join(store_dir, target_name)
+        if os.path.isdir(tgt) and not os.path.isdir(os.path.join(backup, target_name)):
+            shutil.rmtree(tgt)
         for d in os.listdir(backup):
             dst = os.path.join(store_dir, d)
             if os.path.exists(dst):
@@ -251,17 +268,10 @@ def compact_epochs(
     else:
         df.repartition(n_out).write.mode("overwrite").parquet(staging)
 
-    # consolidate under the highest MERGED epoch, never the raw
-    # upto_epoch argument: the target dir is then always one of the
-    # backed-up sources, so a crash after the staging rename but
-    # before backup cleanup heals correctly — the restore overwrites
-    # the half-committed target instead of leaving it beside the
-    # restored originals (which would duplicate every compacted row)
-    target = max(merge)
     os.makedirs(backup)
     for n, p in merge.items():
         os.rename(p, os.path.join(backup, os.path.basename(p)))
-    os.rename(staging, os.path.join(store_dir, f"epoch={target}"))
+    os.rename(staging, os.path.join(store_dir, target_name))
     shutil.rmtree(backup)
     return {
         "before": before,

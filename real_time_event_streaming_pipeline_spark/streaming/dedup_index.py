@@ -119,9 +119,14 @@ def batch_minhash_survivors(
         .select(F.col("b_id").alias(id_col))
     )
     # shuffle (md5, id) only — the payload never moves (the
-    # exact_dedup_by_hash shape); non-minimum ids per hash drop
+    # exact_dedup_by_hash shape); non-minimum ids per hash drop.
+    # NULL text is excluded: SQL equality semantics (NULL != NULL) —
+    # and the incremental path's equi-join on content_md5 could never
+    # match a NULL key, so including NULLs here (the window would
+    # group them) would break the streamed==batch closure
     exact_dropped = (
-        docs.select(F.md5(F.col(text_col)).alias("_md5"), F.col(id_col))
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("_md5"), F.col(id_col))
         .withColumn("_min", F.min(id_col).over(W.partitionBy("_md5")))
         .filter(F.col(id_col) != F.col("_min"))
         .select(id_col)
@@ -211,6 +216,15 @@ def ingest_batch(
     else:
         cross_dropped = None
     idx_h = read_index_hashes(spark, index_dir)
+    if idx_h is None and idx is not None:
+        # a band table without a hash table is a broken/legacy index:
+        # silently skipping the exact check would let byte-identical
+        # short-doc copies through — the condition the clause exists
+        # to catch. Rebuild the index (or backfill hashes/) instead.
+        raise RuntimeError(
+            f"dedup index at {index_dir} has bands/ but no hashes/ — "
+            "pre-exact-clause layout; rebuild or backfill before ingesting"
+        )
     if idx_h is not None:
         cross_exact = (
             hashes.join(
@@ -231,7 +245,8 @@ def ingest_batch(
         .select(F.col("b_id").alias(id_col))
     )
     within_exact = (
-        hashes.withColumn("_min", F.min(id_col).over(W.partitionBy("content_md5")))
+        hashes.filter(F.col("content_md5").isNotNull())
+        .withColumn("_min", F.min(id_col).over(W.partitionBy("content_md5")))
         .filter(F.col(id_col) != F.col("_min"))
         .select(id_col)
     )

@@ -44,6 +44,7 @@ from ..operators.similarity import (
     cosine,
     nearest_cells,
     neardup_pairs_ivf_candidates,
+    pairs_from_cell_rows,
     sample_centroids,
 )
 
@@ -144,10 +145,12 @@ def ingest_embeddings_batch(
             )
             .select(F.col("_id").alias(id_col))
         )
-    within_dropped = neardup_pairs_ivf_candidates(
-        batch, threshold, id_col=id_col, vec_col=vec_col,
-        n_probe=n_probe, cents=cents,
-    ).select(F.col("b_id").alias(id_col))
+    # reuse the checkpointed cell assignment: re-deriving it through
+    # neardup_pairs_ivf_candidates would evaluate the n_centroids-dot
+    # nearest_cells expression a second time over the whole batch
+    within_dropped = pairs_from_cell_rows(batch_cells, threshold).select(
+        F.col("b_id").alias(id_col)
+    )
     dropped = (
         within_dropped
         if cross_dropped is None

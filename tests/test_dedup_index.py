@@ -225,12 +225,15 @@ def test_short_doc_exact_dupes_caught(spark, tmp_path):
         (1, "hello world", "s"),          # short: 2 tokens < k=3
         (2, "hello world", "s"),          # exact copy, same batch
         (3, "totally different", "s"),
+        (4, None, "s"),                   # NULL text: never matches anything
         (10, "hello world", "s"),         # exact copy, later batch
         (11, "a much longer document with plenty of tokens for shingles", "s"),
         (12, "a much longer document with plenty of tokens for shingles", "s"),
+        (13, None, "s"),                  # second NULL: SQL equality — no match
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    want = {1, 3, 11}  # 2/10 short-copies dropped; 12 minhash-dropped
+    # 2/10 short-copies dropped; 12 minhash-dropped; NULLs always survive
+    want = {1, 3, 4, 11, 13}
 
     one_shot = {
         r.doc_id for r in batch_minhash_survivors(docs, threshold=THRESHOLD).collect()
@@ -241,7 +244,7 @@ def test_short_doc_exact_dupes_caught(spark, tmp_path):
     ingest_batch(docs.filter(F.col("doc_id") < 10), 0, index_dir, threshold=THRESHOLD)
     ingest_batch(docs.filter(F.col("doc_id") >= 10), 1, index_dir, threshold=THRESHOLD)
     inc = {r.doc_id for r in read_survivors(spark, index_dir).collect()}
-    assert inc == want
+    assert inc == want  # incl. NULL-text docs: closure holds with NULLs
 
 
 def test_bucket_cap_follows_union_rule(spark, tmp_path):
@@ -321,7 +324,10 @@ def test_epoch_compaction_heals_post_rename_crash(spark, sf_small, tmp_path):
     shutil.copytree(bands_dir, snap)
     res = compact_epochs(spark, bands_dir, upto_epoch=10**6)
     assert res["epochs_merged"] == 2
-    assert os.path.isdir(os.path.join(bands_dir, "epoch=1"))  # max merged, not 10**6
+    # reserved negative target: a foreachBatch replay (epochs >= 0)
+    # can never overwrite the consolidated subtree
+    assert os.path.isdir(os.path.join(bands_dir, "epoch=-2"))
+    assert not os.path.isdir(os.path.join(bands_dir, "epoch=1"))
     backup = os.path.join(bands_dir, "._old_epochs")
     os.makedirs(backup)
     for d in os.listdir(snap):
