@@ -579,6 +579,9 @@ def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name",
         F.explode(F.array_union(F.array(F.col("name")), deletions)).alias("variant"),
     )
+    # lazy checkpoint: the self-join would otherwise evaluate the
+    # deletion explode once per side (the bigram tf diamond pattern)
+    variants = variants.localCheckpoint(eager=False)
     b = variants.select(
         F.col("id").alias("b_id"),
         F.col("name").alias("b_name"),
@@ -590,8 +593,9 @@ def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(b, "variant")
         .filter(F.col("a_id") < F.col("b_id"))
+        # (a_id, b_id) determines the name pair — dedup on the ids only
+        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", "a_name", "b_name")
-        .distinct()
     )
     return cand.filter(F.levenshtein("a_name", "b_name") <= 1).select(
         "a_id",
