@@ -3,8 +3,11 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct riding alongside. The Spark-side machinery — schema,
 partition-preserving mapInPandas, Arrow batch shapes — is real and
-tested; the actual media decode is stubbed (image/audio libs are not
-in this container) behind ``decode_stub`` which either raises
+tested. Image decode is REAL for PNG (pure-stdlib codec,
+operators/png.py: synth_png_images / png_decode_metrics / resize_png
+below, oracle-verified end-to-end via closed-form pixel content);
+JPEG/audio/video decode remains stubbed behind ``decode_stub``
+(those need codec libraries this container lacks) which either raises
 NotImplementedError (default) or produces a deterministic fake
 feature vector (tests), as mandated by the build brief.
 
@@ -174,3 +177,98 @@ def sample_frames(
             )
 
     return b.mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: pure-stdlib PNG codec (operators/png.py)
+# ---------------------------------------------------------------------------
+
+PNG_SIDE = 16
+
+
+def synth_png_images(df_docs: DataFrame, side: int = PNG_SIDE) -> DataFrame:
+    """Deterministic synthetic image table with REAL PNG payloads: per
+    document a side x side greyscale gradient pixel[i] =
+    (doc_id*7 + i) % 256, encoded through the full codec with the
+    scanline filter chosen by doc_id % 5 — so every PNG filter type
+    (None/Sub/Up/Average/Paeth) is live in the corpus. The closed-form
+    pixel content is what lets a SQL oracle verify the DECODE
+    end-to-end without being able to parse PNG itself."""
+    from .png import encode_png
+
+    base = df_docs.select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                i = np.arange(side * side, dtype=np.int64)
+                arr = ((int(d) * 7 + i) % 256).astype(np.uint8).reshape(side, side)
+                payloads.append(encode_png(arr, int(d) % 5))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(run, "doc_id long, payload binary")
+
+
+PNG_METRICS_SCHEMA = (
+    "doc_id long, width long, height long, channels long, "
+    "top_left long, weighted_sum long"
+)
+
+
+def png_decode_metrics(df_docs: DataFrame, side: int = PNG_SIDE) -> DataFrame:
+    """REAL decode path: PNG bytes -> decode_png -> integer metrics
+    (dimensions, top-left pixel, position-weighted pixel checksum).
+    All-integer outputs so the driver hash is engine-independent; any
+    unfiltering or inflate bug shifts the weighted checksum."""
+    from .png import decode_png
+
+    imgs = synth_png_images(df_docs, side)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "channels", "top_left", "weighted_sum")}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_png(bytes(p))
+                flat = arr.reshape(-1).astype(np.int64)
+                rows["doc_id"].append(d)
+                rows["width"].append(arr.shape[1])
+                rows["height"].append(arr.shape[0])
+                rows["channels"].append(1 if arr.ndim == 2 else arr.shape[2])
+                rows["top_left"].append(int(flat[0]))
+                rows["weighted_sum"].append(int(((np.arange(flat.size) + 1) * flat).sum()))
+            yield pd.DataFrame(rows)
+
+    return imgs.mapInPandas(run, PNG_METRICS_SCHEMA)
+
+
+def resize_png(
+    df_docs: DataFrame, width: int = 8, height: int = 8, side: int = PNG_SIDE
+) -> DataFrame:
+    """REAL resize: decode -> nearest-neighbor -> re-encode. Same seam
+    and schema shape as the stub resize_images, but the payloads are
+    valid PNGs whose pixels round-trip (asserted in tests)."""
+    from .png import decode_png, encode_png, resize_nearest
+
+    imgs = synth_png_images(df_docs, side)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                out.append(encode_png(resize_nearest(decode_png(bytes(p)), width, height)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(p) for p in out],
+                }
+            )
+
+    return imgs.mapInPandas(run, RESIZE_SCHEMA)

@@ -706,6 +706,34 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(load(spark, sf_dir, "documents"), fake=True)
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-verified end-to-end: per document a
+    16x16 greyscale gradient (pixel[i] = (doc_id*7 + i) % 256) is
+    encoded to genuine PNG bytes through the pure-stdlib codec
+    (operators/png.py) with the scanline filter cycling over all five
+    types by doc_id, then DECODED back and reduced to integer metrics
+    — dimensions, top-left pixel, position-weighted pixel checksum.
+    DuckDB cannot parse PNG, but it can compute the closed-form pixel
+    content directly, so a green driver row proves the deflate +
+    unfilter + reshape pipeline reconstructed every pixel exactly.
+    Scale shape: one mapInPandas over doc ids — embarrassingly
+    parallel, no shuffle; real corpora swap the synthesizer for a
+    parquet binary column at the same seam."""
+    return M.png_decode_metrics(load(spark, sf_dir, "documents"))
+
+
+_MULTIMODAL_PNG_SQL = """
+SELECT doc_id,
+  CAST(16 AS BIGINT) AS width,
+  CAST(16 AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels,
+  CAST((doc_id * 7) % 256 AS BIGINT) AS top_left,
+  CAST(list_sum([(i + 1) * ((doc_id * 7 + i) % 256) for i in generate_series(0, 255)])
+       AS BIGINT) AS weighted_sum
+FROM documents
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (video-pipeline shape): one doc fans out to many
     frame rows via mapInPandas. The deterministic fake decoder chunks
@@ -764,6 +792,7 @@ QUERIES = {
     "llm_multimodal_meta": q_multimodal_meta,
     "llm_multimodal_features": q_multimodal_features,
     "llm_multimodal_frames": q_multimodal_frames,
+    "llm_multimodal_png": q_multimodal_png,
 }
 
 ORACLE = {
@@ -785,4 +814,5 @@ ORACLE = {
     "llm_corpus_pipeline": _CORPUS_PIPELINE_SQL,
     "llm_multimodal_meta": _MULTIMODAL_META_SQL,
     "llm_multimodal_frames": _MULTIMODAL_FRAMES_SQL,
+    "llm_multimodal_png": _MULTIMODAL_PNG_SQL,
 }

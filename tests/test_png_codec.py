@@ -1,0 +1,83 @@
+"""Pure-stdlib PNG codec (operators/png.py) and the real multimodal
+decode path built on it: byte-exact round-trips across every shape and
+scanline filter, loud failure on corruption, and the resize pipeline
+producing valid PNGs whose pixels match the numpy resize."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from real_time_event_streaming_pipeline_spark.operators.png import (
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "shape", [(16, 16), (7, 5), (16, 16, 3), (9, 13, 4), (1, 1), (2, 3, 3)]
+)
+def test_roundtrip_every_shape_and_filter(shape, filter_type):
+    rng = np.random.default_rng(sum(shape) * 10 + filter_type)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    dec = decode_png(encode_png(arr, filter_type))
+    assert dec.shape == arr.shape
+    assert (dec == arr).all()
+
+
+def test_corruption_detected():
+    arr = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    good = bytearray(encode_png(arr, 2))
+    good[30] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+
+
+def test_resize_nearest_semantics():
+    arr = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    small = resize_nearest(arr, 8, 8)
+    assert small.shape == (8, 8)
+    # nearest-neighbor picks source index (i*16)//8 = 2i
+    assert (small == arr[::2, ::2]).all()
+
+
+def test_png_decode_metrics_matches_formula(spark, sf_small):
+    """The registered query's contract, locally: decoding the real PNG
+    bytes reproduces the closed-form pixel content for every doc."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.operators.multimodal import (
+        png_decode_metrics,
+    )
+
+    docs = load(spark, sf_small, "documents").limit(50)
+    got = {r.doc_id: r for r in png_decode_metrics(docs).collect()}
+    assert len(got) == 50
+    i = np.arange(256, dtype=np.int64)
+    for d, r in got.items():
+        pix = (d * 7 + i) % 256
+        assert (r.width, r.height, r.channels) == (16, 16, 1)
+        assert r.top_left == int(pix[0])
+        assert r.weighted_sum == int(((i + 1) * pix).sum())
+
+
+def test_resize_png_pipeline(spark, sf_small):
+    """REAL resize at the mapInPandas seam: outputs are valid PNGs and
+    their pixels equal nearest-neighbor of the synthetic source."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.operators.multimodal import (
+        resize_png,
+    )
+
+    docs = load(spark, sf_small, "documents").limit(10)
+    rows = resize_png(docs, width=8, height=8).collect()
+    assert len(rows) == 10
+    i = np.arange(256, dtype=np.int64)
+    for r in rows:
+        assert (r.width, r.height) == (8, 8)
+        arr = decode_png(bytes(r.payload))
+        src = ((r.doc_id * 7 + i) % 256).astype(np.uint8).reshape(16, 16)
+        assert (arr == resize_nearest(src, 8, 8)).all()
