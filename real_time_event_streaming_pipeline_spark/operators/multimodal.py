@@ -5,9 +5,11 @@ metadata struct riding alongside. The Spark-side machinery — schema,
 partition-preserving mapInPandas, Arrow batch shapes — is real and
 tested. Image decode is REAL for PNG (pure-stdlib codec,
 operators/png.py: synth_png_images / png_decode_metrics / resize_png
-below, oracle-verified end-to-end via closed-form pixel content);
-JPEG/audio/video decode remains stubbed behind ``decode_stub``
-(those need codec libraries this container lacks) which either raises
+below) and audio decode is REAL for RIFF/PCM WAV (operators/wav.py:
+synth_wav_audio / wav_decode_metrics) — both oracle-verified
+end-to-end via closed-form content. JPEG/compressed-audio/video
+decode remains stubbed behind ``decode_stub`` (those need codec
+libraries this container lacks) which either raises
 NotImplementedError (default) or produces a deterministic fake
 feature vector (tests), as mandated by the build brief.
 
@@ -272,3 +274,66 @@ def resize_png(
             )
 
     return imgs.mapInPandas(run, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: pure-stdlib WAV codec (operators/wav.py)
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLES = 512
+WAV_RATE = 16000
+
+
+def synth_wav_audio(df_docs: DataFrame, n_samples: int = WAV_SAMPLES) -> DataFrame:
+    """Deterministic synthetic audio table with REAL WAV payloads: per
+    document a mono int16 waveform sample[i] =
+    ((doc_id*13 + i*257) % 65536) - 32768, encoded through the RIFF
+    codec — closed-form content so a SQL oracle can verify the decode
+    without parsing WAV."""
+    from .wav import encode_wav
+
+    base = df_docs.select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                i = np.arange(n_samples, dtype=np.int64)
+                s = ((int(d) * 13 + i * 257) % 65536 - 32768).astype(np.int16)
+                payloads.append(encode_wav(s, WAV_RATE))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(run, "doc_id long, payload binary")
+
+
+WAV_METRICS_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, "
+    "first_sample long, abs_sum long"
+)
+
+
+def wav_decode_metrics(df_docs: DataFrame, n_samples: int = WAV_SAMPLES) -> DataFrame:
+    """REAL decode path: WAV bytes -> decode_wav -> integer metrics
+    (count, rate, first sample, sum of absolute amplitudes). Any RIFF
+    walking or PCM byte-order bug shifts the absolute sum."""
+    from .wav import decode_wav
+
+    audio = synth_wav_audio(df_docs, n_samples)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_samples", "sample_rate", "first_sample", "abs_sum")}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(p))
+                rows["doc_id"].append(d)
+                rows["n_samples"].append(len(samples))
+                rows["sample_rate"].append(rate)
+                rows["first_sample"].append(int(samples[0]))
+                rows["abs_sum"].append(int(np.abs(samples.astype(np.int64)).sum()))
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(run, WAV_METRICS_SCHEMA)

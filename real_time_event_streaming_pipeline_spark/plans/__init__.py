@@ -42,6 +42,7 @@ _PRIORITY_R4 = (
     "llm_semdedup_survivors",
     "llm_corpus_ingest_epochs",
     "llm_multimodal_png",
+    "llm_multimodal_wav",
     # code changed in round 4 (integer-div ratios, deletion guard,
     # connected-components loop, minhash band-row refactor)
     "llm_gopher_rules",
@@ -91,7 +92,6 @@ _PRIORITY_R4 = (
     "rel_local_supplier_volume",
     "rel_customer_order_counts",
     "rel_customers_with_urgent_orders",
-    "rel_customers_without_orders",
     "rel_nation_profit",
 )
 

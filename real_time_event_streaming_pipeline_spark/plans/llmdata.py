@@ -734,6 +734,27 @@ FROM documents
 """
 
 
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-verified end-to-end — the WAV sibling
+    of q_multimodal_png: per document a 512-sample int16 waveform
+    (sample[i] = ((doc_id*13 + i*257) % 65536) - 32768) is encoded to
+    genuine RIFF/PCM bytes (operators/wav.py), decoded back, and
+    reduced to integer metrics DuckDB recomputes from the formula.
+    Same embarrassingly-parallel mapInPandas shape as the PNG path."""
+    return M.wav_decode_metrics(load(spark, sf_dir, "documents"))
+
+
+_MULTIMODAL_WAV_SQL = """
+SELECT doc_id,
+  CAST(512 AS BIGINT) AS n_samples,
+  CAST(16000 AS BIGINT) AS sample_rate,
+  CAST((doc_id * 13) % 65536 - 32768 AS BIGINT) AS first_sample,
+  CAST(list_sum([abs((doc_id * 13 + i * 257) % 65536 - 32768)
+                 for i in generate_series(0, 511)]) AS BIGINT) AS abs_sum
+FROM documents
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (video-pipeline shape): one doc fans out to many
     frame rows via mapInPandas. The deterministic fake decoder chunks
@@ -793,6 +814,7 @@ QUERIES = {
     "llm_multimodal_features": q_multimodal_features,
     "llm_multimodal_frames": q_multimodal_frames,
     "llm_multimodal_png": q_multimodal_png,
+    "llm_multimodal_wav": q_multimodal_wav,
 }
 
 ORACLE = {
@@ -815,4 +837,5 @@ ORACLE = {
     "llm_multimodal_meta": _MULTIMODAL_META_SQL,
     "llm_multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "llm_multimodal_png": _MULTIMODAL_PNG_SQL,
+    "llm_multimodal_wav": _MULTIMODAL_WAV_SQL,
 }

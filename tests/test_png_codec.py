@@ -81,3 +81,54 @@ def test_resize_png_pipeline(spark, sf_small):
         arr = decode_png(bytes(r.payload))
         src = ((r.doc_id * 7 + i) % 256).astype(np.uint8).reshape(16, 16)
         assert (arr == resize_nearest(src, 8, 8)).all()
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (operators/wav.py)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_mono_stereo():
+    from real_time_event_streaming_pipeline_spark.operators.wav import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32768, size=300, dtype=np.int16)
+    s, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and (s == mono).all()
+    stereo = rng.integers(-32768, 32768, size=(200, 2), dtype=np.int16)
+    s2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and s2.shape == (200, 2) and (s2 == stereo).all()
+
+
+def test_wav_malformed_detected():
+    from real_time_event_streaming_pipeline_spark.operators.wav import (
+        decode_wav,
+        encode_wav,
+    )
+
+    good = bytearray(encode_wav(np.zeros(16, dtype=np.int16)))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope" + bytes(good[4:]))
+    truncated = bytes(good[:-10])
+    with pytest.raises(ValueError):
+        decode_wav(truncated)
+
+
+def test_wav_decode_metrics_matches_formula(spark, sf_small):
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.operators.multimodal import (
+        wav_decode_metrics,
+    )
+
+    docs = load(spark, sf_small, "documents").limit(40)
+    got = {r.doc_id: r for r in wav_decode_metrics(docs).collect()}
+    assert len(got) == 40
+    i = np.arange(512, dtype=np.int64)
+    for d, r in got.items():
+        s = (d * 13 + i * 257) % 65536 - 32768
+        assert (r.n_samples, r.sample_rate) == (512, 16000)
+        assert r.first_sample == int(s[0])
+        assert r.abs_sum == int(np.abs(s).sum())
