@@ -10,8 +10,11 @@ semantics (putItem = upsert by PK), bulk I/O.
 
 Scale note: at 100 TB the store would be Delta/Iceberg MERGE INTO
 partitioned by (date, city); this parquet rewrite keeps the same
-upsert contract for the test image (no Delta jars) and documents the
-swap point.
+upsert contract for the test image (no Delta jars). The in-repo
+answer to the atomicity gap is `streaming/tx_table.py` — the same
+bucketed copy-on-write upsert behind a manifest-committed log with
+atomic multi-bucket commits, exactly-once epochs, snapshot isolation,
+time travel, and vacuum.
 """
 
 from __future__ import annotations
@@ -103,7 +106,8 @@ def upsert_parquet_bucketed(
     native dynamic partition overwrite, which stages and commits each
     kb directory independently (same non-atomic caveat as the .bak
     dance: true multi-partition atomicity needs a manifest commit à la
-    Delta/Iceberg MERGE). The merged frame is materialized
+    Delta/Iceberg MERGE — which `tx_table.upsert_tx` now provides,
+    with identical merge semantics). The merged frame is materialized
     (localCheckpoint) before the overwrite because the write replaces
     the very directories the plan reads.
 

@@ -1,0 +1,276 @@
+"""The manifest-committed transactional table (streaming/tx_table.py):
+atomic multi-bucket commits, exactly-once epochs over at-least-once
+replay, snapshot isolation under crash/conflict injection, time
+travel, vacuum, and compaction.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_pipeline_spark.streaming import tx_table
+from real_time_event_streaming_pipeline_spark.streaming.sinks import (
+    upsert_parquet_bucketed,
+)
+
+EPOCHS = [
+    [("a", 1), ("b", 2), ("c", 3), ("d", 4)],
+    [("a", 9), ("e", 5)],
+    [("b", 7), ("a", 8)],
+]
+FINAL = {("a", 8), ("b", 7), ("c", 3), ("d", 4), ("e", 5)}
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def _content(spark, table_dir, version=None):
+    df = tx_table.read_table(spark, table_dir, version=version)
+    return set() if df is None else {(r.k, r.v) for r in df.select("k", "v").collect()}
+
+
+def test_tx_upsert_matches_overwrite_sink_semantics(spark, tmp_path):
+    """Same epoch sequence through the non-atomic copy-on-write sink
+    and the transactional table must land on identical contents."""
+    cow, tx = str(tmp_path / "cow"), str(tmp_path / "tx")
+    sink = upsert_parquet_bucketed(cow, ["k"], n_buckets=8, order_col="v")
+    for i, rows in enumerate(EPOCHS):
+        sink(_batch(spark, rows), i)
+        tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=8,
+                        order_col="v", epoch_id=i)
+    want = {(r.k, r.v) for r in spark.read.parquet(cow).select("k", "v").collect()}
+    assert _content(spark, tx) == want == FINAL
+
+
+def test_tx_crash_before_commit_leaves_old_snapshot_bitwise(spark, tmp_path, monkeypatch):
+    """Kill the writer between data-file write and manifest link: the
+    table must still read as the previous snapshot, and the replayed
+    epoch must converge to exactly one application."""
+    tx = str(tmp_path / "tx")
+    tx_table.upsert(spark, tx, _batch(spark, EPOCHS[0]), ["k"], n_buckets=8,
+                    order_col="v", epoch_id=0)
+    before = _content(spark, tx)
+    v_before = tx_table.latest_version(tx)
+
+    real_commit = tx_table._commit
+
+    def crash(*a, **k):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(tx_table, "_commit", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        tx_table.upsert(spark, tx, _batch(spark, EPOCHS[1]), ["k"], n_buckets=8,
+                        order_col="v", epoch_id=1)
+    # orphan data files exist on disk, but the table is untouched
+    assert tx_table.latest_version(tx) == v_before
+    assert _content(spark, tx) == before
+
+    monkeypatch.setattr(tx_table, "_commit", real_commit)
+    tx_table.upsert(spark, tx, _batch(spark, EPOCHS[1]), ["k"], n_buckets=8,
+                    order_col="v", epoch_id=1)  # foreachBatch replay
+    assert _content(spark, tx) == {("a", 9), ("b", 2), ("c", 3), ("d", 4), ("e", 5)}
+
+
+def test_tx_replay_after_successful_commit_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: a replay of an epoch that DID
+    commit (crash after commit, before checkpoint ack) must not create
+    a new version or change contents."""
+    tx = str(tmp_path / "tx")
+    for i, rows in enumerate(EPOCHS):
+        tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=8,
+                        order_col="v", epoch_id=i)
+    v = tx_table.latest_version(tx)
+    got = tx_table.upsert(spark, tx, _batch(spark, EPOCHS[2]), ["k"], n_buckets=8,
+                          order_col="v", epoch_id=2)  # verbatim replay
+    assert got == v == tx_table.latest_version(tx)
+    assert _content(spark, tx) == FINAL
+
+
+def test_tx_concurrent_commit_conflict_retries(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: when another writer steals the version,
+    the loser must retry on the fresh snapshot and fold BOTH writes."""
+    tx = str(tmp_path / "tx")
+    tx_table.upsert(spark, tx, _batch(spark, EPOCHS[0]), ["k"], n_buckets=8,
+                    order_col="v", epoch_id=0)
+
+    real_commit = tx_table._commit
+    raced = {"done": False}
+
+    def race_once(table_dir, version, manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            # a competing writer lands epoch 1 first, at this version
+            tx_table.upsert(spark, tx, _batch(spark, [("z", 100)]), ["k"],
+                            n_buckets=8, order_col="v", epoch_id=1)
+        return real_commit(table_dir, version, manifest)
+
+    monkeypatch.setattr(tx_table, "_commit", race_once)
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 50)]), ["k"], n_buckets=8,
+                    order_col="v", epoch_id=2)
+    assert raced["done"]
+    assert _content(spark, tx) == {("a", 50), ("b", 2), ("c", 3), ("d", 4), ("z", 100)}
+    # both the competing commit and the retried commit are in the log
+    assert [h["epoch"] for h in tx_table.history(tx)] == [0, 1, 2]
+
+
+def test_tx_only_affected_buckets_rewritten(spark, tmp_path):
+    """The new manifest must reference untouched buckets' files BY
+    PATH from the previous commit — the copy-on-write contract, now
+    checkable at the metadata level instead of via mtimes."""
+    tx = str(tmp_path / "tx")
+    rows0 = [(f"key{i}", i) for i in range(200)]
+    tx_table.upsert(spark, tx, _batch(spark, rows0), ["k"], n_buckets=16,
+                    order_col="v", epoch_id=0)
+    m0 = tx_table.read_manifest(tx, 0)
+    assert len({f["kb"] for f in m0["files"]}) > 4  # keys spread over buckets
+
+    tx_table.upsert(spark, tx, _batch(spark, [("key7", 999)]), ["k"], n_buckets=16,
+                    order_col="v", epoch_id=1)
+    m1 = tx_table.read_manifest(tx, 1)
+    hit = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("key7")), F.lit(16)).cast("int").alias("kb")
+    ).first().kb
+    old, new = {f["path"]: f["kb"] for f in m0["files"]}, {f["path"]: f["kb"] for f in m1["files"]}
+    carried = set(old) & set(new)
+    fresh = set(new) - set(old)
+    assert {new[p] for p in fresh} == {hit}  # only the hit bucket got new files
+    assert {old[p] for p in set(old) - carried} == {hit}  # only its old files dropped
+    got = _content(spark, tx)
+    assert ("key7", 999) in got and len(got) == 200
+
+
+def test_tx_time_travel_and_history(spark, tmp_path):
+    tx = str(tmp_path / "tx")
+    for i, rows in enumerate(EPOCHS):
+        tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=8,
+                        order_col="v", epoch_id=i)
+    assert _content(spark, tx, version=0) == {("a", 1), ("b", 2), ("c", 3), ("d", 4)}
+    assert _content(spark, tx, version=1) == {("a", 9), ("b", 2), ("c", 3), ("d", 4), ("e", 5)}
+    assert _content(spark, tx, version=2) == FINAL
+    hist = tx_table.history(tx)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert all(h["op"] == "upsert" for h in hist)
+
+
+def test_tx_vacuum_drops_orphans_keeps_live(spark, tmp_path, monkeypatch):
+    tx = str(tmp_path / "tx")
+    for i, rows in enumerate(EPOCHS):
+        tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=8,
+                        order_col="v", epoch_id=i)
+    # orphan an attempt: crash before commit
+    monkeypatch.setattr(tx_table, "_commit",
+                        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")))
+    with pytest.raises(RuntimeError):
+        tx_table.upsert(spark, tx, _batch(spark, [("q", 1)]), ["k"], n_buckets=8,
+                        order_col="v", epoch_id=3)
+    monkeypatch.undo()
+
+    n_files_before = len(list(pathlib.Path(tx, "data").rglob("*.parquet")))
+    live = {f["path"] for f in tx_table.read_manifest(tx, 2)["files"]}
+    assert n_files_before > len(live)  # rewritten buckets + the orphan attempt
+
+    # retention 0: the crashed attempt (which targets latest+1, like an
+    # in-flight writer would) is old enough to sweep immediately
+    deleted = tx_table.vacuum(tx, keep_versions=1, retention_seconds=0.0)
+    assert deleted  # something was actually swept
+    remaining = {
+        str(p.relative_to(pathlib.Path(tx, "data")))
+        for p in pathlib.Path(tx, "data").rglob("*.parquet")
+    }
+    assert remaining == live
+    assert _content(spark, tx) == FINAL
+    assert tx_table.list_versions(tx) == [2]  # time travel bounded by retention
+
+
+def test_tx_vacuum_spares_inflight_writer_staging(spark, tmp_path):
+    """A FRESH transaction directory targeting a version newer than
+    the latest commit may belong to a writer that hasn't committed yet
+    — inside the retention window vacuum must not delete it out from
+    under them."""
+    tx = str(tmp_path / "tx")
+    tx_table.upsert(spark, tx, _batch(spark, EPOCHS[0]), ["k"], n_buckets=8,
+                    order_col="v", epoch_id=0)
+    staging = pathlib.Path(tx, "data", "txn-0000000001-deadbeef", "b00001")
+    staging.mkdir(parents=True)
+    (staging / "part-0.parquet").write_bytes(b"inflight")
+    tx_table.vacuum(tx, keep_versions=1)
+    assert (staging / "part-0.parquet").exists()
+
+
+def test_tx_compact_preserves_content_and_epochs(spark, tmp_path):
+    tx = str(tmp_path / "tx")
+    for i, rows in enumerate(EPOCHS):
+        tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=4,
+                        order_col="v", epoch_id=i)
+    v = tx_table.compact(spark, tx)
+    assert v == 3
+    assert _content(spark, tx) == FINAL
+    m = tx_table.read_manifest(tx, v)
+    assert m["op"] == "compact"
+    # all files now live in the single compaction transaction
+    assert len({f["path"].split("/")[0] for f in m["files"]}) == 1
+    # epoch ledger survives compaction: replays are still no-ops
+    tx_table.upsert(spark, tx, _batch(spark, EPOCHS[1]), ["k"], n_buckets=4,
+                    order_col="v", epoch_id=1)
+    assert tx_table.latest_version(tx) == v
+    assert _content(spark, tx) == FINAL
+
+
+def test_tx_bucket_pruned_point_lookup(spark, tmp_path):
+    """Manifest-level pruning: a point lookup resolves the key's
+    bucket on the driver and reads only that bucket's files."""
+    tx = str(tmp_path / "tx")
+    rows0 = [(f"key{i}", i) for i in range(200)]
+    tx_table.upsert(spark, tx, _batch(spark, rows0), ["k"], n_buckets=16,
+                    order_col="v", epoch_id=0)
+    hit = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("key7")), F.lit(16)).cast("int").alias("kb")
+    ).first().kb
+    df = tx_table.read_table(spark, tx, buckets=[hit])
+    got = {(r.k, r.v) for r in df.filter(F.col("k") == "key7").select("k", "v").collect()}
+    assert got == {("key7", 7)}
+    # the pruned frame scans a strict subset of the table's files
+    m = tx_table.read_manifest(tx, 0)
+    assert 0 < len([f for f in m["files"] if f["kb"] == hit]) < len(m["files"])
+
+
+def test_tx_foreachbatch_stream_matches_batch(spark, tmp_path):
+    """End to end through a real Structured Streaming query: the
+    upsert_tx sink over a file stream lands the same last-writer-wins
+    table a batch merge would."""
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(EPOCHS):
+        _batch(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"tile{i}")
+        )
+    tx = str(tmp_path / "tx")
+    stream = (
+        spark.readStream.schema("k string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "tile*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            tx_table.upsert_tx(tx, ["k"], n_buckets=8, order_col="v")
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # file-stream epoch order is nondeterministic across tiles, so
+    # compare against the batch LWW over (epoch from tile id, v)
+    union = spark.read.option("basePath", str(src)).parquet(str(src / "tile*"))
+    got = _content(spark, tx)
+    keys = {k for k, _ in got}
+    assert keys == {"a", "b", "c", "d", "e"}
+    assert len(got) == len(keys)  # exactly one row per key
+    assert tx_table.latest_version(tx) == 2
+    assert sorted(h["epoch"] for h in tx_table.history(tx)) == [0, 1, 2]
+    assert union.count() == 8  # sanity: all tiles fed the stream
