@@ -3,13 +3,15 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct riding alongside. The Spark-side machinery — schema,
 partition-preserving mapInPandas, Arrow batch shapes — is real and
-tested. Image decode is REAL for PNG (pure-stdlib codec,
-operators/png.py: synth_png_images / png_decode_metrics / resize_png
-below) and audio decode is REAL for RIFF/PCM WAV (operators/wav.py:
-synth_wav_audio / wav_decode_metrics) — both oracle-verified
-end-to-end via closed-form content. JPEG/compressed-audio/video
-decode remains stubbed behind ``decode_stub`` (those need codec
-libraries this container lacks) which either raises
+tested. Decode is REAL for all three modalities via pure-stdlib
+codecs: PNG images (operators/png.py: synth_png_images /
+png_decode_metrics / resize_png), RIFF/PCM WAV audio
+(operators/wav.py: synth_wav_audio / wav_decode_metrics), and AVI
+video with frame sampling (operators/avi.py: synth_avi_video /
+avi_frame_metrics) — each oracle-verified end-to-end via closed-form
+content. Only compressed codecs (JPEG, MP3, H.264 and kin) remain
+stubbed behind ``decode_stub`` (those need codec libraries this
+container lacks) which either raises
 NotImplementedError (default) or produces a deterministic fake
 feature vector (tests), as mandated by the build brief.
 
@@ -337,3 +339,89 @@ def wav_decode_metrics(df_docs: DataFrame, n_samples: int = WAV_SAMPLES) -> Data
             yield pd.DataFrame(rows)
 
     return audio.mapInPandas(run, WAV_METRICS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode: pure-stdlib AVI codec (operators/avi.py)
+# ---------------------------------------------------------------------------
+
+AVI_W = 6  # 6*3 = 18 bytes/row -> padded to 20: the DIB stride is live
+AVI_H = 5
+AVI_FRAMES = 12
+AVI_FPS = 10
+AVI_EVERY = 3
+
+
+def synth_avi_video(df_docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic video table with REAL AVI payloads: per
+    document a 12-frame 6x5 RGB clip, pixel flat index i of frame f =
+    (doc_id*11 + f*31 + i) % 256 (i runs over (y, x, channel)), pushed
+    through the full container encoder — closed-form content so a SQL
+    oracle can verify the decode without parsing AVI. The 6-pixel
+    width makes the DIB row stride (18 -> 20 bytes) non-trivial, so
+    padding bugs can't hide."""
+    from .avi import encode_avi
+
+    base = df_docs.select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            i = np.arange(AVI_H * AVI_W * 3, dtype=np.int64)
+            f = np.arange(AVI_FRAMES, dtype=np.int64)
+            for d in pdf["doc_id"]:
+                px = (int(d) * 11 + f[:, None] * 31 + i[None, :]) % 256
+                frames = px.astype(np.uint8).reshape(AVI_FRAMES, AVI_H, AVI_W, 3)
+                payloads.append(encode_avi(frames, AVI_FPS))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(run, "doc_id long, payload binary")
+
+
+AVI_METRICS_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long, "
+    "n_frames long, fps long, first_px long, weighted_sum long"
+)
+
+
+def avi_frame_metrics(df_docs: DataFrame, every_n: int = AVI_EVERY) -> DataFrame:
+    """REAL frame sampling: AVI bytes -> decode_avi -> every_n-th
+    frame -> integer metrics (dimensions, frame count, fps, first
+    pixel, position-weighted pixel checksum). One doc fans out to
+    ceil(n_frames/every_n) frame rows — the video-pipeline shape
+    sample_frames stubs, now running against a genuine container.
+    Any RIFF-walk, bottom-up, BGR, or stride bug shifts the checksum.
+    Scale shape: embarrassingly parallel mapInPandas over doc ids, no
+    shuffle; real corpora swap the synthesizer for a parquet binary
+    column at the same seam."""
+    from .avi import decode_avi
+
+    vids = synth_avi_video(df_docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = (
+            "doc_id", "frame_idx", "width", "height",
+            "n_frames", "fps", "first_px", "weighted_sum",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                frames, fps = decode_avi(bytes(p))
+                n, h, w, _ = frames.shape
+                for fi in range(0, n, every_n):
+                    flat = frames[fi].reshape(-1).astype(np.int64)
+                    rows["doc_id"].append(d)
+                    rows["frame_idx"].append(fi)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(n)
+                    rows["fps"].append(fps)
+                    rows["first_px"].append(int(flat[0]))
+                    rows["weighted_sum"].append(int(((np.arange(flat.size) + 1) * flat).sum()))
+            yield pd.DataFrame(rows)
+
+    return vids.mapInPandas(run, AVI_METRICS_SCHEMA)

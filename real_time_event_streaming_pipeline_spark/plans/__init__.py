@@ -43,6 +43,7 @@ _PRIORITY_R4 = (
     "llm_corpus_ingest_epochs",
     "llm_multimodal_png",
     "llm_multimodal_wav",
+    "llm_multimodal_avi",
     # code changed in round 4 (integer-div ratios, deletion guard,
     # connected-components loop, minhash band-row refactor)
     "llm_gopher_rules",

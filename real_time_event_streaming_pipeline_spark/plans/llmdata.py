@@ -755,6 +755,33 @@ FROM documents
 """
 
 
+def q_multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling, oracle-verified end-to-end
+    — the video sibling of q_multimodal_png/_wav: per document a
+    12-frame 6x5 RGB clip (pixel i of frame f = (doc_id*11 + f*31 + i)
+    % 256) is encoded to a genuine AVI container (operators/avi.py:
+    RIFF/hdrl/movi/idx1, bottom-up BGR DIBs with live row padding),
+    decoded back, and every 3rd frame reduced to integer metrics
+    DuckDB recomputes from the formula. One doc fans out to 4 frame
+    rows — the video-pipeline shape, embarrassingly parallel, no
+    shuffle."""
+    return M.avi_frame_metrics(load(spark, sf_dir, "documents"))
+
+
+_MULTIMODAL_AVI_SQL = """
+SELECT doc_id,
+  f.f AS frame_idx,
+  CAST(6 AS BIGINT) AS width,
+  CAST(5 AS BIGINT) AS height,
+  CAST(12 AS BIGINT) AS n_frames,
+  CAST(10 AS BIGINT) AS fps,
+  CAST((doc_id * 11 + f.f * 31) % 256 AS BIGINT) AS first_px,
+  CAST(list_sum([(i + 1) * ((doc_id * 11 + f.f * 31 + i) % 256)
+                 for i in generate_series(0, 89)]) AS BIGINT) AS weighted_sum
+FROM documents, (SELECT unnest(range(0, 12, 3)) AS f) f
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (video-pipeline shape): one doc fans out to many
     frame rows via mapInPandas. The deterministic fake decoder chunks
@@ -815,6 +842,7 @@ QUERIES = {
     "llm_multimodal_frames": q_multimodal_frames,
     "llm_multimodal_png": q_multimodal_png,
     "llm_multimodal_wav": q_multimodal_wav,
+    "llm_multimodal_avi": q_multimodal_avi,
 }
 
 ORACLE = {
@@ -838,4 +866,5 @@ ORACLE = {
     "llm_multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "llm_multimodal_png": _MULTIMODAL_PNG_SQL,
     "llm_multimodal_wav": _MULTIMODAL_WAV_SQL,
+    "llm_multimodal_avi": _MULTIMODAL_AVI_SQL,
 }

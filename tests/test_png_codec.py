@@ -132,3 +132,61 @@ def test_wav_decode_metrics_matches_formula(spark, sf_small):
         assert (r.n_samples, r.sample_rate) == (512, 16000)
         assert r.first_sample == int(s[0])
         assert r.abs_sum == int(np.abs(s).sum())
+
+
+# ---------------------------------------------------------------- AVI
+
+
+def test_avi_roundtrip_shapes_and_padding():
+    """Byte-exact round-trips including widths whose DIB row stride is
+    padded (w*3 % 4 != 0) and unpadded, multi- and single-frame."""
+    from real_time_event_streaming_pipeline_spark.operators.avi import (
+        decode_avi,
+        encode_avi,
+    )
+
+    for shape, fps in [((12, 5, 6, 3), 10), ((1, 1, 1, 3), 30), ((3, 4, 8, 3), 24), ((5, 7, 3, 3), 15)]:
+        rng = np.random.default_rng(sum(shape))
+        frames = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out, got_fps = decode_avi(encode_avi(frames, fps))
+        assert got_fps == fps
+        assert out.shape == frames.shape
+        assert (out == frames).all()
+
+
+def test_avi_malformed_detected():
+    from real_time_event_streaming_pipeline_spark.operators.avi import (
+        decode_avi,
+        encode_avi,
+    )
+
+    good = bytearray(encode_avi(np.zeros((2, 3, 4, 3), dtype=np.uint8), 10))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi(b"nope" + bytes(good[4:]))
+    with pytest.raises(ValueError):
+        decode_avi(bytes(good[:-6]))  # truncated: length field mismatch
+    # header/movi disagreement: claim 3 frames, ship 2
+    bad = bytearray(good)
+    # dwTotalFrames sits 16 bytes into the avih body; find it robustly
+    at = bytes(good).index(b"avih") + 8 + 16
+    bad[at : at + 4] = (3).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="frames"):
+        decode_avi(bytes(bad))
+
+
+def test_avi_frame_metrics_matches_formula(spark, sf_small):
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.operators.multimodal import (
+        avi_frame_metrics,
+    )
+
+    docs = load(spark, sf_small, "documents").limit(25)
+    rows = avi_frame_metrics(docs).collect()
+    assert len(rows) == 25 * 4  # every 3rd of 12 frames
+    i = np.arange(90, dtype=np.int64)
+    for r in rows:
+        px = (r.doc_id * 11 + r.frame_idx * 31 + i) % 256
+        assert (r.width, r.height, r.n_frames, r.fps) == (6, 5, 12, 10)
+        assert r.frame_idx in (0, 3, 6, 9)
+        assert r.first_px == int(px[0])
+        assert r.weighted_sum == int(((i + 1) * px).sum())
