@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions import ALERT_SEVERITIES, event_key, ttl_from
 from ..plans.citystream import enrich_events, windowed_agg
 from .sinks import append_parquet, upsert_parquet, upsert_parquet_bucketed
+from .tx_table import upsert_tx
 
 
 @dataclass
@@ -51,8 +52,21 @@ class PipelineConfig:
     # run_retention(), the maintenance pass standing in for DynamoDB's
     # background expiry
     with_ttl: bool = False
+    # atomic=True commits every upsert epoch through the manifest log
+    # (streaming/tx_table.py): all-or-nothing across buckets,
+    # exactly-once epoch application, snapshot-isolated readers. The
+    # tables are then read back with tx_table.read_table, not a bare
+    # spark.read.parquet (the data directory alone is not the table).
+    atomic: bool = False
 
     def upsert(self, name: str, key_cols: list[str], order_col: str):
+        if self.atomic:
+            return upsert_tx(
+                self.path(name),
+                key_cols,
+                n_buckets=self.upsert_buckets or 64,
+                order_col=order_col,
+            )
         if self.upsert_buckets > 0:
             return upsert_parquet_bucketed(
                 self.path(name), key_cols, n_buckets=self.upsert_buckets, order_col=order_col

@@ -274,3 +274,35 @@ def test_tx_foreachbatch_stream_matches_batch(spark, tmp_path):
     assert tx_table.latest_version(tx) == 2
     assert sorted(h["epoch"] for h in tx_table.history(tx)) == [0, 1, 2]
     assert union.count() == 8  # sanity: all tiles fed the stream
+
+
+def test_pipeline_atomic_sink_matches_batch(spark, sf_small, tmp_path):
+    """The 4-query reference pipeline with atomic=True lands the same
+    Q1/Q2 tables as the batch twins, committed through the manifest
+    log with one version per micro-batch epoch."""
+    from real_time_event_streaming_pipeline_spark.plans.citystream import (
+        city_events,
+        enrich_events,
+        windowed_agg,
+    )
+    from real_time_event_streaming_pipeline_spark.sources import events_file_stream
+    from real_time_event_streaming_pipeline_spark.streaming.pipeline import (
+        PipelineConfig,
+        run_to_completion,
+        start_pipeline,
+    )
+
+    cfg = PipelineConfig(out_dir=str(tmp_path), atomic=True, upsert_buckets=8)
+    src = events_file_stream(spark, sf_small)
+    run_to_completion(start_pipeline(spark, src, cfg))
+
+    got = tx_table.read_table(spark, cfg.path("aggregations")).drop("_epoch", "kb")
+    want = windowed_agg(city_events(spark, sf_small))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    # every raw event landed through the manifest too
+    raw = tx_table.read_table(spark, cfg.path("raw_events"))
+    assert raw.count() == enrich_events(city_events(spark, sf_small)).count()
+    # the log shows committed, epoch-tagged history
+    hist = tx_table.history(cfg.path("aggregations"))
+    assert hist and all(h["op"] == "upsert" for h in hist)
+    assert [h["epoch"] for h in hist] == sorted(h["epoch"] for h in hist)
