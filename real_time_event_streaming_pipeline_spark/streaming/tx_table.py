@@ -41,6 +41,11 @@ so a crashed micro-batch leaves a PARTIALLY applied epoch visible):
   converge to one application of the batch.
 - **Time travel**: every manifest is retained until ``vacuum``;
   ``read_table(version=K)`` reconstructs the table as of commit K.
+- **Data skipping**: with ``stats_cols`` set, each file entry carries
+  min/max for those columns (computed by one agg over just the
+  epoch's new files) and ``read_table(between=...)`` drops files
+  whose ranges provably can't match — the Delta/Iceberg file-stats
+  pattern, on top of the bucket pruning the key hash already gives.
 
 Scale posture: an upsert epoch rewrites only the buckets its keys
 hash into — cost O(table x |affected| / n_buckets), same as the
@@ -144,17 +149,23 @@ def read_table(
     table_dir: str,
     version: int | None = None,
     buckets: list[int] | None = None,
+    between: dict | None = None,
 ) -> DataFrame | None:
     """The table as of a commit (default: latest), as a DataFrame over
     exactly the manifest's files — snapshot-isolated against
     concurrent commits. ``buckets`` prunes to the listed key buckets
     at the manifest level (a point lookup touches one bucket's files
-    and nothing else)."""
+    and nothing else). ``between`` ({col: (lo, hi)}) applies min/max
+    data skipping over the manifest's file stats; the returned frame
+    is a SUPERSET of the matching rows (whole files are skipped, not
+    rows), so callers still apply their own .filter."""
     snap = snapshot(table_dir, version)
     if snap is None:
         return None
     _, manifest = snap
     files = manifest["files"]
+    if between:
+        files = prune_files({"files": files}, between)
     if buckets is not None:
         want = set(buckets)
         files = [f for f in files if f["kb"] in want]
@@ -178,7 +189,9 @@ def history(table_dir: str) -> list[dict]:
 # ------------------------------------------------------------- write
 
 
-def _write_txn_files(merged: DataFrame, table_dir: str, version: int) -> list[dict]:
+def _write_txn_files(
+    merged: DataFrame, table_dir: str, version: int, stats_cols: list[str] | None = None
+) -> list[dict]:
     """Write one transaction's data files under a fresh directory and
     return manifest entries. `partitionBy` on a duplicated bucket
     column splits the write per bucket while keeping ``kb`` as a data
@@ -202,7 +215,79 @@ def _write_txn_files(merged: DataFrame, table_dir: str, version: int) -> list[di
         for name in sorted(os.listdir(os.path.join(txn_abs, safe))):
             if name.endswith(".parquet"):
                 entries.append({"path": f"{txn_rel}/{safe}/{name}", "kb": kbv})
+    if stats_cols:
+        _attach_file_stats(merged.sparkSession, table_dir, entries, stats_cols)
     return entries
+
+
+def _attach_file_stats(spark, table_dir: str, entries: list[dict], stats_cols: list[str]) -> None:
+    """Per-file min/max for the stats columns, recorded on the
+    manifest entries — the Delta/Iceberg data-skipping statistic. One
+    aggregation job over ONLY the just-written files, grouped by
+    input_file_name(), so the cost is O(new data per epoch). Values
+    are stored as JSON scalars: numeric columns natively, everything
+    else via str() (ISO timestamps/strings compare lexicographically,
+    which is what prune_files uses)."""
+    by_path = {os.path.join(_data_dir(table_dir), e["path"]): e for e in entries}
+    if not by_path:
+        return
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"_min_{c}"))
+        aggs.append(F.max(c).alias(f"_max_{c}"))
+    rows = (
+        spark.read.parquet(*by_path)
+        .groupBy(F.input_file_name().alias("_file"))
+        .agg(*aggs)
+        .collect()  # bounded: one row per new file this epoch
+    )
+
+    def scalar(v):
+        return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
+
+    from urllib.parse import unquote, urlparse
+
+    for r in rows:
+        # input_file_name returns a URI (file:///...); take its path
+        path = unquote(urlparse(r["_file"]).path) or r["_file"]
+        entry = by_path.get(path) or by_path.get(os.path.normpath(path))
+        if entry is None:
+            matches = [e for p, e in by_path.items() if path.endswith(p) or p.endswith(path)]
+            if len(matches) != 1:
+                raise ValueError(f"cannot match stats row to file: {r['_file']}")
+            entry = matches[0]
+        entry["stats"] = {
+            c: [scalar(r[f"_min_{c}"]), scalar(r[f"_max_{c}"])] for c in stats_cols
+        }
+
+
+def prune_files(manifest: dict, between: dict) -> list[dict]:
+    """Manifest entries whose [min, max] ranges can contain a row
+    matching EVERY (col, (lo, hi)) bound — the data-skipping
+    predicate. Files without stats for a bound column are kept
+    (pruning must only ever drop provably-irrelevant files). Bounds
+    are inclusive; pass (lo, None) / (None, hi) for one-sided."""
+    out = []
+    for f in manifest["files"]:
+        stats = f.get("stats", {})
+        keep = True
+        for col, (lo, hi) in between.items():
+            if col not in stats:
+                continue
+            fmin, fmax = stats[col]
+            if fmin is None and fmax is None:
+                # all-null file: a range bound is never satisfied by NULL
+                keep = False
+                break
+            if lo is not None and fmax is not None and fmax < lo:
+                keep = False
+                break
+            if hi is not None and fmin is not None and fmin > hi:
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
 
 
 def upsert(
@@ -214,13 +299,17 @@ def upsert(
     order_col: str | None = None,
     epoch_id: int | None = None,
     max_retries: int = 20,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Merge a batch into the table with last-writer-wins semantics per
     key, committing atomically across every affected bucket. Returns
     the committed (or already-committed, for a replayed epoch) version.
 
     Only the affected buckets' files are read and rewritten; files in
-    untouched buckets carry over into the new manifest by reference.
+    untouched buckets carry over into the new manifest by reference —
+    their data-skipping stats carry with them. ``stats_cols`` enables
+    per-file min/max stats for those columns (defaults to whatever the
+    table's previous commit recorded, so one opt-in sticks).
     """
     kb = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast("int")
     for _ in range(max_retries):
@@ -248,7 +337,10 @@ def upsert(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        new_entries = _write_txn_files(deduped, table_dir, old_version + 1)
+        eff_stats = stats_cols if stats_cols is not None else old_manifest.get("stats_cols")
+        new_entries = _write_txn_files(
+            deduped, table_dir, old_version + 1, stats_cols=eff_stats
+        )
         manifest = {
             "version": old_version + 1,
             "op": "upsert",
@@ -256,6 +348,7 @@ def upsert(
             "epochs": sorted(old_manifest.get("epochs", []) + ([int(epoch_id)] if epoch_id is not None else [])),
             "key_cols": key_cols,
             "n_buckets": n_buckets,
+            "stats_cols": eff_stats,
             "files": keep + new_entries,
         }
         try:
@@ -276,7 +369,9 @@ def compact(spark: SparkSession, table_dir: str) -> int | None:
         return None
     version, manifest = snap
     df = read_table(spark, table_dir, version)
-    entries = _write_txn_files(df, table_dir, version + 1)
+    entries = _write_txn_files(
+        df, table_dir, version + 1, stats_cols=manifest.get("stats_cols")
+    )
     new_manifest = dict(manifest, version=version + 1, op="compact", epoch=None, files=entries)
     _commit(table_dir, version + 1, new_manifest)
     return version + 1
@@ -341,10 +436,12 @@ def upsert_tx(
     key_cols: list[str],
     n_buckets: int = 64,
     order_col: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch factory: the atomic, exactly-once upsert sink.
     Drop-in for `sinks.upsert_parquet_bucketed` wherever the
-    half-committed-epoch window is unacceptable."""
+    half-committed-epoch window is unacceptable. ``stats_cols``
+    records per-file min/max for data skipping at read time."""
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         upsert(
@@ -355,6 +452,7 @@ def upsert_tx(
             n_buckets=n_buckets,
             order_col=order_col,
             epoch_id=int(epoch_id),
+            stats_cols=stats_cols,
         )
 
     return write

@@ -306,3 +306,52 @@ def test_pipeline_atomic_sink_matches_batch(spark, sf_small, tmp_path):
     hist = tx_table.history(cfg.path("aggregations"))
     assert hist and all(h["op"] == "upsert" for h in hist)
     assert [h["epoch"] for h in hist] == sorted(h["epoch"] for h in hist)
+
+
+def test_tx_file_stats_and_data_skipping(spark, tmp_path):
+    """With stats_cols set, every new file entry carries min/max and
+    read_table(between=...) provably skips non-overlapping files while
+    still returning a superset of the matching rows."""
+    tx = str(tmp_path / "tx")
+    # v values cluster per key so per-bucket files get distinct ranges
+    rows = [(f"key{i}", i * 10) for i in range(64)]
+    tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=16,
+                    order_col="v", epoch_id=0, stats_cols=["v"])
+    m = tx_table.read_manifest(tx, 0)
+    assert m["stats_cols"] == ["v"]
+    assert all("stats" in f and set(f["stats"]) == {"v"} for f in m["files"])
+    for f in m["files"]:
+        lo, hi = f["stats"]["v"]
+        assert 0 <= lo <= hi <= 630
+
+    want = {(k, v) for k, v in rows if 100 <= v <= 140}
+    pruned = tx_table.prune_files(m, {"v": (100, 140)})
+    assert 0 < len(pruned) < len(m["files"])  # skipping actually bites
+    df = tx_table.read_table(spark, tx, between={"v": (100, 140)})
+    got_superset = {(r.k, r.v) for r in df.select("k", "v").collect()}
+    assert want <= got_superset  # superset contract
+    exact = {(r.k, r.v) for r in df.filter(F.col("v").between(100, 140)).select("k", "v").collect()}
+    assert exact == want
+    # every matching row's file survived pruning (nothing lost)
+    assert len(got_superset) < len(rows)  # and something was skipped
+
+
+def test_tx_stats_cols_sticky_across_epochs_and_compaction(spark, tmp_path):
+    """One opt-in records stats for the table's lifetime: later epochs
+    (no stats_cols arg) and compaction keep collecting them, and
+    carried-over files keep the stats they had."""
+    tx = str(tmp_path / "tx")
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 1), ("b", 2)]), ["k"],
+                    n_buckets=4, order_col="v", epoch_id=0, stats_cols=["v"])
+    tx_table.upsert(spark, tx, _batch(spark, [("c", 30)]), ["k"],
+                    n_buckets=4, order_col="v", epoch_id=1)  # no stats_cols arg
+    m1 = tx_table.read_manifest(tx, 1)
+    assert m1["stats_cols"] == ["v"]
+    assert all("stats" in f for f in m1["files"])
+    v = tx_table.compact(spark, tx)
+    m2 = tx_table.read_manifest(tx, v)
+    assert all("stats" in f for f in m2["files"])
+    # ranges survived the rewrite correctly
+    all_lo = min(f["stats"]["v"][0] for f in m2["files"])
+    all_hi = max(f["stats"]["v"][1] for f in m2["files"])
+    assert (all_lo, all_hi) == (1, 30)
