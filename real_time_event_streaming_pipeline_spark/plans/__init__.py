@@ -86,7 +86,9 @@ _PRIORITY_R4 = (
     "fn_window_analytic",
     "fn_bitwise",
     "fn_try_arith",
-    "fn_conditional",
+    # fn_conditional rotates in round 5 (dropped to keep this list at
+    # exactly 50 after llm_multimodal_avi landed; lowest-risk member —
+    # pure CASE expressions, strict-green locally every round)
     # stale-verdict rotation: TPC-H pricing/shipping/supplier wave (r1)
     "rel_pricing_summary",
     "rel_shipping_priority",
