@@ -41,6 +41,11 @@ so a crashed micro-batch leaves a PARTIALLY applied epoch visible):
   converge to one application of the batch.
 - **Time travel**: every manifest is retained until ``vacuum``;
   ``read_table(version=K)`` reconstructs the table as of commit K.
+- **Schema evolution**: the manifest owns the table schema; an
+  additive change (``merge_schema=True``) updates it in the same
+  atomic commit, and pre-evolution files read back under the new
+  schema with NULLs for the added columns — no file rewrite, no
+  mergeSchema footer sweep.
 - **Data skipping**: with ``stats_cols`` set, each file entry carries
   min/max for those columns (computed by one agg over just the
   epoch's new files) and ``read_table(between=...)`` drops files
@@ -172,7 +177,16 @@ def read_table(
     if not files:
         return None
     paths = [os.path.join(_data_dir(table_dir), f["path"]) for f in files]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if manifest.get("schema") is not None:
+        # the manifest owns the table schema (Delta-style): files
+        # written before an additive evolution are missing the new
+        # columns, and reading them under the manifest schema
+        # surfaces those as NULL — no mergeSchema footer sweep needed
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(manifest["schema"])))
+    return reader.parquet(*paths)
 
 
 def history(table_dir: str) -> list[dict]:
@@ -300,6 +314,7 @@ def upsert(
     epoch_id: int | None = None,
     max_retries: int = 20,
     stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Merge a batch into the table with last-writer-wins semantics per
     key, committing atomically across every affected bucket. Returns
@@ -310,6 +325,10 @@ def upsert(
     their data-skipping stats carry with them. ``stats_cols`` enables
     per-file min/max stats for those columns (defaults to whatever the
     table's previous commit recorded, so one opt-in sticks).
+    ``merge_schema=True`` permits ADDITIVE schema evolution: the union
+    schema is recorded on the manifest, rows/files missing a column
+    read back as NULL (Delta's mergeSchema contract); without the
+    flag a column-set mismatch fails loudly.
     """
     kb = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast("int")
     for _ in range(max_retries):
@@ -329,7 +348,21 @@ def upsert(
             if snap is not None
             else None
         )
-        merged = incoming if existing is None else existing.unionByName(incoming)
+        if existing is None:
+            merged = incoming
+        elif set(existing.columns) == set(incoming.columns):
+            merged = existing.unionByName(incoming)
+        elif merge_schema:
+            # additive evolution: union schema; rows missing a column
+            # get NULL, and the new manifest schema makes files from
+            # BEFORE the evolution read back the same way
+            merged = existing.unionByName(incoming, allowMissingColumns=True)
+        else:
+            delta = set(existing.columns) ^ set(incoming.columns)
+            raise ValueError(
+                f"schema mismatch on columns {sorted(delta)}; pass "
+                "merge_schema=True to evolve the table additively"
+            )
         order = [F.desc("_epoch")] + ([F.desc(order_col)] if order_col else [])
         w = Window.partitionBy("kb", *key_cols).orderBy(*order)
         deduped = (
@@ -349,6 +382,7 @@ def upsert(
             "key_cols": key_cols,
             "n_buckets": n_buckets,
             "stats_cols": eff_stats,
+            "schema": deduped.schema.json(),
             "files": keep + new_entries,
         }
         try:

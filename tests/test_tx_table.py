@@ -355,3 +355,40 @@ def test_tx_stats_cols_sticky_across_epochs_and_compaction(spark, tmp_path):
     all_lo = min(f["stats"]["v"][0] for f in m2["files"])
     all_hi = max(f["stats"]["v"][1] for f in m2["files"])
     assert (all_lo, all_hi) == (1, 30)
+
+
+def test_tx_schema_mismatch_fails_loudly_by_default(spark, tmp_path):
+    tx = str(tmp_path / "tx")
+    tx_table.upsert(spark, tx, _batch(spark, EPOCHS[0]), ["k"], n_buckets=4,
+                    order_col="v", epoch_id=0)
+    widened = spark.createDataFrame([("e", 5, "web")], "k string, v int, src string")
+    with pytest.raises(ValueError, match="merge_schema"):
+        tx_table.upsert(spark, tx, widened, ["k"], n_buckets=4,
+                        order_col="v", epoch_id=1)
+
+
+def test_tx_additive_schema_evolution(spark, tmp_path):
+    """merge_schema=True: the new column lands in the same atomic
+    commit; rows from earlier epochs — INCLUDING files in untouched
+    buckets that were never rewritten — read back with NULL for it,
+    and time travel still shows the old schema."""
+    tx = str(tmp_path / "tx")
+    rows0 = [(f"key{i}", i) for i in range(40)]  # spread over buckets
+    tx_table.upsert(spark, tx, _batch(spark, rows0), ["k"], n_buckets=8,
+                    order_col="v", epoch_id=0)
+    widened = spark.createDataFrame([("key7", 999, "web")], "k string, v int, src string")
+    tx_table.upsert(spark, tx, widened, ["k"], n_buckets=8,
+                    order_col="v", epoch_id=1, merge_schema=True)
+
+    df = tx_table.read_table(spark, tx)
+    assert "src" in df.columns
+    got = {(r.k, r.v, r.src) for r in df.select("k", "v", "src").collect()}
+    assert ("key7", 999, "web") in got
+    # untouched-bucket rows surface with NULL src via the manifest schema
+    assert ("key3", 3, None) in got
+    assert len(got) == 40
+    # time travel: version 0 predates the evolution
+    assert "src" not in tx_table.read_table(spark, tx, version=0).columns
+    # compaction preserves the evolved schema
+    v = tx_table.compact(spark, tx)
+    assert "src" in tx_table.read_table(spark, tx, version=v).columns
