@@ -393,6 +393,67 @@ def upsert(
     raise CommitConflict(f"gave up after {max_retries} commit conflicts")
 
 
+def delete(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    epoch_id: int | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Atomically delete every row whose key matches a row of ``keys``
+    (columns must equal the table's key_cols) — the Delta DELETE /
+    DynamoDB deleteItem analogue. Copy-on-write like upsert: only the
+    buckets the keys hash into are rewritten (anti-join against the
+    broadcastable key set), everything else carries over by reference,
+    and the whole multi-bucket removal is one manifest commit. The
+    epoch ledger gives replayed deletes the same exactly-once
+    treatment as upserts."""
+    for _ in range(max_retries):
+        snap = snapshot(table_dir)
+        if snap is None:
+            raise ValueError(f"delete on empty table {table_dir}")
+        old_version, old_manifest = snap
+        if epoch_id is not None and int(epoch_id) in old_manifest.get("epochs", []):
+            return old_version
+        key_cols = old_manifest["key_cols"]
+        n_buckets = old_manifest["n_buckets"]
+        if sorted(keys.columns) != sorted(key_cols):
+            raise ValueError(f"delete keys must have columns {key_cols}, got {keys.columns}")
+        kb = F.pmod(
+            F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)
+        ).cast("int")
+        tagged = keys.withColumn("kb", kb)
+        affected = sorted(r.kb for r in tagged.select("kb").distinct().collect())
+        if not affected:
+            return old_version
+        keep = [f for f in old_manifest["files"] if f["kb"] not in set(affected)]
+        existing = read_table(spark, table_dir, version=old_version, buckets=affected)
+        remaining = existing.join(
+            F.broadcast(tagged.select(*key_cols)), key_cols, "left_anti"
+        )
+        new_entries = _write_txn_files(
+            remaining, table_dir, old_version + 1,
+            stats_cols=old_manifest.get("stats_cols"),
+        )
+        manifest = dict(
+            old_manifest,
+            version=old_version + 1,
+            op="delete",
+            epoch=None if epoch_id is None else int(epoch_id),
+            epochs=sorted(
+                old_manifest.get("epochs", [])
+                + ([int(epoch_id)] if epoch_id is not None else [])
+            ),
+            files=keep + new_entries,
+        )
+        try:
+            _commit(table_dir, old_version + 1, manifest)
+            return old_version + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_retries} commit conflicts")
+
+
 def compact(spark: SparkSession, table_dir: str) -> int | None:
     """Rewrite the current snapshot into one transaction directory
     (one file set per bucket) and commit it as a new version — same

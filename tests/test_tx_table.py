@@ -392,3 +392,52 @@ def test_tx_additive_schema_evolution(spark, tmp_path):
     # compaction preserves the evolved schema
     v = tx_table.compact(spark, tx)
     assert "src" in tx_table.read_table(spark, tx, version=v).columns
+
+
+def test_tx_delete_removes_keys_atomically(spark, tmp_path):
+    """Keyed DELETE: matching rows vanish in one commit, untouched
+    buckets carry over by path, replay is exactly-once, and the
+    deleted state is a time-travelable version."""
+    tx = str(tmp_path / "tx")
+    rows0 = [(f"key{i}", i) for i in range(40)]
+    tx_table.upsert(spark, tx, _batch(spark, rows0), ["k"], n_buckets=8,
+                    order_col="v", epoch_id=0)
+    m0 = tx_table.read_manifest(tx, 0)
+
+    keys = spark.createDataFrame([("key7",), ("key9",)], "k string")
+    v = tx_table.delete(spark, tx, keys, epoch_id=1)
+    assert v == 1
+    got = _content(spark, tx)
+    assert {k for k, _ in got} == {f"key{i}" for i in range(40)} - {"key7", "key9"}
+
+    # exactly-once: replaying the delete epoch is a no-op
+    assert tx_table.delete(spark, tx, keys, epoch_id=1) == v
+    assert tx_table.latest_version(tx) == v
+
+    # untouched buckets were not rewritten
+    m1 = tx_table.read_manifest(tx, 1)
+    hit = {
+        r.kb
+        for r in spark.createDataFrame([("key7",), ("key9",)], "k string")
+        .select(F.pmod(F.xxhash64("k"), F.lit(8)).cast("int").alias("kb"))
+        .collect()
+    }
+    old_paths = {f["path"] for f in m0["files"] if f["kb"] not in hit}
+    assert old_paths <= {f["path"] for f in m1["files"]}
+    assert m1["op"] == "delete"
+
+    # time travel still sees the pre-delete table
+    assert ("key7", 7) in _content(spark, tx, version=0)
+
+    # delete-then-upsert of the same key resurrects it cleanly
+    tx_table.upsert(spark, tx, _batch(spark, [("key7", 700)]), ["k"], n_buckets=8,
+                    order_col="v", epoch_id=2)
+    assert ("key7", 700) in _content(spark, tx)
+
+
+def test_tx_delete_key_column_mismatch_fails(spark, tmp_path):
+    tx = str(tmp_path / "tx")
+    tx_table.upsert(spark, tx, _batch(spark, EPOCHS[0]), ["k"], n_buckets=4,
+                    order_col="v", epoch_id=0)
+    with pytest.raises(ValueError, match="columns"):
+        tx_table.delete(spark, tx, spark.createDataFrame([(1,)], "wrong int"))
