@@ -44,6 +44,7 @@ _PRIORITY_R4 = (
     "llm_multimodal_png",
     "llm_multimodal_wav",
     "llm_multimodal_avi",
+    "cs_upsert_lww",
     # code changed in round 4 (integer-div ratios, deletion guard,
     # connected-components loop, minhash band-row refactor)
     "llm_gopher_rules",
@@ -85,10 +86,10 @@ _PRIORITY_R4 = (
     "fn_math",
     "fn_window_analytic",
     "fn_bitwise",
-    "fn_try_arith",
-    # fn_conditional rotates in round 5 (dropped to keep this list at
-    # exactly 50 after llm_multimodal_avi landed; lowest-risk member —
-    # pure CASE expressions, strict-green locally every round)
+    # fn_try_arith and fn_conditional rotate in round 5 (dropped to
+    # keep this list at exactly 50 after llm_multimodal_avi and
+    # cs_upsert_lww landed; lowest-risk members — pure scalar
+    # expressions, strict-green locally every round)
     # stale-verdict rotation: TPC-H pricing/shipping/supplier wave (r1)
     "rel_pricing_summary",
     "rel_shipping_priority",

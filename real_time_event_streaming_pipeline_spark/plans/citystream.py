@@ -445,6 +445,74 @@ FROM windowed
 )
 
 
+def q_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's putItem upsert semantics
+    (SparkDynamoDBConsumer.java:264 — last writer per key wins),
+    executed through the REAL transactional-table machinery
+    (streaming/tx_table.py) and oracle-checked: three epochs of
+    orders-derived rows land via atomic manifest commits — epoch 0
+    writes every key, epoch 1 overwrites keys with orderkey % 5 == 0,
+    epoch 2 those with % 7 == 0 — and the table is read back through
+    the final manifest. The emitted src_epoch comes from the table's
+    own _epoch lineage column, so a green row proves the LWW merge,
+    the bucketed copy-on-write, and the manifest read all composed
+    correctly; DuckDB states the winner in closed form. Values use
+    integer cents so no float crosses the verification boundary.
+
+    Scale shape: each epoch rewrites only its keys' buckets; the
+    result is materialized and the scratch table deleted (the
+    q_corpus_ingest_epochs discipline — no leaked store per bench
+    invocation)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import tx_table
+
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"), cents.alias("val_cents")
+    )
+    epochs = [
+        base,
+        base.filter(F.col("k") % 5 == 0).withColumn("val_cents", F.col("val_cents") + 1),
+        base.filter(F.col("k") % 7 == 0).withColumn("val_cents", F.col("val_cents") + 2),
+    ]
+    tdir = tempfile.mkdtemp(prefix="tx_lww_")
+    try:
+        t = os.path.join(tdir, "t")
+        for i, b in enumerate(epochs):
+            tx_table.upsert(spark, t, b, ["k"], n_buckets=16, epoch_id=i)
+        rows = (
+            tx_table.read_table(spark, t)
+            .select(
+                F.col("k").alias("o_orderkey"),
+                F.col("_epoch").cast("long").alias("src_epoch"),
+                "val_cents",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderkey long, src_epoch long, val_cents long"
+    )
+
+
+_UPSERT_LWW_SQL = """
+SELECT o_orderkey,
+  CAST(CASE WHEN o_orderkey % 7 = 0 THEN 2
+            WHEN o_orderkey % 5 = 0 THEN 1
+            ELSE 0 END AS BIGINT) AS src_epoch,
+  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+    + CAST(CASE WHEN o_orderkey % 7 = 0 THEN 2
+                WHEN o_orderkey % 5 = 0 THEN 1
+                ELSE 0 END AS BIGINT) AS val_cents
+FROM orders
+"""
+
+
 QUERIES = {
     "cs_raw_events": q_raw_events,
     "cs_windowed_agg": q_windowed_agg,
@@ -458,6 +526,7 @@ QUERIES = {
     "cs_alerts_recent": q_alerts_recent,
     "cs_raw_with_ttl": q_raw_with_ttl,
     "cs_alert_followups": q_alert_followups,
+    "cs_upsert_lww": q_upsert_lww,
 }
 
 ORACLE = {
@@ -473,4 +542,5 @@ ORACLE = {
     "cs_alerts_recent": _ALERTS_RECENT_SQL,
     "cs_raw_with_ttl": _RAW_WITH_TTL_SQL,
     "cs_alert_followups": _ALERT_FOLLOWUPS_SQL,
+    "cs_upsert_lww": _UPSERT_LWW_SQL,
 }
