@@ -160,11 +160,27 @@ def run_retention(spark: SparkSession, cfg: PipelineConfig, now_epoch: int) -> d
     has passed, riding the compaction rewrite the file-backed sink
     needs anyway. Deterministic: the caller supplies now_epoch.
 
-    Requires the pipeline to have run with cfg.with_ttl=True."""
+    Requires the pipeline to have run with cfg.with_ttl=True. In
+    atomic mode the expiry is a transactional DELETE WHERE with
+    ttl-stats file skipping instead of the full compaction rewrite —
+    only files whose ttl range crosses the cutoff are touched, and
+    readers never observe a half-expired table."""
     from ..sources.maintenance import compact_parquet
+    from . import tx_table
 
     if not cfg.with_ttl:
         raise ValueError("retention requires PipelineConfig(with_ttl=True)")
+    if cfg.atomic:
+        table = cfg.path("raw_events")
+        before = tx_table.read_table(spark, table).count()
+        tx_table.delete_where(
+            spark,
+            table,
+            F.col("ttl") <= F.lit(int(now_epoch)),
+            between={"ttl": (None, int(now_epoch))},
+        )
+        after = tx_table.read_table(spark, table).count()
+        return {"expired_rows": before - after, "rows_after": after}
     return compact_parquet(
         spark, cfg.path("raw_events"), ttl_col="ttl", now_epoch=now_epoch
     )

@@ -454,6 +454,71 @@ def delete(
     raise CommitConflict(f"gave up after {max_retries} commit conflicts")
 
 
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    between: dict | None = None,
+    epoch_id: int | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Atomically delete every row matching ``condition`` (a Column or
+    SQL string) — Delta's DELETE WHERE, with file skipping: when
+    ``between`` bounds are given they prune the candidate files via
+    the manifest's min/max stats, and ONLY candidate files are read
+    and rewritten; everything else carries over by reference. The
+    caller contract is the usual data-skipping one: ``between`` must
+    be implied by ``condition`` (a file outside the bounds contains no
+    matching row), which makes the prune lossless.
+
+    This is the atomic TTL-retention primitive: with per-file stats on
+    the ttl column, expiring old rows rewrites only the files whose
+    ttl range crosses the cutoff — O(expiring data), not O(table)."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    for _ in range(max_retries):
+        snap = snapshot(table_dir)
+        if snap is None:
+            raise ValueError(f"delete_where on empty table {table_dir}")
+        old_version, old_manifest = snap
+        if epoch_id is not None and int(epoch_id) in old_manifest.get("epochs", []):
+            return old_version
+        candidates = (
+            prune_files(old_manifest, between) if between else old_manifest["files"]
+        )
+        if not candidates:
+            return old_version  # stats prove nothing matches
+        cand_paths = {f["path"] for f in candidates}
+        keep = [f for f in old_manifest["files"] if f["path"] not in cand_paths]
+        paths = [os.path.join(_data_dir(table_dir), p) for p in sorted(cand_paths)]
+        reader = spark.read
+        if old_manifest.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(old_manifest["schema"])))
+        remaining = reader.parquet(*paths).filter(~F.coalesce(cond, F.lit(False)))
+        new_entries = _write_txn_files(
+            remaining, table_dir, old_version + 1,
+            stats_cols=old_manifest.get("stats_cols"),
+        )
+        manifest = dict(
+            old_manifest,
+            version=old_version + 1,
+            op="delete_where",
+            epoch=None if epoch_id is None else int(epoch_id),
+            epochs=sorted(
+                old_manifest.get("epochs", [])
+                + ([int(epoch_id)] if epoch_id is not None else [])
+            ),
+            files=keep + new_entries,
+        )
+        try:
+            _commit(table_dir, old_version + 1, manifest)
+            return old_version + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_retries} commit conflicts")
+
+
 def compact(spark: SparkSession, table_dir: str) -> int | None:
     """Rewrite the current snapshot into one transaction directory
     (one file set per bucket) and commit it as a new version — same

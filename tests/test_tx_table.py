@@ -441,3 +441,71 @@ def test_tx_delete_key_column_mismatch_fails(spark, tmp_path):
                     order_col="v", epoch_id=0)
     with pytest.raises(ValueError, match="columns"):
         tx_table.delete(spark, tx, spark.createDataFrame([(1,)], "wrong int"))
+
+
+def test_tx_delete_where_with_file_skipping(spark, tmp_path):
+    """Predicate delete prunes candidate files via min/max stats and
+    rewrites ONLY them; files whose range can't match carry over by
+    path untouched, and the result is exact."""
+    tx = str(tmp_path / "tx")
+    rows = [(f"key{i}", i) for i in range(64)]
+    tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=16,
+                    order_col="v", epoch_id=0, stats_cols=["v"])
+    m0 = tx_table.read_manifest(tx, 0)
+    candidates = {f["path"] for f in tx_table.prune_files(m0, {"v": (None, 10)})}
+    assert 0 < len(candidates) < len(m0["files"])
+
+    v = tx_table.delete_where(spark, tx, F.col("v") <= 10,
+                              between={"v": (None, 10)}, epoch_id=1)
+    got = _content(spark, tx)
+    assert got == {(k, x) for k, x in rows if x > 10}
+    m1 = tx_table.read_manifest(tx, v)
+    assert m1["op"] == "delete_where"
+    untouched = {f["path"] for f in m0["files"]} - candidates
+    assert untouched <= {f["path"] for f in m1["files"]}  # carried by path
+    assert not candidates & {f["path"] for f in m1["files"]}  # all rewritten
+    # replay is exactly-once
+    assert tx_table.delete_where(spark, tx, F.col("v") <= 10,
+                                 between={"v": (None, 10)}, epoch_id=1) == v
+    assert tx_table.latest_version(tx) == v
+
+
+def test_tx_delete_where_noop_when_stats_prove_empty(spark, tmp_path):
+    tx = str(tmp_path / "tx")
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 5), ("b", 9)]), ["k"],
+                    n_buckets=4, order_col="v", epoch_id=0, stats_cols=["v"])
+    v0 = tx_table.latest_version(tx)
+    v = tx_table.delete_where(spark, tx, F.col("v") > 100, between={"v": (101, None)})
+    assert v == v0  # no commit at all: every file skipped
+    assert _content(spark, tx) == {("a", 5), ("b", 9)}
+
+
+def test_tx_atomic_ttl_retention(spark, sf_small, tmp_path):
+    """run_retention on an atomic pipeline expires rows through
+    delete_where with ttl-stats skipping; the table never loses
+    unexpired rows and the commit log records the retention pass."""
+    from real_time_event_streaming_pipeline_spark.sources import events_file_stream
+    from real_time_event_streaming_pipeline_spark.streaming.pipeline import (
+        PipelineConfig,
+        run_retention,
+        run_to_completion,
+        start_pipeline,
+    )
+
+    cfg = PipelineConfig(out_dir=str(tmp_path), with_ttl=True, atomic=True,
+                         upsert_buckets=8)
+    src = events_file_stream(spark, sf_small)
+    run_to_completion(start_pipeline(spark, src, cfg))
+
+    table = cfg.path("raw_events")
+    raw = tx_table.read_table(spark, table)
+    ttls = sorted(r.ttl for r in raw.select("ttl").collect())
+    assert ttls
+    cutoff = ttls[len(ttls) // 2]
+    stats = run_retention(spark, cfg, now_epoch=cutoff)
+    kept = tx_table.read_table(spark, table)
+    n_expired = sum(1 for t in ttls if t <= cutoff)
+    assert stats["expired_rows"] == n_expired
+    assert kept.count() == len(ttls) - n_expired
+    assert kept.filter(F.col("ttl") <= cutoff).count() == 0
+    assert tx_table.history(table)[-1]["op"] == "delete_where"
