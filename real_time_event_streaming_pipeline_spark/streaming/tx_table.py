@@ -189,6 +189,91 @@ def read_table(
     return reader.parquet(*paths)
 
 
+def _read_entries(spark: SparkSession, table_dir: str, entries: list[dict], schema_json):
+    if not entries:
+        return None
+    paths = [os.path.join(_data_dir(table_dir), f["path"]) for f in entries]
+    reader = spark.read
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    return reader.parquet(*paths)
+
+
+def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame | None:
+    """The change rows commit ``version`` introduced — the Delta CDF
+    contract, reconstructed from the manifest diff: rows are tagged
+    ``_change_type`` in {insert, update_preimage, update_postimage,
+    delete}. Only files that entered or left the manifest at this
+    version are read (both still on disk until vacuum passes
+    ``keep_versions`` over them), so the cost is O(changed buckets),
+    and carried-over winner rows rewritten verbatim inside an affected
+    bucket are correctly excluded — a row is a change only if its KEY
+    was written or removed at this version. Compactions change no
+    rows and return None."""
+    m_v = read_manifest(table_dir, version)
+    key_cols = m_v["key_cols"]
+    if m_v["op"] == "compact":
+        return None
+    prev_files: list[dict] = []
+    if version > 0:
+        m_prev = read_manifest(table_dir, version - 1)
+        prev_paths = {f["path"] for f in m_prev["files"]}
+        cur_paths = {f["path"] for f in m_v["files"]}
+        new_entries = [f for f in m_v["files"] if f["path"] not in prev_paths]
+        prev_files = [f for f in m_prev["files"] if f["path"] not in cur_paths]
+    else:
+        new_entries = m_v["files"]
+    cur = _read_entries(spark, table_dir, new_entries, m_v.get("schema"))
+    prev = _read_entries(spark, table_dir, prev_files, m_v.get("schema"))
+    epoch = m_v.get("epoch")
+    if cur is not None and epoch is not None and m_v["op"] == "upsert":
+        post = cur.filter(F.col("_epoch") == int(epoch))
+    elif cur is not None and m_v["op"] == "upsert":
+        # batch upsert without an epoch id: the effective epoch is the
+        # version number (see upsert's eff_epoch)
+        post = cur.filter(F.col("_epoch") == version)
+    else:
+        post = None  # delete ops introduce no rows
+    out = []
+    if post is not None and prev is not None:
+        keys_post = post.select(*key_cols).distinct()
+        pre = prev.join(F.broadcast(keys_post), key_cols, "left_semi")
+        updated_keys = pre.select(*key_cols).distinct()
+        out.append(pre.withColumn("_change_type", F.lit("update_preimage")))
+        out.append(
+            post.join(F.broadcast(updated_keys), key_cols, "left_semi")
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        out.append(
+            post.join(F.broadcast(updated_keys), key_cols, "left_anti")
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        cur_keys = cur.select(*key_cols).distinct()
+        out.append(
+            prev.join(F.broadcast(cur_keys), key_cols, "left_anti")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    elif post is not None:
+        out.append(post.withColumn("_change_type", F.lit("insert")))
+    elif prev is not None:
+        cur_keys = (
+            cur.select(*key_cols).distinct() if cur is not None else None
+        )
+        deleted = (
+            prev if cur_keys is None
+            else prev.join(F.broadcast(cur_keys), key_cols, "left_anti")
+        )
+        out.append(deleted.withColumn("_change_type", F.lit("delete")))
+    if not out:
+        return None
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
 def history(table_dir: str) -> list[dict]:
     """Commit log, oldest first: version / op / epoch per entry."""
     out = []

@@ -509,3 +509,44 @@ def test_tx_atomic_ttl_retention(spark, sf_small, tmp_path):
     assert kept.count() == len(ttls) - n_expired
     assert kept.filter(F.col("ttl") <= cutoff).count() == 0
     assert tx_table.history(table)[-1]["op"] == "delete_where"
+
+
+def test_tx_change_data_feed(spark, tmp_path):
+    """read_changes reconstructs each commit's CDF rows from the
+    manifest diff: inserts, update pre/post images, deletes — and
+    carried-over winners inside rewritten buckets are NOT changes."""
+    tx = str(tmp_path / "tx")
+    for i, rows in enumerate(EPOCHS):
+        tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=2,
+                        order_col="v", epoch_id=i)  # 2 buckets: rewrites carry rows
+
+    def changes(v):
+        df = tx_table.read_changes(spark, tx, v)
+        return (
+            set()
+            if df is None
+            else {(r.k, r.v, r._change_type) for r in df.select("k", "v", "_change_type").collect()}
+        )
+
+    assert changes(0) == {(k, v, "insert") for k, v in EPOCHS[0]}
+    assert changes(1) == {
+        ("a", 1, "update_preimage"), ("a", 9, "update_postimage"),
+        ("e", 5, "insert"),
+    }
+    assert changes(2) == {
+        ("a", 9, "update_preimage"), ("a", 8, "update_postimage"),
+        ("b", 2, "update_preimage"), ("b", 7, "update_postimage"),
+    }
+
+    # keyed delete produces delete rows
+    v = tx_table.delete(spark, tx, spark.createDataFrame([("c",)], "k string"),
+                        epoch_id=10)
+    assert changes(v) == {("c", 3, "delete")}
+
+    # compaction is not a change
+    vc = tx_table.compact(spark, tx)
+    assert tx_table.read_changes(spark, tx, vc) is None
+
+    # predicate delete produces delete rows too
+    vw = tx_table.delete_where(spark, tx, F.col("v") >= 8, epoch_id=11)
+    assert changes(vw) == {("a", 8, "delete")}
