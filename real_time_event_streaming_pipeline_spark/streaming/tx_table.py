@@ -513,6 +513,8 @@ def delete(
             return old_version
         keep = [f for f in old_manifest["files"] if f["kb"] not in set(affected)]
         existing = read_table(spark, table_dir, version=old_version, buckets=affected)
+        if existing is None:
+            return old_version  # no file holds these buckets: nothing to delete
         remaining = existing.join(
             F.broadcast(tagged.select(*key_cols)), key_cols, "left_anti"
         )

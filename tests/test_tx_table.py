@@ -550,3 +550,57 @@ def test_tx_change_data_feed(spark, tmp_path):
     # predicate delete produces delete rows too
     vw = tx_table.delete_where(spark, tx, F.col("v") >= 8, epoch_id=11)
     assert changes(vw) == {("a", 8, "delete")}
+
+
+# ------------------------------------------------- model-based check
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_KEYS = ["a", "b", "c", "d", "e", "f"]
+_OP = st.one_of(
+    st.tuples(
+        st.just("upsert"),
+        st.lists(
+            st.tuples(st.sampled_from(_KEYS), st.integers(0, 999)),
+            min_size=1, max_size=4, unique_by=lambda kv: kv[0],
+        ),
+    ),
+    st.tuples(st.just("delete"), st.lists(st.sampled_from(_KEYS), min_size=1,
+                                          max_size=2, unique=True)),
+)
+
+
+@given(ops=st.lists(_OP, min_size=1, max_size=5))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_tx_model_based_dml_sequences(spark, tmp_path_factory, ops):
+    """Any sequence of keyed upserts and deletes must leave the table
+    exactly where a driver-side dict model lands — and every historical
+    version must equal the model's state at that point."""
+    tmp = tmp_path_factory.mktemp("txmodel")
+    tx = str(tmp / "t")
+    model: dict[str, int] = {}
+    states = []
+    last_version = -1
+    for i, (kind, payload) in enumerate(ops):
+        if kind == "upsert":
+            v = tx_table.upsert(spark, tx, _batch(spark, payload), ["k"],
+                                n_buckets=4, order_col="v", epoch_id=i)
+            model.update(dict(payload))
+        else:
+            if last_version < 0:
+                continue  # delete on an empty table raises by contract
+            keys = spark.createDataFrame([(k,) for k in payload], "k string")
+            v = tx_table.delete(spark, tx, keys, epoch_id=i)
+            for k in payload:
+                model.pop(k, None)
+        if v > last_version:  # no-op deletes commit nothing
+            last_version = v
+            states.append(dict(model))
+    if not states:
+        return
+    assert _content(spark, tx) == set(states[-1].items())
+    # time travel agrees with the model at every committed version
+    for v, snap_model in enumerate(states):
+        assert _content(spark, tx, version=v) == set(snap_model.items())
