@@ -143,3 +143,78 @@ def test_stream_stream_left_outer_join(spark, sf_small, tmp_path):
     assert got_matched == want_matched
     assert got_unmatched <= want_unmatched
     assert got_unmatched  # the watermark did close and emit some
+
+
+def test_stream_stream_full_outer_join(spark, sf_small, tmp_path):
+    """full_outer stream-stream join (Spark 3.1+ with event-time
+    bounds on both sides): matched rows == the inner join; null-view
+    rows are purchases the closing watermark proved view-less;
+    null-purchase rows are views no qualifying purchase followed.
+    Both unmatched sides are emitted only when the watermark closes
+    their window, so tails may stay unemitted — subset checks there."""
+    src = enrich_events(events_file_stream(spark, sf_small))
+    joined = purchases_after_views(src, how="full_outer")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("pv_full")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_matched = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in spark.sql(
+            "SELECT * FROM pv_full WHERE view_id IS NOT NULL AND purchase_id IS NOT NULL"
+        ).collect()
+    }
+    got_viewless = {
+        r.purchase_id
+        for r in spark.sql(
+            "SELECT * FROM pv_full WHERE view_id IS NULL AND purchase_id IS NOT NULL"
+        ).collect()
+    }
+    got_purchaseless = {
+        r.view_id
+        for r in spark.sql(
+            "SELECT * FROM pv_full WHERE purchase_id IS NULL AND view_id IS NOT NULL"
+        ).collect()
+    }
+
+    ev = city_events(spark, sf_small)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    )
+    want_matched = {
+        (r.p_user, r.purchase_id, r.view_id)
+        for r in batch.filter(
+            F.col("view_id").isNotNull() & F.col("purchase_id").isNotNull()
+        ).collect()
+    }
+    want_viewless = {
+        r.purchase_id
+        for r in batch.filter(F.col("view_id").isNull()).collect()
+    }
+    want_purchaseless = {
+        r.view_id
+        for r in batch.filter(F.col("purchase_id").isNull()).collect()
+    }
+    assert got_matched == want_matched
+    assert got_viewless <= want_viewless
+    assert got_purchaseless <= want_purchaseless
+    assert got_viewless and got_purchaseless  # both outer sides emitted
