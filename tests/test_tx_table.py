@@ -604,3 +604,49 @@ def test_tx_model_based_dml_sequences(spark, tmp_path_factory, ops):
     # time travel agrees with the model at every committed version
     for v, snap_model in enumerate(states):
         assert _content(spark, tx, version=v) == set(snap_model.items())
+
+
+def test_tx_true_concurrent_writers(spark, tmp_path):
+    """Two real threads upsert interleaved epochs with genuine
+    os.link commit races: every epoch must land exactly once, the
+    version log must be gapless, and the final table must equal the
+    deterministic last-writer-wins model."""
+    import threading
+
+    tx = str(tmp_path / "tx")
+    # both writers touch overlapping keys; values encode (writer, i)
+    def work(writer_id: int, errors: list):
+        try:
+            for i in range(5):
+                rows = [(f"key{(i + j) % 6}", writer_id * 1000 + i) for j in range(2)]
+                tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=4,
+                                order_col="v", epoch_id=writer_id * 100 + i)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    errors: list = []
+    t1 = threading.Thread(target=work, args=(1, errors))
+    t2 = threading.Thread(target=work, args=(2, errors))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+
+    hist = tx_table.history(tx)
+    versions = [h["version"] for h in hist]
+    assert versions == list(range(10))  # gapless: every commit landed
+    epochs = [h["epoch"] for h in hist]
+    assert sorted(epochs) == [100, 101, 102, 103, 104, 200, 201, 202, 203, 204]
+
+    # LWW model: the dedupe orders by EPOCH ID (not commit order), so
+    # per key the survivor is the largest epoch id that wrote it,
+    # regardless of how the two writers' commits interleaved
+    got = _content(spark, tx)
+    assert {k for k, _ in got} <= {f"key{n}" for n in range(6)}
+    wrote: dict[str, int] = {}
+    for e in epochs:
+        w, i = divmod(e, 100)
+        for j in range(2):
+            k = f"key{(i + j) % 6}"
+            if e >= wrote.get(k, -1):
+                wrote[k] = e
+    want = {(k, (e // 100) * 1000 + (e % 100)) for k, e in wrote.items()}
+    assert got == want
