@@ -599,6 +599,41 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark 4's hll_sketch_agg / hll_union_agg) — THE cardinality
+    pattern at 100 TB: each partition/day builds its own fixed-size
+    sketch, and any rollup is a cheap sketch union instead of a
+    re-scan. Per city this query builds per-day sketches, unions them,
+    and emits the estimate beside the single-pass sketch estimate and
+    the exact distinct count. Rows-only by design (DataSketches
+    binaries aren't reproducible in DuckDB); pytest pins the identity
+    that makes the pattern sound — union-of-partials == one-pass
+    sketch, bitwise — plus an error bound against the exact count, so
+    a regression in either mergeability or accuracy fails loudly.
+
+    Scale shape: two partial aggregations (day then city) shipping
+    ~1.5 KB sketch blobs, never user ids; the exact column is the
+    small-SF audit and would be dropped at 100 TB."""
+    ev = city_events(spark, sf_dir)
+    daily = ev.groupBy("city", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
+    merged = daily.groupBy("city").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_merged"),
+    )
+    single = ev.groupBy("city").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est_single"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return (
+        merged.join(single, "city")
+        .select("city", "n_days", "est_merged", "est_single", "exact_users")
+        .orderBy("city")
+    )
+
+
 _FN_VARIANT_SQL = """
 SELECT event_type,
   count(*) AS n,
@@ -630,6 +665,9 @@ QUERIES = {
     "fn_url": q_fn_url,
     "cs_kafka_producer_frame": q_kafka_producer_frame,
     "cs_producer_metrics": q_producer_metrics,
+    # rows-only (DataSketches binaries not reproducible in DuckDB);
+    # mergeability + error bound pinned in tests/test_semantics_extras.py
+    "fn_hll_mergeable": q_fn_hll_mergeable,
 }
 
 ORACLE = {

@@ -108,3 +108,21 @@ def test_udtf_shingles_match_expression_path(spark):
     }
     assert got == want
     assert (1, "a b c") in got and (2,) not in {(r[0],) for r in got if r[0] == 2}
+
+
+def test_hll_mergeable_sketches_identity_and_error(spark, sf_small):
+    """The property that makes sketch rollups sound at scale: the
+    union of per-day partial sketches estimates EXACTLY what the
+    single-pass sketch estimates (same lgK), and both sit within the
+    HLL error envelope of the exact distinct count."""
+    from real_time_event_streaming_pipeline_spark.plans.scalar import (
+        q_fn_hll_mergeable,
+    )
+
+    rows = q_fn_hll_mergeable(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days >= 1
+        assert r.est_merged == r.est_single  # mergeability, bitwise
+        # lgK=12 -> relative standard error ~1.6%; allow 4 sigma
+        assert abs(r.est_merged - r.exact_users) <= max(3, 0.065 * r.exact_users)
