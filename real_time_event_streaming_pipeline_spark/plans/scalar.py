@@ -634,6 +634,77 @@ def q_fn_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra WITHOUT joins (DataSketches theta): how
+    many users viewed, purchased, did both, or viewed without ever
+    purchasing — at 100 TB these are sketch-lattice operations over
+    per-segment theta sketches, not self-joins over user ids. Emits
+    the estimates beside exact counts (the small-SF audit columns);
+    rows-only by design, with the estimates' error envelope and the
+    inclusion-exclusion consistency pinned in pytest."""
+    ev = city_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").agg(
+        F.theta_sketch_agg("user_id").alias("s")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").agg(
+        F.theta_sketch_agg("user_id").alias("s")
+    )
+    both = views.crossJoin(purchases.select(F.col("s").alias("t"))).select(
+        F.theta_sketch_estimate(F.col("s")).alias("est_view"),
+        F.theta_sketch_estimate(F.col("t")).alias("est_purchase"),
+        F.theta_sketch_estimate(F.theta_union("s", "t")).alias("est_union"),
+        F.theta_sketch_estimate(F.theta_intersection("s", "t")).alias("est_both"),
+        F.theta_sketch_estimate(F.theta_difference("s", "t")).alias("est_view_only"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        v.agg(F.count_distinct("user_id").alias("exact_view"))
+        .crossJoin(p.agg(F.count_distinct("user_id").alias("exact_purchase")))
+        .crossJoin(
+            v.intersect(p).agg(F.count(F.lit(1)).alias("exact_both"))
+        )
+    )
+    return both.crossJoin(exact)
+
+
+def q_fn_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (DataSketches KLL): per-day
+    sketches of the event value merged into one, quantiles read from
+    the merged sketch beside the exact percentiles — the streaming/
+    partitioned answer to "median at 100 TB" (fixed-size state,
+    mergeable across partitions and days, vs an exact full sort).
+    Rows-only; pytest pins KLL's rank-error guarantee against the
+    exact distribution."""
+    ev = city_events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), F.col("value").cast("double").alias("v")
+    )
+    daily = ev.groupBy("day").agg(F.kll_sketch_agg_double("v").alias("sk"))
+    # kll_sketch_merge_* is a binary scalar, not an aggregate: fold the
+    # (bounded: one per day) sketch list pairwise — the same shape a
+    # tree-reduce over partitions takes at scale
+    merged = daily.agg(F.collect_list("sk").alias("sks")).select(
+        F.expr(
+            "reduce(slice(sks, 2, size(sks) - 1), element_at(sks, 1), "
+            "(acc, x) -> kll_sketch_merge_double(acc, x))"
+        ).alias("sk")
+    )
+    qs = merged.select(
+        F.kll_sketch_get_n_double("sk").alias("n"),
+        *[
+            F.kll_sketch_get_quantile_double("sk", F.lit(q)).alias(f"kll_p{int(q*100)}")
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ],
+    )
+    exact = ev.agg(
+        *[
+            F.percentile("v", F.lit(q)).alias(f"exact_p{int(q*100)}")
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ]
+    )
+    return qs.crossJoin(exact)
+
+
 _FN_VARIANT_SQL = """
 SELECT event_type,
   count(*) AS n,
@@ -666,8 +737,10 @@ QUERIES = {
     "cs_kafka_producer_frame": q_kafka_producer_frame,
     "cs_producer_metrics": q_producer_metrics,
     # rows-only (DataSketches binaries not reproducible in DuckDB);
-    # mergeability + error bound pinned in tests/test_semantics_extras.py
+    # mergeability/error/consistency pinned in tests/test_semantics_extras.py
     "fn_hll_mergeable": q_fn_hll_mergeable,
+    "fn_sketch_set_algebra": q_fn_sketch_set_algebra,
+    "fn_kll_quantiles": q_fn_kll_quantiles,
 }
 
 ORACLE = {

@@ -126,3 +126,45 @@ def test_hll_mergeable_sketches_identity_and_error(spark, sf_small):
         assert r.est_merged == r.est_single  # mergeability, bitwise
         # lgK=12 -> relative standard error ~1.6%; allow 4 sigma
         assert abs(r.est_merged - r.exact_users) <= max(3, 0.065 * r.exact_users)
+
+
+def test_theta_set_algebra_consistency(spark, sf_small):
+    """Theta sketch estimates must be inclusion-exclusion consistent
+    (union ≈ view + purchase − both; view_only ≈ view − both) and sit
+    within the sketch error envelope of the exact counts."""
+    from real_time_event_streaming_pipeline_spark.plans.scalar import (
+        q_fn_sketch_set_algebra,
+    )
+
+    r = q_fn_sketch_set_algebra(spark, sf_small).collect()[0]
+    def close(a, b, tol=0.05):
+        return abs(a - b) <= max(3, tol * max(a, b))
+    assert close(r.est_view, r.exact_view)
+    assert close(r.est_purchase, r.exact_purchase)
+    assert close(r.est_both, r.exact_both)
+    assert close(r.est_union, r.est_view + r.est_purchase - r.est_both, 0.06)
+    assert close(r.est_view_only, r.est_view - r.est_both, 0.06)
+
+
+def test_kll_quantiles_rank_error(spark, sf_small):
+    """Merged per-day KLL sketches must return quantiles whose RANK in
+    the exact distribution is within the sketch's rank-error bound
+    (default k=200 -> ~1.65% double-sided) of the requested rank."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.plans.citystream import city_events
+    from real_time_event_streaming_pipeline_spark.plans.scalar import (
+        q_fn_kll_quantiles,
+    )
+
+    r = q_fn_kll_quantiles(spark, sf_small).collect()[0]
+    vals = sorted(
+        x.v for x in city_events(spark, sf_small)
+        .select(F.col("value").cast("double").alias("v")).collect()
+    )
+    n = len(vals)
+    assert r.n == n
+    import bisect
+    for q in (25, 50, 75, 95):
+        got = getattr(r, f"kll_p{q}")
+        rank = bisect.bisect_right(vals, got) / n
+        assert abs(rank - q / 100) <= 0.03, (q, got, rank)
