@@ -289,7 +289,11 @@ def history(table_dir: str) -> list[dict]:
 
 
 def _write_txn_files(
-    merged: DataFrame, table_dir: str, version: int, stats_cols: list[str] | None = None
+    merged: DataFrame,
+    table_dir: str,
+    version: int,
+    stats_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> list[dict]:
     """Write one transaction's data files under a fresh directory and
     return manifest entries. `partitionBy` on a duplicated bucket
@@ -299,11 +303,10 @@ def _write_txn_files(
     names so Spark never infers a partition column from them."""
     txn_rel = f"txn-{version:010d}-{uuid.uuid4().hex[:8]}"
     txn_abs = os.path.join(_data_dir(table_dir), txn_rel)
-    (
-        merged.withColumn("_kb_part", F.col("kb"))
-        .write.partitionBy("_kb_part")
-        .parquet(txn_abs)
-    )
+    writer = merged.withColumn("_kb_part", F.col("kb")).write.partitionBy("_kb_part")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.parquet(txn_abs)
     entries: list[dict] = []
     for d in sorted(os.listdir(txn_abs)):
         if not d.startswith("_kb_part="):
@@ -606,18 +609,37 @@ def delete_where(
     raise CommitConflict(f"gave up after {max_retries} commit conflicts")
 
 
-def compact(spark: SparkSession, table_dir: str) -> int | None:
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> int | None:
     """Rewrite the current snapshot into one transaction directory
     (one file set per bucket) and commit it as a new version — same
     rows, fewer files. Readers are never disturbed: old manifests keep
-    resolving until vacuumed."""
+    resolving until vacuumed.
+
+    ``sort_cols`` clusters rows inside each bucket before the write
+    (repartition by bucket + sortWithinPartitions — the poor man's
+    Z-order, one dimension at a time), and ``max_records_per_file``
+    splits each bucket into several files: together they turn the
+    per-file min/max stats into DISJOINT ranges, so data skipping on
+    the sort column goes from "keeps most files" to "keeps the one
+    file the range lives in". This is the periodic maintenance pass
+    that buys back read selectivity on tables whose upsert keys don't
+    correlate with the query predicate (e.g. ttl, event time)."""
     snap = snapshot(table_dir)
     if snap is None:
         return None
     version, manifest = snap
     df = read_table(spark, table_dir, version)
+    if sort_cols:
+        df = df.repartition("kb").sortWithinPartitions("kb", *sort_cols)
     entries = _write_txn_files(
-        df, table_dir, version + 1, stats_cols=manifest.get("stats_cols")
+        df, table_dir, version + 1,
+        stats_cols=manifest.get("stats_cols"),
+        max_records_per_file=max_records_per_file,
     )
     new_manifest = dict(manifest, version=version + 1, op="compact", epoch=None, files=entries)
     _commit(table_dir, version + 1, new_manifest)

@@ -650,3 +650,31 @@ def test_tx_true_concurrent_writers(spark, tmp_path):
                 wrote[k] = e
     want = {(k, (e // 100) * 1000 + (e % 100)) for k, e in wrote.items()}
     assert got == want
+
+
+def test_tx_clustered_compaction_sharpens_data_skipping(spark, tmp_path):
+    """compact(sort_cols, max_records_per_file) clusters rows by the
+    stats column inside each bucket and splits buckets into several
+    files with near-disjoint ranges — a range read then prunes to a
+    small fraction of the files, where the unclustered layout keeps
+    nearly all of them."""
+    tx = str(tmp_path / "tx")
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"key{i}", v) for i, v in enumerate(rng.sample(range(1000), 1000))]
+    tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=2,
+                    order_col="v", epoch_id=0, stats_cols=["v"])
+    m0 = tx_table.read_manifest(tx, 0)
+    # unclustered: value ranges span nearly everything -> no pruning
+    assert len(tx_table.prune_files(m0, {"v": (0, 49)})) == len(m0["files"])
+
+    v = tx_table.compact(spark, tx, sort_cols=["v"], max_records_per_file=100)
+    m1 = tx_table.read_manifest(tx, v)
+    assert len(m1["files"]) >= 10  # buckets actually split into chunks
+    pruned = tx_table.prune_files(m1, {"v": (0, 49)})
+    assert len(pruned) <= max(2, len(m1["files"]) // 4)  # skipping bites
+    # correctness: the pruned read still contains every matching row
+    df = tx_table.read_table(spark, tx, between={"v": (0, 49)})
+    got = {(r.k, r.v) for r in df.filter(F.col("v").between(0, 49)).select("k", "v").collect()}
+    assert got == {(k, x) for k, x in rows if x <= 49}
