@@ -182,11 +182,13 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     fps = rate // scale
 
     stride = _row_stride(width)
+    bottom_up = bi_h > 0  # negative biHeight = spec-valid top-down DIB
     out = np.empty((n_frames, height, width, 3), dtype=np.uint8)
     for i, dib in enumerate(dibs):
         if len(dib) != stride * height:
             raise ValueError(f"AVI frame {i}: bad DIB size {len(dib)}")
         rows = np.frombuffer(dib, dtype=np.uint8).reshape(height, stride)
         bgr = rows[:, : width * 3].reshape(height, width, 3)
-        out[i] = bgr[::-1, :, ::-1]  # undo bottom-up + BGR
+        rgb = bgr[:, :, ::-1]  # undo BGR
+        out[i] = rgb[::-1] if bottom_up else rgb  # undo row order
     return out, fps

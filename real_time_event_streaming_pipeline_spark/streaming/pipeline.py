@@ -61,11 +61,17 @@ class PipelineConfig:
 
     def upsert(self, name: str, key_cols: list[str], order_col: str):
         if self.atomic:
+            # raw_events carries ttl: record per-file ttl min/max so the
+            # atomic retention pass (delete_where) can skip files whose
+            # range never crosses the cutoff — without stats it would
+            # rewrite the whole table every time
+            stats = ["ttl"] if (self.with_ttl and name == "raw_events") else None
             return upsert_tx(
                 self.path(name),
                 key_cols,
                 n_buckets=self.upsert_buckets or 64,
                 order_col=order_col,
+                stats_cols=stats,
             )
         if self.upsert_buckets > 0:
             return upsert_parquet_bucketed(
@@ -172,14 +178,19 @@ def run_retention(spark: SparkSession, cfg: PipelineConfig, now_epoch: int) -> d
         raise ValueError("retention requires PipelineConfig(with_ttl=True)")
     if cfg.atomic:
         table = cfg.path("raw_events")
-        before = tx_table.read_table(spark, table).count()
-        tx_table.delete_where(
-            spark,
-            table,
-            F.col("ttl") <= F.lit(int(now_epoch)),
-            between={"ttl": (None, int(now_epoch))},
-        )
-        after = tx_table.read_table(spark, table).count()
+
+        def _count(df) -> int:
+            return 0 if df is None else df.count()  # None: every file gone
+
+        before = _count(tx_table.read_table(spark, table))
+        if before:
+            tx_table.delete_where(
+                spark,
+                table,
+                F.col("ttl") <= F.lit(int(now_epoch)),
+                between={"ttl": (None, int(now_epoch))},
+            )
+        after = _count(tx_table.read_table(spark, table))
         return {"expired_rows": before - after, "rows_after": after}
     return compact_parquet(
         spark, cfg.path("raw_events"), ttl_col="ttl", now_epoch=now_epoch

@@ -176,20 +176,15 @@ def read_table(
         files = [f for f in files if f["kb"] in want]
     if not files:
         return None
-    paths = [os.path.join(_data_dir(table_dir), f["path"]) for f in files]
-    reader = spark.read
-    if manifest.get("schema") is not None:
-        # the manifest owns the table schema (Delta-style): files
-        # written before an additive evolution are missing the new
-        # columns, and reading them under the manifest schema
-        # surfaces those as NULL — no mergeSchema footer sweep needed
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromJson(json.loads(manifest["schema"])))
-    return reader.parquet(*paths)
+    return _read_entries(spark, table_dir, files, manifest.get("schema"))
 
 
 def _read_entries(spark: SparkSession, table_dir: str, entries: list[dict], schema_json):
+    """DataFrame over exactly these manifest entries. When the
+    manifest carries a schema it OWNS the table schema (Delta-style):
+    files written before an additive evolution are missing the new
+    columns, and reading them under the manifest schema surfaces
+    those as NULL — no mergeSchema footer sweep needed."""
     if not entries:
         return None
     paths = [os.path.join(_data_dir(table_dir), f["path"]) for f in entries]
@@ -218,7 +213,14 @@ def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame
         return None
     prev_files: list[dict] = []
     if version > 0:
-        m_prev = read_manifest(table_dir, version - 1)
+        try:
+            m_prev = read_manifest(table_dir, version - 1)
+        except FileNotFoundError:
+            raise ValueError(
+                f"manifest v{version - 1} was vacuumed; the change feed for "
+                f"v{version} needs it — vacuum with keep_versions >= 2 to "
+                "retain CDF for the latest commit"
+            ) from None
         prev_paths = {f["path"] for f in m_prev["files"]}
         cur_paths = {f["path"] for f in m_v["files"]}
         new_entries = [f for f in m_v["files"] if f["path"] not in prev_paths]
@@ -425,59 +427,94 @@ def upsert(
         old_manifest = {"files": [], "epochs": []} if snap is None else snap[1]
         if epoch_id is not None and int(epoch_id) in old_manifest.get("epochs", []):
             return old_version  # replayed epoch: already folded in
+        if snap is not None:
+            # the bucketing function is the table's physical identity:
+            # a different n_buckets/key_cols would scatter a key across
+            # two buckets and silently break LWW — refuse loudly
+            if old_manifest["key_cols"] != key_cols or old_manifest["n_buckets"] != n_buckets:
+                raise ValueError(
+                    f"table is keyed ({old_manifest['key_cols']}, "
+                    f"n_buckets={old_manifest['n_buckets']}); caller passed "
+                    f"({key_cols}, n_buckets={n_buckets})"
+                )
         eff_epoch = int(epoch_id) if epoch_id is not None else old_version + 1
-        incoming = batch.withColumn("_epoch", F.lit(eff_epoch)).withColumn("kb", kb)
-        affected = sorted(r.kb for r in incoming.select("kb").distinct().collect())
-        if not affected:
-            return old_version
-        keep = [f for f in old_manifest["files"] if f["kb"] not in set(affected)]
-        existing = (
-            read_table(spark, table_dir, version=snap[0], buckets=affected)
-            if snap is not None
-            else None
+        # persist: the batch is evaluated for the affected-bucket scan
+        # AND the merged write (and again on every conflict retry) — an
+        # expensive upstream plan must not run twice per attempt
+        incoming = (
+            batch.withColumn("_epoch", F.lit(eff_epoch)).withColumn("kb", kb).persist()
         )
-        if existing is None:
-            merged = incoming
-        elif set(existing.columns) == set(incoming.columns):
-            merged = existing.unionByName(incoming)
-        elif merge_schema:
-            # additive evolution: union schema; rows missing a column
-            # get NULL, and the new manifest schema makes files from
-            # BEFORE the evolution read back the same way
-            merged = existing.unionByName(incoming, allowMissingColumns=True)
-        else:
-            delta = set(existing.columns) ^ set(incoming.columns)
-            raise ValueError(
-                f"schema mismatch on columns {sorted(delta)}; pass "
-                "merge_schema=True to evolve the table additively"
-            )
-        order = [F.desc("_epoch")] + ([F.desc(order_col)] if order_col else [])
-        w = Window.partitionBy("kb", *key_cols).orderBy(*order)
-        deduped = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        eff_stats = stats_cols if stats_cols is not None else old_manifest.get("stats_cols")
-        new_entries = _write_txn_files(
-            deduped, table_dir, old_version + 1, stats_cols=eff_stats
-        )
-        manifest = {
-            "version": old_version + 1,
-            "op": "upsert",
-            "epoch": epoch_id if epoch_id is None else int(epoch_id),
-            "epochs": sorted(old_manifest.get("epochs", []) + ([int(epoch_id)] if epoch_id is not None else [])),
-            "key_cols": key_cols,
-            "n_buckets": n_buckets,
-            "stats_cols": eff_stats,
-            "schema": deduped.schema.json(),
-            "files": keep + new_entries,
-        }
         try:
-            _commit(table_dir, old_version + 1, manifest)
-            return old_version + 1
-        except CommitConflict:
-            continue  # loser: fresh snapshot, rewrite, re-commit
+            # schema gate against the MANIFEST (not just the files read
+            # this epoch): an upsert into empty buckets must not silently
+            # narrow or widen an evolved table either
+            old_schema = None
+            if old_manifest.get("schema") is not None:
+                from pyspark.sql.types import StructType
+
+                old_schema = StructType.fromJson(json.loads(old_manifest["schema"]))
+                old_cols, new_cols = set(old_schema.fieldNames()), set(incoming.columns)
+                if old_cols != new_cols and not merge_schema:
+                    raise ValueError(
+                        f"schema mismatch on columns {sorted(old_cols ^ new_cols)}; "
+                        "pass merge_schema=True to evolve the table additively"
+                    )
+            affected = sorted(r.kb for r in incoming.select("kb").distinct().collect())
+            if not affected:
+                return old_version
+            keep = [f for f in old_manifest["files"] if f["kb"] not in set(affected)]
+            existing = (
+                read_table(spark, table_dir, version=snap[0], buckets=affected)
+                if snap is not None
+                else None
+            )
+            if existing is None:
+                merged = incoming
+            else:
+                # additive evolution (merge_schema=True): union schema;
+                # rows missing a column get NULL, and the new manifest
+                # schema makes files from BEFORE the evolution read back
+                # the same way. Identical column sets pass through
+                # unchanged.
+                merged = existing.unionByName(incoming, allowMissingColumns=True)
+            order = [F.desc("_epoch")] + ([F.desc(order_col)] if order_col else [])
+            w = Window.partitionBy("kb", *key_cols).orderBy(*order)
+            deduped = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            eff_stats = stats_cols if stats_cols is not None else old_manifest.get("stats_cols")
+            new_entries = _write_txn_files(
+                deduped, table_dir, old_version + 1, stats_cols=eff_stats
+            )
+            # the manifest schema is the UNION of the old table schema and
+            # this epoch's columns — never narrowed by which buckets this
+            # epoch happened to touch
+            schema = deduped.schema
+            if old_schema is not None:
+                have = set(schema.fieldNames())
+                for f in old_schema.fields:
+                    if f.name not in have:
+                        schema = schema.add(f)
+            manifest = {
+                "version": old_version + 1,
+                "op": "upsert",
+                "epoch": epoch_id if epoch_id is None else int(epoch_id),
+                "epochs": sorted(old_manifest.get("epochs", []) + ([int(epoch_id)] if epoch_id is not None else [])),
+                "key_cols": key_cols,
+                "n_buckets": n_buckets,
+                "stats_cols": eff_stats,
+                "schema": schema.json(),
+                "files": keep + new_entries,
+            }
+            try:
+                _commit(table_dir, old_version + 1, manifest)
+                return old_version + 1
+            except CommitConflict:
+                continue  # loser: fresh snapshot, rewrite, re-commit
+        finally:
+            incoming.unpersist()
     raise CommitConflict(f"gave up after {max_retries} commit conflicts")
 
 
@@ -579,13 +616,9 @@ def delete_where(
             return old_version  # stats prove nothing matches
         cand_paths = {f["path"] for f in candidates}
         keep = [f for f in old_manifest["files"] if f["path"] not in cand_paths]
-        paths = [os.path.join(_data_dir(table_dir), p) for p in sorted(cand_paths)]
-        reader = spark.read
-        if old_manifest.get("schema") is not None:
-            from pyspark.sql.types import StructType
-
-            reader = reader.schema(StructType.fromJson(json.loads(old_manifest["schema"])))
-        remaining = reader.parquet(*paths).filter(~F.coalesce(cond, F.lit(False)))
+        remaining = _read_entries(
+            spark, table_dir, candidates, old_manifest.get("schema")
+        ).filter(~F.coalesce(cond, F.lit(False)))
         new_entries = _write_txn_files(
             remaining, table_dir, old_version + 1,
             stats_cols=old_manifest.get("stats_cols"),
@@ -651,16 +684,17 @@ def vacuum(
 ) -> list[str]:
     """Delete data files no manifest in the retained tail references —
     orphans from crashed/conflicted transactions and buckets rewritten
-    since. A transaction directory targeting a version NEWER than the
-    latest commit (target version is embedded in the directory name)
-    is either an in-flight writer or a crashed one — the filesystem
-    can't tell, so those files are swept only once older than
-    ``retention_seconds`` (Delta's vacuum-retention rule: any live
-    writer finishes well inside the window; ≤-latest directories can
-    never be committed again, so they're swept unconditionally).
-    Returns the deleted paths. Also drops manifests older than the
-    retained tail, which bounds time travel to ``keep_versions``
-    commits."""
+    since. Every unreferenced file is swept only once older than
+    ``retention_seconds`` (Delta's vacuum-retention rule): a fresh
+    unreferenced file may belong to an in-flight writer that hasn't
+    committed yet — including one whose target version a competitor
+    just took, which is about to hit CommitConflict and retry — and
+    the filesystem can't tell those from crash orphans, so age is the
+    only safe discriminator. Any live writer finishes well inside the
+    window. Returns the deleted paths. Also drops manifests older
+    than the retained tail, which bounds time travel (and the
+    change-data feed, which reads version-1's manifest) to
+    ``keep_versions`` commits."""
     import time
     versions = list_versions(table_dir)
     if not versions:
@@ -670,7 +704,6 @@ def vacuum(
     for v in retained:
         for f in read_manifest(table_dir, v)["files"]:
             referenced.add(f["path"])
-    latest = versions[-1]
     deleted: list[str] = []
     data = _data_dir(table_dir)
     if os.path.isdir(data):
@@ -678,8 +711,6 @@ def vacuum(
         for txn in sorted(os.listdir(data)):
             if not txn.startswith("txn-"):
                 continue
-            target_version = int(txn.split("-")[1])
-            maybe_inflight = target_version > latest
             txn_abs = os.path.join(data, txn)
             for root, _dirs, names in os.walk(txn_abs):
                 for name in names:
@@ -687,7 +718,7 @@ def vacuum(
                     rel = os.path.relpath(full, data)
                     if not name.endswith(".parquet") or rel in referenced:
                         continue
-                    if maybe_inflight and now - os.stat(full).st_mtime < retention_seconds:
+                    if now - os.stat(full).st_mtime < retention_seconds:
                         continue  # could be a live writer's staging
                     os.remove(full)
                     deleted.append(rel)

@@ -190,3 +190,41 @@ def test_avi_frame_metrics_matches_formula(spark, sf_small):
         assert r.frame_idx in (0, 3, 6, 9)
         assert r.first_px == int(px[0])
         assert r.weighted_sum == int(((i + 1) * px).sum())
+
+
+def test_avi_top_down_dib_decodes_unmirrored():
+    """Spec-valid top-down AVIs (negative biHeight) must decode with
+    rows in the right order, not silently mirrored."""
+    import struct
+
+    from real_time_event_streaming_pipeline_spark.operators.avi import (
+        _row_stride,
+        decode_avi,
+        encode_avi,
+    )
+
+    h, w = 4, 3
+    frames = np.arange(2 * h * w * 3, dtype=np.uint8).reshape(2, h, w, 3)
+    data = bytearray(encode_avi(frames, 10))
+    # flip biHeight (strf body: biSize(4) biWidth(4) then biHeight)
+    at = bytes(data).index(b"strf") + 8 + 8
+    data[at : at + 4] = struct.pack("<i", -h)
+    # rewrite each 00db chunk's rows from bottom-up to top-down order
+    # (idx1 entries also contain the fourcc, but their length field is
+    # the flags word, filtered out by the exact-frame-size guard)
+    stride = _row_stride(w)
+    fsize = stride * h
+    pos = 0
+    while True:
+        pos = bytes(data).find(b"00db", pos)
+        if pos < 0:
+            break
+        (length,) = struct.unpack("<I", bytes(data[pos + 4 : pos + 8]))
+        if length == fsize:
+            body = bytes(data[pos + 8 : pos + 8 + length])
+            rows = [body[i * stride : (i + 1) * stride] for i in range(h)]
+            data[pos + 8 : pos + 8 + length] = b"".join(reversed(rows))
+        pos += 4
+    out, fps = decode_avi(bytes(data))
+    assert fps == 10
+    assert (out == frames).all()

@@ -678,3 +678,65 @@ def test_tx_clustered_compaction_sharpens_data_skipping(spark, tmp_path):
     df = tx_table.read_table(spark, tx, between={"v": (0, 49)})
     got = {(r.k, r.v) for r in df.filter(F.col("v").between(0, 49)).select("k", "v").collect()}
     assert got == {(k, x) for k, x in rows if x <= 49}
+
+
+def test_tx_schema_gate_holds_on_empty_buckets(spark, tmp_path):
+    """Review regression: an upsert whose keys land only in buckets
+    holding no files must STILL be schema-gated against the manifest,
+    and an evolved table's schema must never be narrowed by a
+    narrow-batch upsert into empty buckets."""
+    tx = str(tmp_path / "tx")
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 1)]), ["k"], n_buckets=64,
+                    order_col="v", epoch_id=0)
+    wide = spark.createDataFrame([("a", 2, "web")], "k string, v int, src string")
+    tx_table.upsert(spark, tx, wide, ["k"], n_buckets=64, order_col="v",
+                    epoch_id=1, merge_schema=True)
+    # find a key hashing to a bucket with no files
+    probe = spark.createDataFrame([(f"p{i}",) for i in range(200)], "k string")
+    used = {f["kb"] for f in tx_table.read_manifest(tx, 1)["files"]}
+    empt = probe.select(
+        "k", F.pmod(F.xxhash64("k"), F.lit(64)).cast("int").alias("kb")
+    ).filter(~F.col("kb").isin(*used)).first()
+    assert empt is not None
+    narrow = _batch(spark, [(empt.k, 9)])
+    with pytest.raises(ValueError, match="merge_schema"):
+        tx_table.upsert(spark, tx, narrow, ["k"], n_buckets=64, order_col="v",
+                        epoch_id=2)
+    tx_table.upsert(spark, tx, narrow, ["k"], n_buckets=64, order_col="v",
+                    epoch_id=2, merge_schema=True)
+    df = tx_table.read_table(spark, tx)
+    assert "src" in df.columns  # schema not narrowed
+    got = {(r.k, r.v, r.src) for r in df.select("k", "v", "src").collect()}
+    assert got == {("a", 2, "web"), (empt.k, 9, None)}
+
+
+def test_tx_bucketing_identity_enforced(spark, tmp_path):
+    """Review regression: an upsert with a different n_buckets or
+    key_cols than the table's manifest must refuse loudly (a silent
+    mismatch would scatter one key across two buckets and break LWW)."""
+    tx = str(tmp_path / "tx")
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 1)]), ["k"], n_buckets=8,
+                    order_col="v", epoch_id=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        tx_table.upsert(spark, tx, _batch(spark, [("a", 2)]), ["k"], n_buckets=16,
+                        order_col="v", epoch_id=1)
+
+
+def test_tx_atomic_retention_expiring_everything(spark, tmp_path):
+    """Review regression: retention that expires every row (and a
+    second pass over the already-empty table) must return zeros, not
+    crash on the empty manifest."""
+    from real_time_event_streaming_pipeline_spark.streaming.pipeline import (
+        PipelineConfig,
+        run_retention,
+    )
+
+    cfg = PipelineConfig(out_dir=str(tmp_path), with_ttl=True, atomic=True)
+    table = cfg.path("raw_events")
+    rows = spark.createDataFrame([("e1", 100), ("e2", 200)], "event_key string, ttl long")
+    tx_table.upsert(spark, table, rows, ["event_key"], n_buckets=4,
+                    order_col="ttl", epoch_id=0, stats_cols=["ttl"])
+    stats = run_retention(spark, cfg, now_epoch=10_000)
+    assert stats == {"expired_rows": 2, "rows_after": 0}
+    stats2 = run_retention(spark, cfg, now_epoch=10_000)
+    assert stats2 == {"expired_rows": 0, "rows_after": 0}
