@@ -276,6 +276,22 @@ def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame
     return res
 
 
+def table_count(table_dir: str, version: int | None = None) -> int | None:
+    """COUNT(*) from manifest metadata alone — zero data files read
+    (Delta's numRecords answer). Available when every live file
+    carries the per-file row count the stats pass records; returns
+    None otherwise (stats were never enabled), so callers can fall
+    back to a real count."""
+    snap = snapshot(table_dir, version)
+    if snap is None:
+        return 0
+    _, manifest = snap
+    counts = [f.get("n_rows") for f in manifest["files"]]
+    if any(c is None for c in counts):
+        return None
+    return sum(counts)
+
+
 def history(table_dir: str) -> list[dict]:
     """Commit log, oldest first: version / op / epoch per entry."""
     out = []
@@ -335,7 +351,7 @@ def _attach_file_stats(spark, table_dir: str, entries: list[dict], stats_cols: l
     by_path = {os.path.join(_data_dir(table_dir), e["path"]): e for e in entries}
     if not by_path:
         return
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"_min_{c}"))
         aggs.append(F.max(c).alias(f"_max_{c}"))
@@ -360,6 +376,7 @@ def _attach_file_stats(spark, table_dir: str, entries: list[dict], stats_cols: l
             if len(matches) != 1:
                 raise ValueError(f"cannot match stats row to file: {r['_file']}")
             entry = matches[0]
+        entry["n_rows"] = int(r["_n_rows"])
         entry["stats"] = {
             c: [scalar(r[f"_min_{c}"]), scalar(r[f"_max_{c}"])] for c in stats_cols
         }

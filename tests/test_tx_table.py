@@ -740,3 +740,30 @@ def test_tx_atomic_retention_expiring_everything(spark, tmp_path):
     assert stats == {"expired_rows": 2, "rows_after": 0}
     stats2 = run_retention(spark, cfg, now_epoch=10_000)
     assert stats2 == {"expired_rows": 0, "rows_after": 0}
+
+
+def test_tx_metadata_only_count(spark, tmp_path):
+    """With stats enabled, COUNT(*) is answered from the manifest
+    alone and tracks upserts, deletes, and compaction; without stats
+    it returns None (caller falls back to a real count)."""
+    tx = str(tmp_path / "tx")
+    rows = [(f"key{i}", i) for i in range(30)]
+    tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=4,
+                    order_col="v", epoch_id=0, stats_cols=["v"])
+    assert tx_table.table_count(tx) == 30 == tx_table.read_table(spark, tx).count()
+    tx_table.upsert(spark, tx, _batch(spark, [("key3", 99), ("new", 1)]), ["k"],
+                    n_buckets=4, order_col="v", epoch_id=1)
+    assert tx_table.table_count(tx) == 31  # one update + one insert
+    tx_table.delete(spark, tx, spark.createDataFrame([("key7",)], "k string"),
+                    epoch_id=2)
+    assert tx_table.table_count(tx) == 30
+    v = tx_table.compact(spark, tx)
+    assert tx_table.table_count(tx, version=v) == 30
+    assert tx_table.table_count(tx, version=0) == 30
+
+    # stats never enabled -> None, not a wrong number
+    bare = str(tmp_path / "bare")
+    tx_table.upsert(spark, bare, _batch(spark, rows), ["k"], n_buckets=4,
+                    order_col="v", epoch_id=0)
+    assert tx_table.table_count(bare) is None
+    assert tx_table.table_count(str(tmp_path / "missing")) == 0
