@@ -469,7 +469,10 @@ def q_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import tx_table
 
-    orders = load(spark, sf_dir, "orders")
+    # the %4 slice keeps the query SF-proportional while bounding the
+    # three full table rewrites the ACID exercise performs — the
+    # machinery exercised is identical at any slice
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 1)
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     base = orders.select(
         F.col("o_orderkey").alias("k"), cents.alias("val_cents")
@@ -510,6 +513,7 @@ SELECT o_orderkey,
                 WHEN o_orderkey % 5 = 0 THEN 1
                 ELSE 0 END AS BIGINT) AS val_cents
 FROM orders
+WHERE o_orderkey % 4 = 1
 """
 
 

@@ -568,6 +568,7 @@ _OP = st.one_of(
     ),
     st.tuples(st.just("delete"), st.lists(st.sampled_from(_KEYS), min_size=1,
                                           max_size=2, unique=True)),
+    st.tuples(st.just("delete_where"), st.integers(0, 999)),
 )
 
 
@@ -575,9 +576,10 @@ _OP = st.one_of(
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_tx_model_based_dml_sequences(spark, tmp_path_factory, ops):
-    """Any sequence of keyed upserts and deletes must leave the table
-    exactly where a driver-side dict model lands — and every historical
-    version must equal the model's state at that point."""
+    """Any sequence of keyed upserts, keyed deletes, and predicate
+    deletes must leave the table exactly where a driver-side dict
+    model lands — and every historical version must equal the model's
+    state at that point."""
     tmp = tmp_path_factory.mktemp("txmodel")
     tx = str(tmp / "t")
     model: dict[str, int] = {}
@@ -588,6 +590,12 @@ def test_tx_model_based_dml_sequences(spark, tmp_path_factory, ops):
             v = tx_table.upsert(spark, tx, _batch(spark, payload), ["k"],
                                 n_buckets=4, order_col="v", epoch_id=i)
             model.update(dict(payload))
+        elif kind == "delete_where":
+            if last_version < 0:
+                continue  # delete on an empty table raises by contract
+            v = tx_table.delete_where(spark, tx, F.col("v") <= payload,
+                                      epoch_id=i)
+            model = {k: x for k, x in model.items() if x > payload}
         else:
             if last_version < 0:
                 continue  # delete on an empty table raises by contract
