@@ -1,0 +1,187 @@
+"""Streaming change-data-feed SOURCE over the transactional table —
+the read-side completion of tx_table's write path: downstream
+consumers subscribe to the table's commit log as a Structured
+Streaming source instead of re-scanning snapshots.
+
+Built on the Spark 4 Python DataSource API (same pattern as
+sources/pydatasource.py): the offset cursor is the COMMIT VERSION, so
+`latestOffset` just lists the `_log/` directory, `partitions(start,
+end)` yields one input partition per committed version, and `read`
+reconstructs that version's change rows — insert / update_preimage /
+update_postimage / delete, exactly tx_table.read_changes' contract —
+executor-side with pyarrow+pandas (a DataSource reader runs as plain
+Python on executors; no SparkSession exists there, so the manifest
+diff is recomputed file-locally instead of delegating to the
+DataFrame implementation; parity between the two is pinned in
+tests/test_tx_cdf_stream.py).
+
+Replayability: versions are immutable once committed and their data
+files are retained until vacuum, so any [start, end) offset range
+re-reads identical rows — the Kafka-offset contract checkpoint
+recovery needs. Vacuum interplay: keep_versions must cover the
+consumer's lag (the same rule as tx_table.read_changes).
+
+    spark.dataSource.register(TxChangeFeedDataSource)
+    spark.readStream.format("txcdf").option("table_dir", path).load()
+
+Schema: the table's manifest schema (resolved at plan time,
+driver-side) plus `_change_type string` and `_commit_version long`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from . import tx_table
+
+
+class _VersionPartition(InputPartition):
+    def __init__(self, table_dir: str, version: int):
+        self.table_dir = table_dir
+        self.version = version
+
+
+def _load_entries(table_dir: str, entries: list[dict], field_names: list[str]):
+    """Concatenate manifest entries into one pandas frame aligned to
+    the manifest schema (files from before an additive evolution are
+    missing columns: reindex fills them with None)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    if not entries:
+        return pd.DataFrame(columns=field_names)
+    frames = []
+    for e in entries:
+        t = pq.read_table(os.path.join(table_dir, "data", e["path"]))
+        frames.append(t.to_pandas())
+    df = pd.concat(frames, ignore_index=True)
+    for c in field_names:
+        if c not in df.columns:
+            df[c] = None
+    return df[field_names]
+
+
+def _changes_for_version(table_dir: str, version: int, field_names: list[str]):
+    """Pure-Python twin of tx_table.read_changes for one version:
+    (change_type, row) pandas frame. Must stay semantically identical
+    — the parity test drives both over the same history."""
+    import pandas as pd
+
+    m_v = tx_table.read_manifest(table_dir, version)
+    if m_v["op"] == "compact":
+        return pd.DataFrame(columns=[*field_names, "_change_type"])
+    key_cols = m_v["key_cols"]
+    if version > 0:
+        m_prev = tx_table.read_manifest(table_dir, version - 1)
+        prev_paths = {f["path"] for f in m_prev["files"]}
+        cur_paths = {f["path"] for f in m_v["files"]}
+        new_entries = [f for f in m_v["files"] if f["path"] not in prev_paths]
+        prev_files = [f for f in m_prev["files"] if f["path"] not in cur_paths]
+    else:
+        new_entries, prev_files = m_v["files"], []
+    cur = _load_entries(table_dir, new_entries, field_names)
+    prev = _load_entries(table_dir, prev_files, field_names)
+
+    epoch = m_v.get("epoch")
+    eff = int(epoch) if epoch is not None else version
+    post = cur[cur["_epoch"] == eff] if m_v["op"] == "upsert" else cur.iloc[0:0]
+
+    def keyed(df):
+        return df[key_cols].drop_duplicates()
+
+    out = []
+    if len(post) and len(prev):
+        post_keys = keyed(post)
+        pre = prev.merge(post_keys, on=key_cols, how="inner")
+        updated = keyed(pre)
+        out.append(pre.assign(_change_type="update_preimage"))
+        upd_post = post.merge(updated, on=key_cols, how="inner")
+        out.append(upd_post.assign(_change_type="update_postimage"))
+        ins = post.merge(updated, on=key_cols, how="left", indicator=True)
+        ins = ins[ins["_merge"] == "left_only"].drop(columns="_merge")
+        out.append(ins.assign(_change_type="insert"))
+    elif len(post):
+        out.append(post.assign(_change_type="insert"))
+    if len(prev):
+        cur_keys = keyed(cur) if len(cur) else cur[key_cols]
+        dele = prev.merge(cur_keys, on=key_cols, how="left", indicator=True)
+        dele = dele[dele["_merge"] == "left_only"].drop(columns="_merge")
+        if len(dele):
+            out.append(dele.assign(_change_type="delete"))
+    if not out:
+        return pd.DataFrame(columns=[*field_names, "_change_type"])
+    return pd.concat(out, ignore_index=True)
+
+
+class _TxChangeFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, options, fields):
+        self.table_dir = options["table_dir"]
+        self.start_version = int(options.get("start_version", 0))
+        self.fields = fields  # [(name, typeName), ...] minus the CDF columns
+
+    def initialOffset(self):
+        return {"version": self.start_version}
+
+    def latestOffset(self):
+        latest = tx_table.latest_version(self.table_dir)
+        return {"version": (latest + 1) if latest is not None else self.start_version}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _VersionPartition(self.table_dir, v)
+            for v in range(start["version"], end["version"])
+        ]
+
+    def read(self, partition: _VersionPartition):
+        import pandas as pd
+
+        names = [n for n, _ in self.fields]
+        df = _changes_for_version(partition.table_dir, partition.version, names)
+        integer = {n for n, t in self.fields if t in ("long", "integer", "short", "byte")}
+        for rec in df.to_dict("records"):
+            vals = []
+            for name, _t in self.fields:
+                v = rec[name]
+                if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+                    vals.append(None)
+                elif name in integer:
+                    # pandas widens int columns holding NaN to float;
+                    # restore the declared integer type
+                    vals.append(int(v))
+                else:
+                    vals.append(v)
+            yield (*vals, rec["_change_type"], int(partition.version))
+
+    def commit(self, end: dict) -> None:
+        pass  # log versions are immutable; nothing to release
+
+
+class TxChangeFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "txcdf"
+
+    def _table_struct(self):
+        from pyspark.sql.types import StructType
+
+        snap = tx_table.snapshot(self.options["table_dir"])
+        if snap is None or snap[1].get("schema") is None:
+            raise ValueError("txcdf needs an existing table with a manifest schema")
+        return StructType.fromJson(json.loads(snap[1]["schema"]))
+
+    def schema(self):
+        from pyspark.sql.types import LongType, StringType, StructType
+
+        st = StructType(list(self._table_struct().fields))
+        return st.add("_change_type", StringType()).add("_commit_version", LongType())
+
+    def streamReader(self, schema):
+        fields = [(f.name, f.dataType.typeName()) for f in self._table_struct().fields]
+        return _TxChangeFeedStreamReader(self.options, fields)

@@ -1,0 +1,128 @@
+"""The streaming change-data-feed source over the transactional table
+(streaming/tx_cdf_source.py): version-offset drain, parity with the
+DataFrame read_changes implementation, and checkpointed resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_pipeline_spark.streaming import tx_table
+from real_time_event_streaming_pipeline_spark.streaming.tx_cdf_source import (
+    TxChangeFeedDataSource,
+)
+
+EPOCHS = [
+    [("a", 1), ("b", 2), ("c", 3), ("d", 4)],
+    [("a", 9), ("e", 5)],
+    [("b", 7), ("a", 8)],
+]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def _build(spark, tx):
+    for i, rows in enumerate(EPOCHS):
+        tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=2,
+                        order_col="v", epoch_id=i)
+    tx_table.delete(spark, tx, spark.createDataFrame([("c",)], "k string"),
+                    epoch_id=10)
+
+
+def _drain(spark, tx, ck, start_version=None):
+    opts = {"table_dir": tx}
+    if start_version is not None:
+        opts["start_version"] = str(start_version)
+    reader = spark.readStream.format("txcdf")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    name = f"cdf_{abs(hash((tx, ck))) % 10**8}"
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.sql(f"SELECT k, v, _change_type, _commit_version FROM {name}").collect()
+    }
+
+
+def test_cdf_stream_matches_batch_read_changes(spark, tmp_path):
+    spark.dataSource.register(TxChangeFeedDataSource)
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)
+    got = _drain(spark, tx, str(tmp_path / "ck"))
+
+    want = set()
+    for v in range(tx_table.latest_version(tx) + 1):
+        df = tx_table.read_changes(spark, tx, v)
+        if df is None:
+            continue
+        want |= {
+            (r.k, r.v, r._change_type, v)
+            for r in df.select("k", "v", "_change_type").collect()
+        }
+    assert got == want
+    assert {ct for _, _, ct, _ in got} == {
+        "insert", "update_preimage", "update_postimage", "delete"
+    }
+
+
+def test_cdf_stream_checkpoint_resume_sees_only_new_commits(spark, tmp_path):
+    """Restarting from the checkpoint after new commits appends
+    exactly the new versions' changes (file sink: the memory sink
+    cannot recover from a checkpoint) — the version cursor is the
+    offset, so nothing replays and nothing is skipped."""
+    spark.dataSource.register(TxChangeFeedDataSource)
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drain_to_parquet():
+        q = (
+            spark.readStream.format("txcdf")
+            .option("table_dir", tx)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.k, r.v, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out)
+            .select("k", "v", "_change_type", "_commit_version")
+            .collect()
+        }
+
+    first = drain_to_parquet()
+    assert first
+
+    tx_table.upsert(spark, tx, _batch(spark, [("z", 100), ("a", 50)]), ["k"],
+                    n_buckets=2, order_col="v", epoch_id=20)
+    v_new = tx_table.latest_version(tx)
+    second = drain_to_parquet()
+    assert second - first == {
+        ("z", 100, "insert", v_new),
+        ("a", 8, "update_preimage", v_new),
+        ("a", 50, "update_postimage", v_new),
+    }
+
+
+def test_cdf_stream_start_version_skips_history(spark, tmp_path):
+    spark.dataSource.register(TxChangeFeedDataSource)
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)
+    last = tx_table.latest_version(tx)
+    got = _drain(spark, tx, str(tmp_path / "ck2"), start_version=last)
+    assert got == {("c", 3, "delete", last)}
