@@ -126,3 +126,56 @@ def test_cdf_stream_start_version_skips_history(spark, tmp_path):
     last = tx_table.latest_version(tx)
     got = _drain(spark, tx, str(tmp_path / "ck2"), start_version=last)
     assert got == {("c", 3, "delete", last)}
+
+
+def test_cdf_stream_mirrors_atomic_pipeline_table(spark, sf_small, tmp_path):
+    """The whole loop: the 4-query atomic pipeline lands its Q2 table
+    through manifest commits; a txcdf subscriber drains the change
+    feed and reconstructs the table from changes ALONE (last
+    post-image/insert per key by commit version, minus deletes) —
+    byte-equal to reading the final snapshot. This is the guarantee a
+    downstream CDC consumer (cache, search index, replica) needs."""
+    from real_time_event_streaming_pipeline_spark.sources import events_file_stream
+    from real_time_event_streaming_pipeline_spark.streaming.pipeline import (
+        PipelineConfig,
+        run_to_completion,
+        start_pipeline,
+    )
+
+    cfg = PipelineConfig(out_dir=str(tmp_path / "pipe"), atomic=True, upsert_buckets=4)
+    run_to_completion(start_pipeline(spark, events_file_stream(spark, sf_small), cfg))
+    table = cfg.path("aggregations")
+
+    spark.dataSource.register(TxChangeFeedDataSource)
+    name = "cdf_pipeline_mirror"
+    q = (
+        spark.readStream.format("txcdf")
+        .option("table_dir", table)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    changes = spark.sql(f"SELECT * FROM {name}")
+    w_cols = [c for c in changes.columns if c not in ("_change_type", "_commit_version")]
+    from pyspark.sql import Window
+
+    live = (
+        changes.filter(F.col("_change_type").isin("insert", "update_postimage", "delete"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("partition_key").orderBy(F.desc("_commit_version"))
+            ),
+        )
+        .filter((F.col("_rn") == 1) & (F.col("_change_type") != "delete"))
+        .select(*w_cols)
+    )
+    mirror = {tuple(r) for r in live.collect()}
+    snapshot = {tuple(r) for r in tx_table.read_table(spark, table).select(*w_cols).collect()}
+    assert mirror == snapshot and mirror
