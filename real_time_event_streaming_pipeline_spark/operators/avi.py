@@ -146,19 +146,28 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("AVI length field mismatch")
 
     avih = strh = strf = None
+    strl_seen = 0
     dibs: list[bytes] = []
 
-    def walk_list(pos: int, end: int) -> None:
-        nonlocal avih, strh, strf
+    def walk_list(pos: int, end: int, in_first_strl: bool = False) -> None:
+        nonlocal avih, strh, strf, strl_seen
         for tag, body_start, length in _walk_chunks(data, pos, end):
             body_end = body_start + length
             if tag == b"LIST":
-                walk_list(body_start + 4, body_end)  # skip the list type
+                # stream headers bind per 'strl' LIST: only the FIRST
+                # strl's strh/strf describe stream 0 — later strls
+                # (audio, subtitles) are legal and ignored here
+                list_type = bytes(data[body_start : body_start + 4])
+                first = False
+                if list_type == b"strl":
+                    first = strl_seen == 0
+                    strl_seen += 1
+                walk_list(body_start + 4, body_end, in_first_strl=first)
             elif tag == b"avih":
                 avih = struct.unpack("<14I", data[body_start : body_start + 56])
-            elif tag == b"strh":
+            elif tag == b"strh" and in_first_strl:
                 strh = bytes(data[body_start:body_end])
-            elif tag == b"strf":
+            elif tag == b"strf" and in_first_strl:
                 strf = struct.unpack("<IiiHHIIiiII", data[body_start : body_start + 40])
             elif tag in (b"00db", b"00dc"):
                 dibs.append(bytes(data[body_start:body_end]))

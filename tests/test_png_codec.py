@@ -228,3 +228,68 @@ def test_avi_top_down_dib_decodes_unmirrored():
     out, fps = decode_avi(bytes(data))
     assert fps == 10
     assert (out == frames).all()
+
+
+def test_avi_extra_audio_stream_ignored():
+    """A spec-valid multi-stream AVI (video strl first, audio strl
+    second) must decode the video stream; before the per-strl header
+    fix the walker kept the LAST strh/strf and rejected the file as
+    'first AVI stream is not video' (ADVICE r4)."""
+    import struct
+
+    from real_time_event_streaming_pipeline_spark.operators.avi import (
+        _chunk,
+        _list,
+        decode_avi,
+        encode_avi,
+    )
+
+    h, w = 4, 3
+    frames = np.arange(2 * h * w * 3, dtype=np.uint8).reshape(2, h, w, 3) % 251
+    base = encode_avi(frames, 10)
+
+    # splice an audio 'strl' after the video one and a '01wb' audio
+    # chunk into movi, rebuilding the RIFF framing with the module's
+    # own chunk helpers
+    audio_strh = (
+        b"auds"
+        + b"\x00\x00\x00\x00"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 16, 32, 0, 2)
+        + struct.pack("<4h", 0, 0, 0, 0)
+    )
+    # WAVEFORMATEX-ish blob; strf length for audio streams is format-
+    # specific, the walker must not unpack it with the video layout
+    audio_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    audio_strl = _list(b"strl", _chunk(b"strh", audio_strh) + _chunk(b"strf", audio_strf))
+
+    body = bytearray(base[12:])  # after RIFF header + 'AVI '
+    hdrl_at = bytes(body).index(b"hdrl") - 8
+    (hdrl_len,) = struct.unpack("<I", bytes(body[hdrl_at + 4 : hdrl_at + 8]))
+    hdrl_end = hdrl_at + 8 + hdrl_len
+    body[hdrl_end:hdrl_end] = b""  # no-op, keep indices obvious
+    body[hdrl_at + 4 : hdrl_at + 8] = struct.pack("<I", hdrl_len + len(audio_strl))
+    body[hdrl_end:hdrl_end] = audio_strl
+
+    movi_at = bytes(body).index(b"movi") - 8
+    (movi_len,) = struct.unpack("<I", bytes(body[movi_at + 4 : movi_at + 8]))
+    movi_end = movi_at + 8 + movi_len
+    audio_chunk = _chunk(b"01wb", b"\x01\x02\x03\x04")
+    body[movi_at + 4 : movi_at + 8] = struct.pack("<I", movi_len + len(audio_chunk))
+    body[movi_end:movi_end] = audio_chunk
+
+    data = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + bytes(body)
+    out, fps = decode_avi(data)
+    assert fps == 10
+    assert (out == frames).all()
+
+    # and an AVI whose FIRST stream is audio still fails loudly
+    swapped = bytearray(base[12:])
+    # the video strl LIST chunk starts 8 bytes before its 'strl' fourcc
+    v_strl_at = bytes(swapped).index(b"strl") - 8
+    hdrl_at2 = bytes(swapped).index(b"hdrl") - 8
+    (h_len,) = struct.unpack("<I", bytes(swapped[hdrl_at2 + 4 : hdrl_at2 + 8]))
+    swapped[hdrl_at2 + 4 : hdrl_at2 + 8] = struct.pack("<I", h_len + len(audio_strl))
+    swapped[v_strl_at:v_strl_at] = audio_strl
+    data2 = b"RIFF" + struct.pack("<I", len(swapped) + 4) + b"AVI " + bytes(swapped)
+    with pytest.raises(ValueError, match="not video"):
+        decode_avi(data2)
