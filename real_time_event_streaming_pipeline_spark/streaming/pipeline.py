@@ -179,18 +179,35 @@ def run_retention(spark: SparkSession, cfg: PipelineConfig, now_epoch: int) -> d
     if cfg.atomic:
         table = cfg.path("raw_events")
 
-        def _count(df) -> int:
+        def _count_at(version: int) -> int:
+            # manifest n_rows stats first (stats_cols=['ttl'] implies
+            # per-file counts, so this is metadata-only); real count()
+            # only when some live file predates the stats pass
+            c = tx_table.table_count(table, version)
+            if c is not None:
+                return c
+            df = tx_table.read_table(spark, table, version=version)
             return 0 if df is None else df.count()  # None: every file gone
 
-        before = _count(tx_table.read_table(spark, table))
-        if before:
-            tx_table.delete_where(
-                spark,
-                table,
-                F.col("ttl") <= F.lit(int(now_epoch)),
-                between={"ttl": (None, int(now_epoch))},
-            )
-        after = _count(tx_table.read_table(spark, table))
+        v0 = tx_table.latest_version(table)
+        if v0 is None:
+            return {"expired_rows": 0, "rows_after": 0}
+        v_new = tx_table.delete_where(
+            spark,
+            table,
+            F.col("ttl") <= F.lit(int(now_epoch)),
+            between={"ttl": (None, int(now_epoch))},
+        )
+        after = _count_at(v_new)
+        if v_new == v0 or tx_table.read_manifest(table, v_new)["op"] != "delete_where":
+            # stats-proven no-op: delete_where returned its snapshot
+            # version (ours, or a concurrent writer's) without
+            # committing anything — including the idempotent repeat,
+            # where the snapshot is a PAST retention commit
+            return {"expired_rows": 0, "rows_after": after}
+        # both counts come from the pinned manifest versions around the
+        # retention commit, so a concurrent writer can't skew the delta
+        before = _count_at(v_new - 1)
         return {"expired_rows": before - after, "rows_after": after}
     return compact_parquet(
         spark, cfg.path("raw_events"), ttl_col="ttl", now_epoch=now_epoch

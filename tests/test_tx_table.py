@@ -775,3 +775,27 @@ def test_tx_metadata_only_count(spark, tmp_path):
                     order_col="v", epoch_id=0)
     assert tx_table.table_count(bare) is None
     assert tx_table.table_count(str(tmp_path / "missing")) == 0
+
+
+def test_tx_retention_counts_without_stats_fallback(spark, tmp_path):
+    """run_retention's expired_rows must stay correct when the table
+    has no per-file n_rows stats (table_count returns None): the count
+    falls back to a real scan pinned to the same manifest versions."""
+    from real_time_event_streaming_pipeline_spark.streaming.pipeline import (
+        PipelineConfig,
+        run_retention,
+    )
+
+    cfg = PipelineConfig(out_dir=str(tmp_path), with_ttl=True, atomic=True)
+    table = cfg.path("raw_events")
+    rows = spark.createDataFrame(
+        [("e1", 100), ("e2", 200), ("e3", 300)], "event_key string, ttl long"
+    )
+    # NO stats_cols: prune keeps every file, counts use the scan path
+    tx_table.upsert(spark, table, rows, ["event_key"], n_buckets=4,
+                    order_col="ttl", epoch_id=0)
+    assert tx_table.table_count(table) is None
+    stats = run_retention(spark, cfg, now_epoch=150)
+    assert stats == {"expired_rows": 1, "rows_after": 2}
+    stats2 = run_retention(spark, cfg, now_epoch=150)
+    assert stats2 == {"expired_rows": 0, "rows_after": 2}
