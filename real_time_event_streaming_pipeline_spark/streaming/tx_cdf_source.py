@@ -89,8 +89,7 @@ def _changes_for_version(table_dir: str, version: int, field_names: list[str]):
     cur = _load_entries(table_dir, new_entries, field_names)
     prev = _load_entries(table_dir, prev_files, field_names)
 
-    epoch = m_v.get("epoch")
-    eff = int(epoch) if epoch is not None else version
+    eff = tx_table._commit_eff_epoch(m_v)
     post = cur[cur["_epoch"] == eff] if m_v["op"] == "upsert" else cur.iloc[0:0]
 
     def keyed(df):

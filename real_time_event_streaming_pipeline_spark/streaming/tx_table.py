@@ -84,6 +84,47 @@ class CommitConflict(RuntimeError):
     snapshot."""
 
 
+_DEFAULT_APP = "_default"
+
+
+def _ledger(manifest: dict) -> dict[str, list[int]]:
+    """The exactly-once epoch ledger, scoped per writer app id —
+    Delta's (txnAppId, txnVersion) idempotence pattern. Pre-r5
+    manifests recorded a bare list; normalize it to the default app
+    scope so old tables keep their replay protection."""
+    eps = manifest.get("epochs", {})
+    if isinstance(eps, list):
+        return {_DEFAULT_APP: list(eps)}
+    return {k: list(v) for k, v in eps.items()}
+
+
+def _seen_epoch(manifest: dict, app_id: str | None, epoch_id) -> bool:
+    if epoch_id is None:
+        return False
+    return int(epoch_id) in _ledger(manifest).get(app_id or _DEFAULT_APP, [])
+
+
+def _record_epoch(manifest: dict, app_id: str | None, epoch_id) -> dict:
+    led = _ledger(manifest)
+    if epoch_id is not None:
+        app = app_id or _DEFAULT_APP
+        led[app] = sorted(set(led.get(app, [])) | {int(epoch_id)})
+    return led
+
+
+def _next_epoch(manifest: dict) -> int:
+    """The LWW lineage value for a batch (no-epoch-id) upsert: one
+    past the largest _epoch any committed row can carry, so a batch
+    merge never silently loses the last-writer-wins dedup to OLDER
+    data just because stream epoch ids ran ahead of the version count
+    (ADVICE r4). max_epoch is recorded on every upsert commit;
+    pre-r5 manifests fall back to max(version, ledger epochs)."""
+    if "max_epoch" in manifest:
+        return int(manifest["max_epoch"]) + 1
+    recorded = [e for eps in _ledger(manifest).values() for e in eps]
+    return max([int(manifest.get("version", -1))] + recorded) + 1
+
+
 # ---------------------------------------------------------------- log
 
 
@@ -229,13 +270,8 @@ def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame
         new_entries = m_v["files"]
     cur = _read_entries(spark, table_dir, new_entries, m_v.get("schema"))
     prev = _read_entries(spark, table_dir, prev_files, m_v.get("schema"))
-    epoch = m_v.get("epoch")
-    if cur is not None and epoch is not None and m_v["op"] == "upsert":
-        post = cur.filter(F.col("_epoch") == int(epoch))
-    elif cur is not None and m_v["op"] == "upsert":
-        # batch upsert without an epoch id: the effective epoch is the
-        # version number (see upsert's eff_epoch)
-        post = cur.filter(F.col("_epoch") == version)
+    if cur is not None and m_v["op"] == "upsert":
+        post = cur.filter(F.col("_epoch") == _commit_eff_epoch(m_v))
     else:
         post = None  # delete ops introduce no rows
     out = []
@@ -274,6 +310,17 @@ def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+def _commit_eff_epoch(manifest: dict) -> int:
+    """The _epoch lineage value an upsert commit stamped on its rows.
+    Recorded as eff_epoch since r5; older manifests used the caller's
+    epoch id, or the version number for batch upserts."""
+    eff = manifest.get("eff_epoch")
+    if eff is not None:
+        return int(eff)
+    epoch = manifest.get("epoch")
+    return int(epoch) if epoch is not None else int(manifest["version"])
 
 
 def table_count(table_dir: str, version: int | None = None) -> int | None:
@@ -422,6 +469,7 @@ def upsert(
     max_retries: int = 20,
     stats_cols: list[str] | None = None,
     merge_schema: bool = False,
+    app_id: str | None = None,
 ) -> int:
     """Merge a batch into the table with last-writer-wins semantics per
     key, committing atomically across every affected bucket. Returns
@@ -436,14 +484,24 @@ def upsert(
     schema is recorded on the manifest, rows/files missing a column
     read back as NULL (Delta's mergeSchema contract); without the
     flag a column-set mismatch fails loudly.
-    """
+
+    Exactly-once scoping: the replay ledger is keyed by ``app_id``
+    (Delta's txnAppId/txnVersion pattern), so two independent writers
+    with overlapping epoch counters never swallow each other's
+    batches. An app_id identifies a (query, checkpoint) pair — a
+    stream restarted with a FRESH checkpoint restarts its epoch ids
+    at 0 and must therefore present a new app_id, or its first
+    batches are treated as replays. When ``epoch_id`` is given it is
+    also the row lineage value ``_epoch`` (the caller owns LWW
+    ordering across its epochs); a batch upsert without one gets
+    max(all prior _epoch)+1, so it beats every committed row."""
     kb = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast("int")
     for _ in range(max_retries):
         snap = snapshot(table_dir)
         old_version = -1 if snap is None else snap[0]
-        old_manifest = {"files": [], "epochs": []} if snap is None else snap[1]
-        if epoch_id is not None and int(epoch_id) in old_manifest.get("epochs", []):
-            return old_version  # replayed epoch: already folded in
+        old_manifest = {"files": [], "epochs": {}} if snap is None else snap[1]
+        if _seen_epoch(old_manifest, app_id, epoch_id):
+            return old_version  # replayed epoch (this app): already folded in
         if snap is not None:
             # the bucketing function is the table's physical identity:
             # a different n_buckets/key_cols would scatter a key across
@@ -454,7 +512,7 @@ def upsert(
                     f"n_buckets={old_manifest['n_buckets']}); caller passed "
                     f"({key_cols}, n_buckets={n_buckets})"
                 )
-        eff_epoch = int(epoch_id) if epoch_id is not None else old_version + 1
+        eff_epoch = int(epoch_id) if epoch_id is not None else _next_epoch(old_manifest)
         # persist: the batch is evaluated for the affected-bucket scan
         # AND the merged write (and again on every conflict retry) — an
         # expensive upstream plan must not run twice per attempt
@@ -518,7 +576,10 @@ def upsert(
                 "version": old_version + 1,
                 "op": "upsert",
                 "epoch": epoch_id if epoch_id is None else int(epoch_id),
-                "epochs": sorted(old_manifest.get("epochs", []) + ([int(epoch_id)] if epoch_id is not None else [])),
+                "eff_epoch": eff_epoch,
+                "app_id": app_id,
+                "epochs": _record_epoch(old_manifest, app_id, epoch_id),
+                "max_epoch": max(eff_epoch, _next_epoch(old_manifest) - 1),
                 "key_cols": key_cols,
                 "n_buckets": n_buckets,
                 "stats_cols": eff_stats,
@@ -541,6 +602,7 @@ def delete(
     keys: DataFrame,
     epoch_id: int | None = None,
     max_retries: int = 20,
+    app_id: str | None = None,
 ) -> int:
     """Atomically delete every row whose key matches a row of ``keys``
     (columns must equal the table's key_cols) — the Delta DELETE /
@@ -555,7 +617,7 @@ def delete(
         if snap is None:
             raise ValueError(f"delete on empty table {table_dir}")
         old_version, old_manifest = snap
-        if epoch_id is not None and int(epoch_id) in old_manifest.get("epochs", []):
+        if _seen_epoch(old_manifest, app_id, epoch_id):
             return old_version
         key_cols = old_manifest["key_cols"]
         n_buckets = old_manifest["n_buckets"]
@@ -584,10 +646,9 @@ def delete(
             version=old_version + 1,
             op="delete",
             epoch=None if epoch_id is None else int(epoch_id),
-            epochs=sorted(
-                old_manifest.get("epochs", [])
-                + ([int(epoch_id)] if epoch_id is not None else [])
-            ),
+            eff_epoch=None,
+            app_id=app_id,
+            epochs=_record_epoch(old_manifest, app_id, epoch_id),
             files=keep + new_entries,
         )
         try:
@@ -605,6 +666,7 @@ def delete_where(
     between: dict | None = None,
     epoch_id: int | None = None,
     max_retries: int = 20,
+    app_id: str | None = None,
 ) -> int:
     """Atomically delete every row matching ``condition`` (a Column or
     SQL string) — Delta's DELETE WHERE, with file skipping: when
@@ -624,7 +686,7 @@ def delete_where(
         if snap is None:
             raise ValueError(f"delete_where on empty table {table_dir}")
         old_version, old_manifest = snap
-        if epoch_id is not None and int(epoch_id) in old_manifest.get("epochs", []):
+        if _seen_epoch(old_manifest, app_id, epoch_id):
             return old_version
         candidates = (
             prune_files(old_manifest, between) if between else old_manifest["files"]
@@ -645,10 +707,9 @@ def delete_where(
             version=old_version + 1,
             op="delete_where",
             epoch=None if epoch_id is None else int(epoch_id),
-            epochs=sorted(
-                old_manifest.get("epochs", [])
-                + ([int(epoch_id)] if epoch_id is not None else [])
-            ),
+            eff_epoch=None,
+            app_id=app_id,
+            epochs=_record_epoch(old_manifest, app_id, epoch_id),
             files=keep + new_entries,
         )
         try:
@@ -691,13 +752,16 @@ def compact(
         stats_cols=manifest.get("stats_cols"),
         max_records_per_file=max_records_per_file,
     )
-    new_manifest = dict(manifest, version=version + 1, op="compact", epoch=None, files=entries)
+    new_manifest = dict(
+        manifest, version=version + 1, op="compact", epoch=None, eff_epoch=None,
+        app_id=None, files=entries,
+    )
     _commit(table_dir, version + 1, new_manifest)
     return version + 1
 
 
 def vacuum(
-    table_dir: str, keep_versions: int = 1, retention_seconds: float = 24 * 3600.0
+    table_dir: str, keep_versions: int = 2, retention_seconds: float = 24 * 3600.0
 ) -> list[str]:
     """Delete data files no manifest in the retained tail references —
     orphans from crashed/conflicted transactions and buckets rewritten
@@ -709,9 +773,14 @@ def vacuum(
     the filesystem can't tell those from crash orphans, so age is the
     only safe discriminator. Any live writer finishes well inside the
     window. Returns the deleted paths. Also drops manifests older
-    than the retained tail, which bounds time travel (and the
-    change-data feed, which reads version-1's manifest) to
-    ``keep_versions`` commits."""
+    than the retained tail — under the SAME retention_seconds age
+    gate, so a concurrent time-travel reader (between snapshot() and
+    read_manifest) or a lagging txcdf consumer whose checkpointed
+    version falls in the tail never hits FileNotFoundError mid-query
+    — which bounds time travel (and the change-data feed, which reads
+    version-1's manifest) to ``keep_versions`` commits. The default
+    keep_versions=2 keeps CDF for the latest commit working after a
+    vacuum (it needs the predecessor manifest)."""
     import time
     versions = list_versions(table_dir)
     if not versions:
@@ -743,8 +812,12 @@ def vacuum(
             for root, dirs, names in list(os.walk(txn_abs, topdown=False)):
                 if not dirs and not names:
                     os.rmdir(root)
+    now = time.time()
     for v in versions[: -max(1, keep_versions)]:
-        os.remove(_manifest_path(table_dir, v))
+        mpath = _manifest_path(table_dir, v)
+        if now - os.stat(mpath).st_mtime < retention_seconds:
+            continue  # an in-flight reader may still resolve this version
+        os.remove(mpath)
     return deleted
 
 
@@ -754,11 +827,17 @@ def upsert_tx(
     n_buckets: int = 64,
     order_col: str | None = None,
     stats_cols: list[str] | None = None,
+    app_id: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch factory: the atomic, exactly-once upsert sink.
     Drop-in for `sinks.upsert_parquet_bucketed` wherever the
     half-committed-epoch window is unacceptable. ``stats_cols``
-    records per-file min/max for data skipping at read time."""
+    records per-file min/max for data skipping at read time.
+
+    ``app_id`` scopes the replay ledger to this (query, checkpoint)
+    pair; pass a fresh value when restarting a query from a FRESH
+    checkpoint (its epoch ids restart at 0 and would otherwise be
+    swallowed as replays of the previous run's epochs)."""
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         upsert(
@@ -770,6 +849,7 @@ def upsert_tx(
             order_col=order_col,
             epoch_id=int(epoch_id),
             stats_cols=stats_cols,
+            app_id=app_id,
         )
 
     return write

@@ -799,3 +799,86 @@ def test_tx_retention_counts_without_stats_fallback(spark, tmp_path):
     assert stats == {"expired_rows": 1, "rows_after": 2}
     stats2 = run_retention(spark, cfg, now_epoch=150)
     assert stats2 == {"expired_rows": 0, "rows_after": 2}
+
+
+def test_tx_epoch_ledger_scoped_per_app(spark, tmp_path):
+    """Exactly-once is scoped by writer app id (Delta's txnAppId
+    pattern, ADVICE r4): two independent writers with overlapping
+    epoch counters must BOTH apply; a replay within one app stays a
+    no-op; and a restarted query presenting a fresh app id is not
+    swallowed by the previous run's ledger."""
+    tx = str(tmp_path / "tx")
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 1)]), ["k"], n_buckets=4,
+                    order_col="v", epoch_id=0, app_id="runA")
+    # same epoch id, DIFFERENT app: applies
+    v = tx_table.upsert(spark, tx, _batch(spark, [("a", 2)]), ["k"], n_buckets=4,
+                        order_col="v", epoch_id=0, app_id="runB")
+    assert _content(spark, tx) == {("a", 2)}
+    # replay within runB: no-op
+    assert tx_table.upsert(spark, tx, _batch(spark, [("a", 99)]), ["k"],
+                           n_buckets=4, order_col="v", epoch_id=0,
+                           app_id="runB") == v
+    assert _content(spark, tx) == {("a", 2)}
+    # fresh-checkpoint restart = fresh app id: epoch 0 applies again
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 3)]), ["k"], n_buckets=4,
+                    order_col="v", epoch_id=0, app_id="runB-restart")
+    assert _content(spark, tx) == {("a", 3)}
+    # scoped deletes share the ledger semantics
+    tx_table.delete(spark, tx, spark.createDataFrame([("a",)], "k string"),
+                    epoch_id=1, app_id="runB-restart")
+    assert _content(spark, tx) == set()
+    v2 = tx_table.latest_version(tx)
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 5)]), ["k"], n_buckets=4,
+                    order_col="v", epoch_id=1, app_id="runA")  # different app
+    assert _content(spark, tx) == {("a", 5)}
+    assert tx_table.latest_version(tx) == v2 + 1
+
+
+def test_tx_batch_upsert_wins_over_high_stream_epochs(spark, tmp_path):
+    """ADVICE r4 hazard (b): stream epoch ids can run far ahead of the
+    version count; a later BATCH upsert (no epoch id) must still win
+    the per-key LWW merge, i.e. its _epoch exceeds every committed
+    row's."""
+    tx = str(tmp_path / "tx")
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 1), ("b", 2)]), ["k"],
+                    n_buckets=4, order_col="v", epoch_id=500, app_id="stream")
+    # batch path: eff_epoch must be 501, not version+1 == 1
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 10)]), ["k"], n_buckets=4,
+                    order_col="v")
+    assert _content(spark, tx) == {("a", 10), ("b", 2)}
+    df = tx_table.read_table(spark, tx)
+    got = {(r.k, r["_epoch"]) for r in df.select("k", "_epoch").collect()}
+    assert got == {("a", 501), ("b", 500)}
+    # and the CDF for the batch commit identifies its rows via the
+    # recorded eff_epoch, not the version number
+    v = tx_table.latest_version(tx)
+    ch = tx_table.read_changes(spark, tx, v)
+    rows = {(r.k, r.v, r._change_type) for r in ch.select("k", "v", "_change_type").collect()}
+    assert rows == {("a", 1, "update_preimage"), ("a", 10, "update_postimage")}
+    # a second batch keeps climbing
+    tx_table.upsert(spark, tx, _batch(spark, [("b", 20)]), ["k"], n_buckets=4,
+                    order_col="v")
+    got2 = {(r.k, r["_epoch"]) for r in
+            tx_table.read_table(spark, tx).select("k", "_epoch").collect()}
+    assert got2 == {("a", 501), ("b", 502)}
+
+
+def test_tx_vacuum_manifest_retention_window(spark, tmp_path):
+    """Manifests get the same retention age gate as data files
+    (ADVICE r4): inside the window a lagging time-travel reader or CDF
+    consumer can still resolve old versions; past the window they are
+    dropped down to keep_versions, whose default (2) preserves CDF for
+    the latest commit."""
+    tx = str(tmp_path / "tx")
+    for i, rows in enumerate(EPOCHS):
+        tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=4,
+                        order_col="v", epoch_id=i)
+    # inside the retention window: nothing removed, time travel intact
+    tx_table.vacuum(tx, keep_versions=1, retention_seconds=3600.0)
+    assert tx_table.list_versions(tx) == [0, 1, 2]
+    assert _content(spark, tx, version=0) == {("a", 1), ("b", 2), ("c", 3), ("d", 4)}
+    # past the window, default keep_versions=2: CDF for latest survives
+    tx_table.vacuum(tx, retention_seconds=0.0)
+    assert tx_table.list_versions(tx) == [1, 2]
+    ch = tx_table.read_changes(spark, tx, 2)
+    assert ch is not None and ch.count() > 0
