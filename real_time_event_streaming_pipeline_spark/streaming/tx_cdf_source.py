@@ -26,12 +26,31 @@ consumer's lag (the same rule as tx_table.read_changes).
 
 Schema: the table's manifest schema (resolved at plan time,
 driver-side) plus `_change_type string` and `_commit_version long`.
+A commit that EVOLVED the schema after the stream was planned fails
+the batch loudly (restart the stream to subscribe under the new
+schema) instead of silently dropping the added columns.
+
+Rate control: `max_versions_per_trigger` bounds each micro-batch to
+that many commit versions (Kafka's maxOffsetsPerTrigger analogue), so
+a consumer restarted after long downtime drains its backlog in many
+small batches instead of one giant one. Requires `stream_id` (unique
+per query+checkpoint, stable across restarts): the Python DataSource
+API's latestOffset receives neither the start offset nor a ReadLimit,
+so the reader persists its own planning cursor at
+`<table>/_log/.cdf_cursor_<stream_id>` — written atomically at plan
+time and on commit; an overshoot only makes one batch larger, never
+a backward offset. Caveat: `Trigger.AvailableNow` snapshots ONE
+latestOffset before planning, so with the cap it drains at most
+max_versions_per_trigger versions per run — use the default
+processing-time trigger (or repeated availableNow runs) to drain a
+backlog under the cap.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -124,15 +143,79 @@ class _TxChangeFeedStreamReader(DataSourceStreamReader):
         self.table_dir = options["table_dir"]
         self.start_version = int(options.get("start_version", 0))
         self.fields = fields  # [(name, typeName), ...] minus the CDF columns
+        mvpt = options.get("max_versions_per_trigger")
+        self.max_versions = int(mvpt) if mvpt is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("max_versions_per_trigger must be >= 1")
+        self.stream_id = options.get("stream_id")
+        if self.max_versions is not None and not self.stream_id:
+            # the planning cursor must survive restarts NEXT TO the
+            # engine's checkpoint position or a post-downtime restart
+            # would plan the whole backlog in one batch (the exact bug
+            # the option exists to fix) — and it must be per-stream,
+            # since many streams can subscribe to one table
+            raise ValueError(
+                "max_versions_per_trigger needs a stream_id option "
+                "(unique per streaming query+checkpoint; keep it stable "
+                "across restarts, reset it with the checkpoint)"
+            )
+        # in-memory planning cursor: the newest END offset handed to
+        # the engine this process lifetime. Rate limiting only —
+        # correctness rests on the checkpointed [start, end) ranges.
+        self._cursor: int | None = None
+
+    # ------------------------------------------------ planning cursor
+
+    def _cursor_path(self) -> str:
+        return os.path.join(self.table_dir, "_log", f".cdf_cursor_{self.stream_id}")
+
+    def _load_cursor(self) -> int | None:
+        """max(in-memory, persisted) planned end. The persisted value
+        is written at plan time and on commit, so after a restart the
+        cap resumes from the checkpointed position instead of handing
+        the engine the entire backlog; an overshoot (cursor ahead of
+        the engine's true position) only makes one batch larger —
+        never a backward offset, never a replay."""
+        best = self._cursor
+        try:
+            with open(self._cursor_path()) as fh:
+                v = int(fh.read().strip())
+            best = v if best is None else max(best, v)
+        except (FileNotFoundError, ValueError):
+            pass
+        return best
+
+    def _save_cursor(self, version: int) -> None:
+        self._cursor = max(self._cursor or 0, int(version))
+        if self.stream_id is None:
+            return
+        path = self._cursor_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(int(version)))
+        os.replace(tmp, path)  # atomic: readers see old or new, never torn
 
     def initialOffset(self):
+        self._cursor = max(self._cursor or 0, self.start_version)
         return {"version": self.start_version}
 
     def latestOffset(self):
         latest = tx_table.latest_version(self.table_dir)
-        return {"version": (latest + 1) if latest is not None else self.start_version}
+        true_end = (latest + 1) if latest is not None else self.start_version
+        if self.max_versions is None:
+            return {"version": true_end}
+        cursor = self._load_cursor()
+        if cursor is None:
+            # brand-new stream (no cursor persisted yet): the engine's
+            # start will be start_version, so cap from there. The
+            # engine calls latestOffset before initialOffset, hence
+            # the seed here rather than a None passthrough.
+            cursor = self.start_version
+        return {"version": max(min(true_end, cursor + self.max_versions), cursor)}
 
     def partitions(self, start: dict, end: dict):
+        self._save_cursor(int(end["version"]))
         return [
             _VersionPartition(self.table_dir, v)
             for v in range(start["version"], end["version"])
@@ -142,6 +225,23 @@ class _TxChangeFeedStreamReader(DataSourceStreamReader):
         import pandas as pd
 
         names = [n for n, _ in self.fields]
+        # schema-evolution gate (ADVICE r4): the stream schema was
+        # resolved at plan time; a commit that carries columns absent
+        # from it must fail loudly instead of silently dropping them —
+        # the consumer restarts the stream to pick up the new schema
+        m_v = tx_table.read_manifest(partition.table_dir, partition.version)
+        if m_v.get("schema") is not None:
+            commit_cols = [
+                f["name"] for f in json.loads(m_v["schema"])["fields"]
+            ]
+            extra = [c for c in commit_cols if c not in names]
+            if extra:
+                raise ValueError(
+                    f"txcdf: commit v{partition.version} evolved the table "
+                    f"schema with column(s) {extra} absent from this stream's "
+                    "plan-time schema; restart the stream to subscribe under "
+                    "the evolved schema"
+                )
         df = _changes_for_version(partition.table_dir, partition.version, names)
         integer = {n for n, t in self.fields if t in ("long", "integer", "short", "byte")}
         for rec in df.to_dict("records"):
@@ -159,7 +259,9 @@ class _TxChangeFeedStreamReader(DataSourceStreamReader):
             yield (*vals, rec["_change_type"], int(partition.version))
 
     def commit(self, end: dict) -> None:
-        pass  # log versions are immutable; nothing to release
+        # log versions are immutable — nothing to release; re-persist
+        # the planning cursor as cheap insurance for the rate cap
+        self._save_cursor(int(end["version"]))
 
 
 class TxChangeFeedDataSource(DataSource):
