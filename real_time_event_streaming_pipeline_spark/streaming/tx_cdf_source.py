@@ -67,10 +67,28 @@ class _VersionPartition(InputPartition):
         self.version = version
 
 
+def _read_dv_positions(table_dir: str, dv_rel: str, file_rel: str) -> set[int]:
+    """The deleted row positions a DV sidecar holds for one data file
+    (the sidecar is a Spark-written parquet dir: read its part files)."""
+    import pyarrow.parquet as pq
+
+    dv_abs = os.path.join(table_dir, "data", dv_rel)
+    out: set[int] = set()
+    for name in sorted(os.listdir(dv_abs)):
+        if not name.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(dv_abs, name), columns=["_file", "_pos"])
+        df = t.to_pandas()
+        out |= set(df.loc[df["_file"] == file_rel, "_pos"].astype(int))
+    return out
+
+
 def _load_entries(table_dir: str, entries: list[dict], field_names: list[str]):
     """Concatenate manifest entries into one pandas frame aligned to
     the manifest schema (files from before an additive evolution are
-    missing columns: reindex fills them with None)."""
+    missing columns: reindex fills them with None). Entries carrying a
+    deletion vector get it applied positionally — the same
+    merge-on-read semantics as tx_table._read_entries."""
     import pandas as pd
     import pyarrow.parquet as pq
 
@@ -79,7 +97,12 @@ def _load_entries(table_dir: str, entries: list[dict], field_names: list[str]):
     frames = []
     for e in entries:
         t = pq.read_table(os.path.join(table_dir, "data", e["path"]))
-        frames.append(t.to_pandas())
+        df = t.to_pandas()
+        if e.get("dv"):
+            dead = _read_dv_positions(table_dir, e["dv"], e["path"])
+            if dead:
+                df = df.iloc[[i for i in range(len(df)) if i not in dead]]
+        frames.append(df)
     df = pd.concat(frames, ignore_index=True)
     for c in field_names:
         if c not in df.columns:
@@ -97,12 +120,19 @@ def _changes_for_version(table_dir: str, version: int, field_names: list[str]):
     if m_v["op"] == "compact":
         return pd.DataFrame(columns=[*field_names, "_change_type"])
     key_cols = m_v["key_cols"]
+    dv_changed: list[tuple[dict, dict]] = []
     if version > 0:
         m_prev = tx_table.read_manifest(table_dir, version - 1)
-        prev_paths = {f["path"] for f in m_prev["files"]}
+        prev_map = {f["path"]: f for f in m_prev["files"]}
         cur_paths = {f["path"] for f in m_v["files"]}
-        new_entries = [f for f in m_v["files"] if f["path"] not in prev_paths]
+        new_entries = [f for f in m_v["files"] if f["path"] not in prev_map]
         prev_files = [f for f in m_prev["files"] if f["path"] not in cur_paths]
+        dv_changed = [
+            (prev_map[f["path"]], f)
+            for f in m_v["files"]
+            if f["path"] in prev_map
+            and prev_map[f["path"]].get("dv") != f.get("dv")
+        ]
     else:
         new_entries, prev_files = m_v["files"], []
     cur = _load_entries(table_dir, new_entries, field_names)
@@ -133,6 +163,30 @@ def _changes_for_version(table_dir: str, version: int, field_names: list[str]):
         dele = dele[dele["_merge"] == "left_only"].drop(columns="_merge")
         if len(dele):
             out.append(dele.assign(_change_type="delete"))
+    for p_ent, c_ent in dv_changed:
+        # merge-on-read delete: the newly-dead positions (cur DV minus
+        # prev DV) of an unchanged file are this commit's delete rows
+        import pyarrow.parquet as pq
+
+        cur_dead = (
+            _read_dv_positions(table_dir, c_ent["dv"], c_ent["path"])
+            if c_ent.get("dv") else set()
+        )
+        prev_dead = (
+            _read_dv_positions(table_dir, p_ent["dv"], p_ent["path"])
+            if p_ent.get("dv") else set()
+        )
+        newly = sorted(cur_dead - prev_dead)
+        if not newly:
+            continue
+        raw = pq.read_table(
+            os.path.join(table_dir, "data", c_ent["path"])
+        ).to_pandas()
+        rows = raw.iloc[newly]
+        for c in field_names:
+            if c not in rows.columns:
+                rows[c] = None
+        out.append(rows[field_names].assign(_change_type="delete"))
     if not out:
         return pd.DataFrame(columns=[*field_names, "_change_type"])
     return pd.concat(out, ignore_index=True)

@@ -220,12 +220,26 @@ def read_table(
     return _read_entries(spark, table_dir, files, manifest.get("schema"))
 
 
+def _rel_path(col) -> "F.Column":
+    """The data-dir-relative path of a scanned file, from the
+    _metadata.file_path URI — the join key between scan rows and
+    manifest/DV entries. Splits on the table's own '/data/' segment
+    (the txn layout guarantees exactly one for these paths)."""
+    return F.element_at(F.split(col, "/data/"), -1)
+
+
 def _read_entries(spark: SparkSession, table_dir: str, entries: list[dict], schema_json):
     """DataFrame over exactly these manifest entries. When the
     manifest carries a schema it OWNS the table schema (Delta-style):
     files written before an additive evolution are missing the new
     columns, and reading them under the manifest schema surfaces
-    those as NULL — no mergeSchema footer sweep needed."""
+    those as NULL — no mergeSchema footer sweep needed.
+
+    Entries carrying a deletion vector (merge-on-read deletes) get it
+    applied here: an anti-join on (file, row position) against the
+    referenced DV sidecars — the Delta/Iceberg v2 positional-delete
+    read path. Files without a DV stream through untouched; cost is
+    O(DV'd files' rows), and compaction folds DVs away entirely."""
     if not entries:
         return None
     paths = [os.path.join(_data_dir(table_dir), f["path"]) for f in entries]
@@ -234,7 +248,30 @@ def _read_entries(spark: SparkSession, table_dir: str, entries: list[dict], sche
         from pyspark.sql.types import StructType
 
         reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
-    return reader.parquet(*paths)
+    df = reader.parquet(*paths)
+    dv_dirs = sorted({f["dv"] for f in entries if f.get("dv")})
+    if not dv_dirs:
+        return df
+    dv_files = {f["path"] for f in entries if f.get("dv")}
+    dv = (
+        spark.read.parquet(*[os.path.join(_data_dir(table_dir), d) for d in dv_dirs])
+        # a file's pointer names ONE sidecar; rows for other files in a
+        # shared sidecar are older subsets (unioned forward), rows for
+        # rewritten paths can never match a fresh txn path
+        .filter(F.col("_file").isin(sorted(dv_files)))
+        .select("_file", "_pos")
+    )
+    cols = df.columns
+    live = (
+        df.select(
+            "*",
+            _rel_path(F.col("_metadata.file_path")).alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        .join(dv, ["_file", "_pos"], "left_anti")
+        .select(*cols)
+    )
+    return live
 
 
 def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame | None:
@@ -253,6 +290,7 @@ def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame
     if m_v["op"] == "compact":
         return None
     prev_files: list[dict] = []
+    dv_changed: list[tuple[dict, dict]] = []
     if version > 0:
         try:
             m_prev = read_manifest(table_dir, version - 1)
@@ -262,10 +300,19 @@ def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame
                 f"v{version} needs it — vacuum with keep_versions >= 2 to "
                 "retain CDF for the latest commit"
             ) from None
-        prev_paths = {f["path"] for f in m_prev["files"]}
+        prev_map = {f["path"]: f for f in m_prev["files"]}
         cur_paths = {f["path"] for f in m_v["files"]}
-        new_entries = [f for f in m_v["files"] if f["path"] not in prev_paths]
+        new_entries = [f for f in m_v["files"] if f["path"] not in prev_map]
         prev_files = [f for f in m_prev["files"] if f["path"] not in cur_paths]
+        # merge-on-read deletes change no file set — the file's DV
+        # pointer moves instead; the newly-dead positions ARE the
+        # delete rows (cur DV minus prev DV)
+        dv_changed = [
+            (prev_map[f["path"]], f)
+            for f in m_v["files"]
+            if f["path"] in prev_map
+            and prev_map[f["path"]].get("dv") != f.get("dv")
+        ]
     else:
         new_entries = m_v["files"]
     cur = _read_entries(spark, table_dir, new_entries, m_v.get("schema"))
@@ -304,12 +351,58 @@ def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame
             else prev.join(F.broadcast(cur_keys), key_cols, "left_anti")
         )
         out.append(deleted.withColumn("_change_type", F.lit("delete")))
+    if dv_changed:
+        out.append(
+            _dv_delta_rows(spark, table_dir, dv_changed, m_v.get("schema"))
+            .withColumn("_change_type", F.lit("delete"))
+        )
     if not out:
         return None
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+def _dv_delta_rows(
+    spark: SparkSession, table_dir: str, dv_changed: list[tuple[dict, dict]], schema_json
+) -> DataFrame:
+    """The rows a merge-on-read delete killed at this commit: raw file
+    rows at positions (cur DV minus prev DV), per changed file."""
+    data = _data_dir(table_dir)
+    files = sorted({c["path"] for _, c in dv_changed})
+    cur_dirs = sorted({c["dv"] for _, c in dv_changed if c.get("dv")})
+    cur_dv = (
+        spark.read.parquet(*[os.path.join(data, d) for d in cur_dirs])
+        .filter(F.col("_file").isin(files))
+        .select("_file", "_pos")
+    )
+    prev_dirs = sorted({p["dv"] for p, _ in dv_changed if p.get("dv")})
+    if prev_dirs:
+        prev_dv = (
+            spark.read.parquet(*[os.path.join(data, d) for d in prev_dirs])
+            .filter(F.col("_file").isin(files))
+            .select("_file", "_pos")
+        )
+        newly = cur_dv.join(prev_dv, ["_file", "_pos"], "left_anti")
+    else:
+        newly = cur_dv
+    reader = spark.read
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    raw = reader.parquet(*[os.path.join(data, f) for f in files])
+    cols = raw.columns
+    return (
+        raw.select(
+            "*",
+            _rel_path(F.col("_metadata.file_path")).alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        .join(newly, ["_file", "_pos"], "left_semi")
+        .select(*cols)
+    )
 
 
 def _commit_eff_epoch(manifest: dict) -> int:
@@ -336,7 +429,9 @@ def table_count(table_dir: str, version: int | None = None) -> int | None:
     counts = [f.get("n_rows") for f in manifest["files"]]
     if any(c is None for c in counts):
         return None
-    return sum(counts)
+    # n_rows is the RAW file count; deletion vectors subtract exactly
+    # n_deleted live rows (positions are unique per file by construction)
+    return sum(counts) - sum(int(f.get("n_deleted", 0)) for f in manifest["files"])
 
 
 def history(table_dir: str) -> list[dict]:
@@ -455,6 +550,79 @@ def prune_files(manifest: dict, between: dict) -> list[dict]:
                 break
         if keep:
             out.append(f)
+    return out
+
+
+def _dv_delete_entries(
+    spark: SparkSession,
+    table_dir: str,
+    old_manifest: dict,
+    new_version: int,
+    cand_entries: list[dict],
+    matcher,
+) -> list[dict] | None:
+    """Merge-on-read delete core: compute the row POSITIONS matching
+    ``matcher`` among the candidates' LIVE rows (existing DVs applied
+    first, so new positions are disjoint from old), write ONE DV
+    sidecar for this commit holding (file, pos) — the union of each
+    touched file's old DV and its new deletions — and return
+    replacement manifest entries whose ``dv`` pointer names the new
+    sidecar. Returns None when nothing matched (no commit needed).
+
+    The data files are NOT rewritten — cost is one scan of the
+    candidate files plus a sidecar of O(deleted positions), the
+    Delta/Iceberg v2 deletion-vector pattern; compaction later folds
+    DVs into clean files. n_rows stats stay the RAW file count;
+    ``n_deleted`` tracks the DV cardinality so table_count stays
+    metadata-only."""
+    schema_json = old_manifest.get("schema")
+    reader = spark.read
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    paths = [os.path.join(_data_dir(table_dir), f["path"]) for f in cand_entries]
+    raw = reader.parquet(*paths).select(
+        "*",
+        _rel_path(F.col("_metadata.file_path")).alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    old_dv_dirs = sorted({f["dv"] for f in cand_entries if f.get("dv")})
+    if old_dv_dirs:
+        old_dv_files = sorted({f["path"] for f in cand_entries if f.get("dv")})
+        old_dv = (
+            spark.read.parquet(
+                *[os.path.join(_data_dir(table_dir), d) for d in old_dv_dirs]
+            )
+            .filter(F.col("_file").isin(old_dv_files))
+            .select("_file", "_pos")
+        )
+        live = raw.join(old_dv, ["_file", "_pos"], "left_anti")
+    else:
+        old_dv = None
+        live = raw
+    matches = matcher(live).select("_file", "_pos")
+    counts = {
+        r["_file"]: r["_n"]
+        for r in matches.groupBy("_file").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }  # bounded: one row per candidate file
+    if not counts:
+        return None
+    sidecar = matches
+    if old_dv is not None:
+        carried = old_dv.filter(F.col("_file").isin(sorted(counts)))
+        sidecar = sidecar.unionByName(carried)
+    txn_rel = f"txn-{new_version:010d}-{uuid.uuid4().hex[:8]}"
+    dv_rel = f"{txn_rel}/_dv"
+    sidecar.repartition(1).write.parquet(os.path.join(_data_dir(table_dir), dv_rel))
+    out = []
+    for e in cand_entries:
+        if e["path"] in counts:
+            ne = dict(e, dv=dv_rel,
+                      n_deleted=int(e.get("n_deleted", 0)) + int(counts[e["path"]]))
+            out.append(ne)
+        else:
+            out.append(e)
     return out
 
 
@@ -603,15 +771,25 @@ def delete(
     epoch_id: int | None = None,
     max_retries: int = 20,
     app_id: str | None = None,
+    mode: str = "cow",
 ) -> int:
     """Atomically delete every row whose key matches a row of ``keys``
     (columns must equal the table's key_cols) — the Delta DELETE /
-    DynamoDB deleteItem analogue. Copy-on-write like upsert: only the
-    buckets the keys hash into are rewritten (anti-join against the
-    broadcastable key set), everything else carries over by reference,
-    and the whole multi-bucket removal is one manifest commit. The
-    epoch ledger gives replayed deletes the same exactly-once
-    treatment as upserts."""
+    DynamoDB deleteItem analogue. With ``mode="cow"`` (default), only
+    the buckets the keys hash into are rewritten (anti-join against
+    the broadcastable key set), everything else carries over by
+    reference, and the whole multi-bucket removal is one manifest
+    commit. With ``mode="dv"`` (merge-on-read), no data file is
+    rewritten at all: the matching row POSITIONS go into a
+    deletion-vector sidecar referenced by the affected files' manifest
+    entries and are anti-joined out at read time — O(deleted rows)
+    write cost instead of O(affected buckets), the point-delete path
+    for tables whose buckets are large. Compaction folds DVs back
+    into clean files. Read-back equality between the two modes is
+    pinned in tests. The epoch ledger gives replayed deletes the same
+    exactly-once treatment as upserts."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"delete mode must be 'cow' or 'dv', got {mode!r}")
     for _ in range(max_retries):
         snap = snapshot(table_dir)
         if snap is None:
@@ -631,16 +809,29 @@ def delete(
         if not affected:
             return old_version
         keep = [f for f in old_manifest["files"] if f["kb"] not in set(affected)]
-        existing = read_table(spark, table_dir, version=old_version, buckets=affected)
-        if existing is None:
+        cand = [f for f in old_manifest["files"] if f["kb"] in set(affected)]
+        if not cand:
             return old_version  # no file holds these buckets: nothing to delete
-        remaining = existing.join(
-            F.broadcast(tagged.select(*key_cols)), key_cols, "left_anti"
-        )
-        new_entries = _write_txn_files(
-            remaining, table_dir, old_version + 1,
-            stats_cols=old_manifest.get("stats_cols"),
-        )
+        if mode == "dv":
+            new_entries = _dv_delete_entries(
+                spark, table_dir, old_manifest, old_version + 1, cand,
+                matcher=lambda live: live.join(
+                    F.broadcast(tagged.select(*key_cols)), key_cols, "left_semi"
+                ),
+            )
+            if new_entries is None:
+                return old_version  # nothing matched: no commit needed
+        else:
+            existing = _read_entries(
+                spark, table_dir, cand, old_manifest.get("schema")
+            )
+            remaining = existing.join(
+                F.broadcast(tagged.select(*key_cols)), key_cols, "left_anti"
+            )
+            new_entries = _write_txn_files(
+                remaining, table_dir, old_version + 1,
+                stats_cols=old_manifest.get("stats_cols"),
+            )
         manifest = dict(
             old_manifest,
             version=old_version + 1,
@@ -667,19 +858,24 @@ def delete_where(
     epoch_id: int | None = None,
     max_retries: int = 20,
     app_id: str | None = None,
+    mode: str = "cow",
 ) -> int:
     """Atomically delete every row matching ``condition`` (a Column or
     SQL string) — Delta's DELETE WHERE, with file skipping: when
     ``between`` bounds are given they prune the candidate files via
     the manifest's min/max stats, and ONLY candidate files are read
-    and rewritten; everything else carries over by reference. The
-    caller contract is the usual data-skipping one: ``between`` must
-    be implied by ``condition`` (a file outside the bounds contains no
-    matching row), which makes the prune lossless.
+    and (mode="cow") rewritten; everything else carries over by
+    reference. The caller contract is the usual data-skipping one:
+    ``between`` must be implied by ``condition`` (a file outside the
+    bounds contains no matching row), which makes the prune lossless.
+    ``mode="dv"`` records matching row positions in a deletion-vector
+    sidecar instead of rewriting the candidates (see ``delete``).
 
     This is the atomic TTL-retention primitive: with per-file stats on
     the ttl column, expiring old rows rewrites only the files whose
     ttl range crosses the cutoff — O(expiring data), not O(table)."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"delete mode must be 'cow' or 'dv', got {mode!r}")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     for _ in range(max_retries):
         snap = snapshot(table_dir)
@@ -695,13 +891,21 @@ def delete_where(
             return old_version  # stats prove nothing matches
         cand_paths = {f["path"] for f in candidates}
         keep = [f for f in old_manifest["files"] if f["path"] not in cand_paths]
-        remaining = _read_entries(
-            spark, table_dir, candidates, old_manifest.get("schema")
-        ).filter(~F.coalesce(cond, F.lit(False)))
-        new_entries = _write_txn_files(
-            remaining, table_dir, old_version + 1,
-            stats_cols=old_manifest.get("stats_cols"),
-        )
+        if mode == "dv":
+            new_entries = _dv_delete_entries(
+                spark, table_dir, old_manifest, old_version + 1, candidates,
+                matcher=lambda live: live.filter(F.coalesce(cond, F.lit(False))),
+            )
+            if new_entries is None:
+                return old_version  # nothing matched: no commit needed
+        else:
+            remaining = _read_entries(
+                spark, table_dir, candidates, old_manifest.get("schema")
+            ).filter(~F.coalesce(cond, F.lit(False)))
+            new_entries = _write_txn_files(
+                remaining, table_dir, old_version + 1,
+                stats_cols=old_manifest.get("stats_cols"),
+            )
         manifest = dict(
             old_manifest,
             version=old_version + 1,
@@ -787,9 +991,12 @@ def vacuum(
         return []
     retained = versions[-max(1, keep_versions):]
     referenced = set()
+    dv_dirs: set[str] = set()  # referenced deletion-vector sidecar dirs
     for v in retained:
         for f in read_manifest(table_dir, v)["files"]:
             referenced.add(f["path"])
+            if f.get("dv"):
+                dv_dirs.add(f["dv"].rstrip("/") + "/")
     deleted: list[str] = []
     data = _data_dir(table_dir)
     if os.path.isdir(data):
@@ -804,6 +1011,8 @@ def vacuum(
                     rel = os.path.relpath(full, data)
                     if not name.endswith(".parquet") or rel in referenced:
                         continue
+                    if any(rel.startswith(d) for d in dv_dirs):
+                        continue  # live deletion-vector sidecar
                     if now - os.stat(full).st_mtime < retention_seconds:
                         continue  # could be a live writer's staging
                     os.remove(full)

@@ -1,0 +1,207 @@
+"""Deletion vectors (merge-on-read) on the transactional table
+(streaming/tx_table.py): positional-delete sidecars applied at read,
+bit-for-bit equality with copy-on-write deletes, DV union on repeated
+deletes, metadata-only counts, CDF rows for DV commits (DataFrame and
+txcdf twin), compaction fold-in, and vacuum interplay.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_streaming_pipeline_spark.streaming import tx_table
+
+EPOCHS = [
+    [("a", 1), ("b", 2), ("c", 3), ("d", 4)],
+    [("a", 9), ("e", 5)],
+    [("b", 7), ("a", 8)],
+]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def _content(spark, table_dir, version=None):
+    df = tx_table.read_table(spark, table_dir, version=version)
+    return set() if df is None else {(r.k, r.v) for r in df.select("k", "v").collect()}
+
+
+def _build(spark, tx, n_buckets=2, stats=None):
+    for i, rows in enumerate(EPOCHS):
+        tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=n_buckets,
+                        order_col="v", epoch_id=i, stats_cols=stats)
+
+
+def test_dv_delete_matches_cow_bitwise(spark, tmp_path):
+    """The same keyed delete through mode='dv' and mode='cow' must
+    read back identically — and the DV path must rewrite NO data
+    file (its file set is unchanged, only pointers move)."""
+    cow, dv = str(tmp_path / "cow"), str(tmp_path / "dv")
+    _build(spark, cow)
+    _build(spark, dv)
+    keys = spark.createDataFrame([("a",), ("c",)], "k string")
+
+    files_before = {f["path"] for f in tx_table.snapshot(dv)[1]["files"]}
+    v_cow = tx_table.delete(spark, cow, keys, epoch_id=10)
+    v_dv = tx_table.delete(spark, dv, keys, epoch_id=10, mode="dv")
+    files_after = {f["path"] for f in tx_table.snapshot(dv)[1]["files"]}
+
+    assert files_before == files_after  # merge-on-read: no rewrite
+    got_cow = _content(spark, cow, v_cow)
+    got_dv = _content(spark, dv, v_dv)
+    assert got_cow == got_dv == {("b", 7), ("d", 4), ("e", 5)}
+    # time travel still sees the pre-delete snapshot
+    assert _content(spark, dv, v_dv - 1) == {
+        ("a", 8), ("b", 7), ("c", 3), ("d", 4), ("e", 5)
+    }
+
+
+def test_dv_repeated_deletes_union(spark, tmp_path):
+    """A second DV delete hitting an already-DV'd file must union the
+    positions (the new sidecar carries old + new), and exactly-once
+    replay protection applies to DV commits too."""
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)
+    tx_table.delete(spark, tx, spark.createDataFrame([("a",)], "k string"),
+                    epoch_id=10, mode="dv")
+    v = tx_table.delete(spark, tx, spark.createDataFrame([("b",)], "k string"),
+                        epoch_id=11, mode="dv")
+    assert _content(spark, tx) == {("c", 3), ("d", 4), ("e", 5)}
+    # replay of epoch 11: no-op
+    assert tx_table.delete(spark, tx, spark.createDataFrame([("b",)], "k string"),
+                           epoch_id=11, mode="dv") == v
+    # an upsert after DV deletes re-inserts cleanly (rewrites the bucket)
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 100)]), ["k"], n_buckets=2,
+                    order_col="v", epoch_id=12)
+    assert _content(spark, tx) == {("a", 100), ("c", 3), ("d", 4), ("e", 5)}
+
+
+def test_dv_delete_where_with_skipping_and_count(spark, tmp_path):
+    """delete_where(mode='dv') composes with between-stats pruning,
+    and table_count stays metadata-only via n_deleted."""
+    tx = str(tmp_path / "tx")
+    rows = [(f"key{i}", i) for i in range(40)]
+    tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=4,
+                    order_col="v", epoch_id=0, stats_cols=["v"])
+    assert tx_table.table_count(tx) == 40
+    v = tx_table.delete_where(spark, tx, F.col("v") < 10,
+                              between={"v": (None, 9)}, mode="dv")
+    assert tx_table.table_count(tx, v) == 30  # no scan needed
+    df = tx_table.read_table(spark, tx)
+    assert df.count() == 30
+    assert df.filter(F.col("v") < 10).count() == 0
+    # no-op predicate: stats prove empty, no commit
+    assert tx_table.delete_where(spark, tx, F.col("v") > 1000,
+                                 between={"v": (1001, None)}, mode="dv") == v
+
+
+def test_dv_cdf_rows_match_cow(spark, tmp_path):
+    """read_changes for a DV commit yields exactly the killed rows as
+    deletes — identical to what the cow path reports for the same
+    operation."""
+    cow, dv = str(tmp_path / "cow"), str(tmp_path / "dv")
+    _build(spark, cow)
+    _build(spark, dv)
+    keys = spark.createDataFrame([("a",), ("d",)], "k string")
+    v_cow = tx_table.delete(spark, cow, keys, epoch_id=10)
+    v_dv = tx_table.delete(spark, dv, keys, epoch_id=10, mode="dv")
+
+    def changes(t, v):
+        df = tx_table.read_changes(spark, t, v)
+        return {(r.k, r.v, r._change_type)
+                for r in df.select("k", "v", "_change_type").collect()}
+
+    assert changes(dv, v_dv) == changes(cow, v_cow) == {
+        ("a", 8, "delete"), ("d", 4, "delete")
+    }
+    # a second DV delete reports only the newly-dead rows
+    v2 = tx_table.delete(spark, dv, spark.createDataFrame([("b",)], "k string"),
+                         epoch_id=11, mode="dv")
+    assert changes(dv, v2) == {("b", 7, "delete")}
+
+
+def test_dv_txcdf_stream_parity(spark, tmp_path):
+    """The txcdf streaming source (pure-Python twin) reconstructs DV
+    commits identically to the DataFrame read_changes path."""
+    from real_time_event_streaming_pipeline_spark.streaming.tx_cdf_source import (
+        TxChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(TxChangeFeedDataSource)
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)
+    tx_table.delete(spark, tx, spark.createDataFrame([("a",), ("c",)], "k string"),
+                    epoch_id=10, mode="dv")
+    tx_table.delete(spark, tx, spark.createDataFrame([("b",)], "k string"),
+                    epoch_id=11, mode="dv")
+
+    name = "cdf_dv_parity"
+    q = (
+        spark.readStream.format("txcdf").option("table_dir", tx).load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.sql(
+            f"SELECT k, v, _change_type, _commit_version FROM {name}"
+        ).collect()
+    }
+    want = set()
+    for v in range(tx_table.latest_version(tx) + 1):
+        df = tx_table.read_changes(spark, tx, v)
+        if df is None:
+            continue
+        want |= {(r.k, r.v, r._change_type, v)
+                 for r in df.select("k", "v", "_change_type").collect()}
+    assert got == want
+    assert {(k, v, ct, cv) for k, v, ct, cv in got if ct == "delete"} == {
+        ("a", 8, "delete", 3), ("c", 3, "delete", 3), ("b", 7, "delete", 4)
+    }
+
+
+def test_dv_compaction_folds_and_vacuum_sweeps(spark, tmp_path):
+    """Compaction rewrites the snapshot clean (no DV pointers left);
+    vacuum keeps live sidecars while the DV'd manifest is retained and
+    sweeps them once it falls out of the tail."""
+    tx = str(tmp_path / "tx")
+    _build(spark, tx, stats=["v"])
+    tx_table.delete(spark, tx, spark.createDataFrame([("a",)], "k string"),
+                    epoch_id=10, mode="dv")
+    before = _content(spark, tx)
+    assert tx_table.table_count(tx) == len(before)  # metadata-only, DV-adjusted
+
+    def dv_parts():
+        return [p for p in pathlib.Path(tx, "data").rglob("_dv/*.parquet")]
+
+    assert any(f.get("dv") for f in tx_table.snapshot(tx)[1]["files"])
+    assert dv_parts()
+
+    # vacuum while the DV'd version is live: sidecar survives
+    tx_table.vacuum(tx, keep_versions=2, retention_seconds=0.0)
+    assert dv_parts()
+    assert _content(spark, tx) == before
+
+    vc = tx_table.compact(spark, tx)
+    assert not any(f.get("dv") for f in tx_table.snapshot(tx)[1]["files"])
+    assert _content(spark, tx, vc) == before
+    assert tx_table.table_count(tx, vc) == len(before)
+
+    # once the DV'd versions leave the retained tail, the sidecar goes
+    tx_table.vacuum(tx, keep_versions=1, retention_seconds=0.0)
+    assert not dv_parts()
+    assert _content(spark, tx) == before
+
+
+def test_dv_bad_mode_rejected(spark, tmp_path):
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)
+    with pytest.raises(ValueError, match="mode"):
+        tx_table.delete(spark, tx, spark.createDataFrame([("a",)], "k string"),
+                        mode="nope")
