@@ -62,12 +62,17 @@ def build_ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> None:
     """Assign every vector to its nearest centroid and lay the cell
     table down partitioned by cell; persist the centroid set as the
     index's metadata. The base build lands under epoch=-1 so streamed
-    epochs (0, 1, ...) sit beside it in one partition scheme."""
-    cents = sample_centroids(emb, n_centroids, id_col, vec_col)
+    epochs (0, 1, ...) sit beside it in one partition scheme.
+    ``cents`` accepts a prebuilt centroid artifact (the frozen
+    contract — e.g. another index's persisted metadata) instead of
+    training one here."""
+    if cents is None:
+        cents = sample_centroids(emb, n_centroids, id_col, vec_col)
     os.makedirs(index_dir, exist_ok=True)
     with open(_meta_path(index_dir), "w") as f:
         json.dump(cents, f)

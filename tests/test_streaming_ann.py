@@ -16,7 +16,7 @@ from real_time_event_streaming_pipeline_spark.streaming.ann_index import (
     start_index_refresh,
 )
 
-N_BASE = 300  # lowest vec_ids → same centroid sample as the full corpus
+N_BASE = 300  # the base corpus trains the frozen centroid artifact
 
 
 def test_streamed_index_matches_batch_index(spark, sf_small, tmp_path):
@@ -41,10 +41,15 @@ def test_streamed_index_matches_batch_index(spark, sf_small, tmp_path):
     finally:
         q.stop()
 
-    # ground truth: batch index over the full corpus with the same
-    # centroid sample (base holds the lowest ids, so the sample agrees)
+    # ground truth: batch index over the full corpus under the SAME
+    # frozen centroid artifact the live index persisted — assignment
+    # depends only on the artifact, so streamed == batch
+    from real_time_event_streaming_pipeline_spark.streaming.ann_index import (
+        _load_centroids,
+    )
+
     full_dir = str(tmp_path / "full_index")
-    build_ivf_index(emb, full_dir, n_centroids=16)
+    build_ivf_index(emb, full_dir, cents=_load_centroids(live_dir))
 
     queries = emb.filter(F.col("vec_id") % 100 == 7)
     got = search(spark, live_dir, queries, k=5, n_probe=4)
