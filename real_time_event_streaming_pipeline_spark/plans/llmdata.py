@@ -145,6 +145,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_jaccard_sql(src: str = "documents") -> str:
+    """The exact n-gram Jaccard pair SQL over any (doc_id, text)
+    relation ``src`` — parameterized so the corpus-build macro oracle
+    can run the same pair logic over a staged survivor CTE."""
+    return _NGRAM_JACCARD_SQL.replace("FROM documents", f"FROM {src}")
+
+
 _NGRAM_JACCARD_SQL = """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh AS (
@@ -814,6 +821,134 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end corpus build (VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+
+_BUILD_PACK_TARGET = 256
+_BUILD_PACK_SHARDS = 16
+
+
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition as ONE registered query: quality
+    gate → exact dedup → near-dup survivors → semantic survivors →
+    sequence packing. Each stage filters the previous stage's
+    survivor set (pair generation runs ON the survivors, exactly as a
+    production corpus build would), and the output is the final
+    packing layout — doc_id, shard, token count, start offset,
+    (pack_id, pack_offset).
+
+    Stages reuse the per-stage operators verbatim: gopher_rules_df
+    (filters.py), min-id exact dedup, ngram_jaccard_pairs with the
+    smaller-id-wins drop rule (the SQL-verifiable batch twin of the
+    MinHash incremental path — llm_dedup_minhash_survivors carries the
+    signature variant, rows-only), SemDeDup smaller-id-wins over
+    IVF-candidate cosine pairs (recall 1.0 at this operating point —
+    see q_semdedup; documents without an embedding pass through), and
+    the q_seq_packing shard/cumsum layout.
+
+    Scale shape: a scan + one gate agg + one exact-dedup shuffle + the
+    one-shuffle pair pipeline + a cell equi-join + one windowed cumsum
+    per shard — every stage is the same plan the standalone query
+    runs, so the 100x posture is inherited stage by stage."""
+    from .filters import gopher_rules_df
+    from .relational import split_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    # 1 — quality gate
+    passing = gopher_rules_df(docs).filter("passes").select("doc_id")
+    gated = docs.join(passing, "doc_id", "left_semi")
+
+    # 2 — exact dedup: keep the min doc_id per text
+    keep_exact = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact_docs = gated.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+
+    # 3 — near-dup survivors: drop the b_id side (a_id < b_id ⇔ a
+    # smaller-id match exists) of the exact n-gram Jaccard pair set
+    nd_dropped = (
+        D.ngram_jaccard_pairs(exact_docs, k=3, threshold=0.5, max_doc_freq=100)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    nd_docs = exact_docs.join(nd_dropped, "doc_id", "left_anti")
+
+    # 4 — semantic survivors over the remaining docs' embeddings
+    sem_src = emb.join(
+        nd_docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sem_pairs = S.neardup_pairs_ivf_candidates(sem_src, threshold=0.45)
+    sem_dropped = sem_pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    final_docs = nd_docs.join(sem_dropped, "doc_id", "left_anti")
+
+    # 5 — concat-and-chunk packing layout (q_seq_packing semantics)
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    shard = split_bucket(F.col("doc_id"), _BUILD_PACK_SHARDS)
+    sized = final_docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return (
+        sized.withColumn("start_offset", cum - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            "start_offset",
+            F.expr(f"start_offset div {_BUILD_PACK_TARGET}").alias("pack_id"),
+            (F.col("start_offset") % F.lit(_BUILD_PACK_TARGET)).alias("pack_offset"),
+        )
+    )
+
+
+def _corpus_build_sql() -> str:
+    from .relational import split_bucket_sql
+    from .filters import _GOPHER_RULES_SQL
+
+    return f"""
+WITH passing AS (SELECT doc_id FROM ({_GOPHER_RULES_SQL}) WHERE passes),
+gated AS (SELECT d.doc_id, d.text FROM documents d JOIN passing USING (doc_id)),
+exact_keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+exact_docs AS (SELECT g.doc_id, g.text FROM gated g JOIN exact_keep USING (doc_id)),
+nd_drop AS (
+  SELECT DISTINCT b_id AS doc_id FROM ({_ngram_jaccard_sql('exact_docs')})
+),
+nd_docs AS (
+  SELECT * FROM exact_docs WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)
+),
+sem_src AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM nd_docs)
+),
+sem_drop AS (
+  SELECT DISTINCT b.vec_id AS doc_id
+  FROM sem_src a JOIN sem_src b ON a.vec_id < b.vec_id
+  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+),
+final AS (
+  SELECT doc_id, text FROM nd_docs
+  WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)
+),
+sized AS (
+  SELECT doc_id,
+    {split_bucket_sql('doc_id', _BUILD_PACK_SHARDS)} AS shard,
+    len(str_split(text, ' ')) AS n_tokens
+  FROM final
+),
+cumd AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+      AS start_offset
+  FROM sized
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+  CAST(start_offset // {_BUILD_PACK_TARGET} AS BIGINT) AS pack_id,
+  CAST(start_offset % {_BUILD_PACK_TARGET} AS BIGINT) AS pack_offset
+FROM cumd
+"""
+
+
 QUERIES = {
     "llm_text_stats": q_text_stats,
     "llm_lang_id": q_lang_id,
@@ -837,6 +972,7 @@ QUERIES = {
     "llm_semdedup": q_semdedup,
     "llm_semdedup_survivors": q_semdedup_survivors,
     "llm_corpus_pipeline": q_corpus_pipeline,
+    "llm_corpus_build": q_corpus_build,
     "llm_multimodal_meta": q_multimodal_meta,
     "llm_multimodal_features": q_multimodal_features,
     "llm_multimodal_frames": q_multimodal_frames,
@@ -862,6 +998,7 @@ ORACLE = {
     "llm_semdedup": _SEMDEDUP_SQL,
     "llm_semdedup_survivors": _SEMDEDUP_SURVIVORS_SQL,
     "llm_corpus_pipeline": _CORPUS_PIPELINE_SQL,
+    "llm_corpus_build": _corpus_build_sql(),
     "llm_multimodal_meta": _MULTIMODAL_META_SQL,
     "llm_multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "llm_multimodal_png": _MULTIMODAL_PNG_SQL,

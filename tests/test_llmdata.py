@@ -487,3 +487,37 @@ def test_pack_materialize_covers_shards_exactly(spark, sf_small):
 
     again = {(r.shard, r.pack_id): r.pack_md5 for r in cur.q_pack_materialize(spark, sf_small).collect()}
     assert {(r.shard, r.pack_id): r.pack_md5 for r in rows} == again
+
+
+def test_corpus_build_macro_stages_consistent(spark, sf_small):
+    """llm_corpus_build (VERDICT r4 #7): the staged gate→dedup→
+    semdedup→packing composition emits each survivor exactly once,
+    never resurrects a dropped doc, and lays out per-shard offsets
+    with no gaps (cumsum contiguity)."""
+    from real_time_event_streaming_pipeline_spark.plans.filters import gopher_rules_df
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        load,
+        q_corpus_build,
+    )
+
+    out = q_corpus_build(spark, sf_small)
+    rows = out.collect()
+    assert rows
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))  # each survivor exactly once
+
+    docs = load(spark, sf_small, "documents")
+    passing = {
+        r.doc_id for r in gopher_rules_df(docs).filter("passes").collect()
+    }
+    assert set(ids) <= passing  # nothing un-gated leaks through
+    assert len(ids) < docs.count()  # the stages actually dropped docs
+
+    # packing contiguity: within a shard, offsets are the exact cumsum
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        expect = by_shard.get(r.shard, 0)
+        assert r.start_offset == expect, (r.shard, r.doc_id)
+        assert r.pack_id == r.start_offset // 256
+        assert r.pack_offset == r.start_offset % 256
+        by_shard[r.shard] = expect + r.n_tokens
