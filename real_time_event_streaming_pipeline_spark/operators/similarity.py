@@ -484,31 +484,66 @@ def sample_centroids(
     sample_size: int | None = None,
     iters: int = 3,
     seed: int = 76923,
+    kmeans: str = "driver",
 ) -> list[tuple[int, list[float]]]:
     """Spherical k-means centroids trained on a SEEDED DISTRIBUTED
-    sample — the 100 TB training path: a hash-ordered top-``sample_size``
-    sample (uniform, deterministic, no first-n bias), k-means init from
-    its first ``n_centroids`` rows, then ``iters`` Lloyd rounds run as
-    DataFrame aggregations (assignment = the same JVM-literal
-    nearest_cells fold the index uses; means = integer-scaled sums, so
-    shuffle merge order can never flip a float bit), each centroid
-    re-normalized to the unit sphere (spherical k-means — the right
-    objective under the dot-product cell assignment, since the corpus
-    vectors are unit-norm).
+    sample — the 100 TB training path: a hash-ordered
+    top-``sample_size`` sample (uniform, deterministic under any file
+    layout, no first-n bias — fetched via TakeOrdered), k-means init
+    from its first ``n_centroids`` rows, then ``iters`` Lloyd rounds,
+    each centroid re-normalized to the unit sphere (spherical k-means
+    — the right objective under the dot-product cell assignment,
+    since the corpus vectors are unit-norm).
 
-    Only bounded artifacts ever reach the driver: the k init vectors
-    and n_centroids x dim aggregate rows per round. The returned
-    centroid list is the index's immutable contract: cell assignment
-    of any vector, whenever it arrives, depends only on this list.
-    ``iters=0`` degrades to the plain sampled seed set."""
+    ``kmeans`` picks where the Lloyd rounds run:
+    - "driver" (default): numpy over the collected sample. The sample
+      is a BOUNDED artifact by construction (sample_size × dim
+      floats; the same contract as train_pq_codebooks), TakeOrdered
+      returns it in a total order, and fixed-order float64 numpy is
+      deterministic — and ~free, where per-round Spark jobs cost
+      ~1 s of scheduling each (measured: 3 agg rounds tripled
+      llm_semdedup's sf0.1 time).
+    - "aggs": each round as DataFrame aggregations — assignment
+      through the same JVM-literal nearest_cells fold the index uses,
+      means as integer-scaled int64 sums (shuffle merge order can
+      never flip a float bit). The path for a sample too large to
+      collect; only n_centroids × dim aggregate rows reach the
+      driver per round.
+
+    The returned centroid list is the index's immutable contract:
+    cell assignment of any vector, whenever it arrives, depends only
+    on this list. ``iters=0`` degrades to the plain sampled seed
+    set."""
+    if kmeans not in ("driver", "aggs"):
+        raise ValueError(f"kmeans must be 'driver' or 'aggs', got {kmeans!r}")
     if sample_size is None:
         sample_size = max(16 * n_centroids, 256)
-    samp = (
+    samp_df = (
         _hash_ordered(emb, id_col, seed)
         .limit(int(sample_size))
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-        .persist()
     )
+    if kmeans == "driver":
+        rows = samp_df.collect()  # bounded: sample_size rows, total order
+        if len(rows) < n_centroids:
+            raise ValueError(
+                f"centroid training needs >= n_centroids vectors: "
+                f"got {len(rows)} < {n_centroids}"
+            )
+        X = np.array([list(r["_vec"]) for r in rows], dtype=np.float64)
+        C = X[:n_centroids].copy()
+        for _ in range(max(0, int(iters))):
+            assign = (X @ C.T).argmax(axis=1)  # unit rows: max dot = nearest
+            for c in range(n_centroids):
+                pts = X[assign == c]
+                if len(pts):
+                    m = pts.mean(axis=0)
+                    nrm = float(np.linalg.norm(m))
+                    if nrm > 0:
+                        C[c] = m / nrm
+        return [(i, [float(x) for x in C[i]]) for i in range(n_centroids)]
+
+    samp = samp_df.persist()
     try:
         init = samp.limit(n_centroids).collect()  # bounded: k rows
         if len(init) < n_centroids:
@@ -533,10 +568,8 @@ def sample_centroids(
                 .collect()  # bounded: n_centroids x dim rows
             )
             acc: dict[int, list[float]] = {}
-            cnt: dict[int, int] = {}
             for r in rows:
                 acc.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["s"] / r["c"] / scale
-                cnt[r["cell"]] = r["c"]
             new = []
             for cid, old_vec in cents:
                 if cid not in acc:

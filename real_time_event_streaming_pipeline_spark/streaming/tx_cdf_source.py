@@ -138,6 +138,43 @@ def _changes_for_version(table_dir: str, version: int, field_names: list[str]):
     cur = _load_entries(table_dir, new_entries, field_names)
     prev = _load_entries(table_dir, prev_files, field_names)
 
+    if m_v["op"] == "update_where":
+        # tuple-level multiset diff (keys unchanged — see
+        # tx_table.read_changes): removed = left-files rows + newly
+        # DV-dead rows; added = entered-files rows
+        from collections import Counter
+
+        removed_rows = [tuple(r) for r in prev.itertuples(index=False)]
+        for p_ent, c_ent in dv_changed:
+            cur_dead = (
+                _read_dv_positions(table_dir, c_ent["dv"], c_ent["path"])
+                if c_ent.get("dv") else set()
+            )
+            prev_dead = (
+                _read_dv_positions(table_dir, p_ent["dv"], p_ent["path"])
+                if p_ent.get("dv") else set()
+            )
+            newly = sorted(cur_dead - prev_dead)
+            if newly:
+                raw = _load_entries(table_dir, [dict(c_ent, dv=None)], field_names)
+                removed_rows += [tuple(r) for r in raw.iloc[newly].itertuples(index=False)]
+        added_rows = [tuple(r) for r in cur.itertuples(index=False)]
+        rc, ac = Counter(removed_rows), Counter(added_rows)
+        pre = list((rc - ac).elements())
+        post = list((ac - rc).elements())
+        frames = []
+        if pre:
+            frames.append(
+                pd.DataFrame(pre, columns=field_names).assign(_change_type="update_preimage")
+            )
+        if post:
+            frames.append(
+                pd.DataFrame(post, columns=field_names).assign(_change_type="update_postimage")
+            )
+        if not frames:
+            return pd.DataFrame(columns=[*field_names, "_change_type"])
+        return pd.concat(frames, ignore_index=True)
+
     eff = tx_table._commit_eff_epoch(m_v)
     post = cur[cur["_epoch"] == eff] if m_v["op"] == "upsert" else cur.iloc[0:0]
 

@@ -317,6 +317,34 @@ def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame
         new_entries = m_v["files"]
     cur = _read_entries(spark, table_dir, new_entries, m_v.get("schema"))
     prev = _read_entries(spark, table_dir, prev_files, m_v.get("schema"))
+    if m_v["op"] == "update_where":
+        # UPDATE: keys are unchanged, so the diff is TUPLE-level —
+        # carried-verbatim rows cancel in exceptAll, what remains is
+        # exactly the changed rows. Removed side = rows in files that
+        # left the manifest (cow) plus newly-DV-dead rows (dv mode);
+        # added side = rows in files that entered.
+        removed = prev
+        if dv_changed:
+            dvr = _dv_delta_rows(spark, table_dir, dv_changed, m_v.get("schema"))
+            removed = dvr if removed is None else removed.unionByName(dvr)
+        out = []
+        if removed is not None and cur is not None:
+            out.append(
+                removed.exceptAll(cur).withColumn("_change_type", F.lit("update_preimage"))
+            )
+            out.append(
+                cur.exceptAll(removed).withColumn("_change_type", F.lit("update_postimage"))
+            )
+        elif removed is not None:
+            out.append(removed.withColumn("_change_type", F.lit("update_preimage")))
+        elif cur is not None:
+            out.append(cur.withColumn("_change_type", F.lit("update_postimage")))
+        if not out:
+            return None
+        res = out[0]
+        for df in out[1:]:
+            res = res.unionByName(df)
+        return res
     if cur is not None and m_v["op"] == "upsert":
         post = cur.filter(F.col("_epoch") == _commit_eff_epoch(m_v))
     else:
@@ -915,6 +943,107 @@ def delete_where(
             app_id=app_id,
             epochs=_record_epoch(old_manifest, app_id, epoch_id),
             files=keep + new_entries,
+        )
+        try:
+            _commit(table_dir, old_version + 1, manifest)
+            return old_version + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_retries} commit conflicts")
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    set: dict,
+    between: dict | None = None,
+    epoch_id: int | None = None,
+    max_retries: int = 20,
+    app_id: str | None = None,
+    mode: str = "cow",
+) -> int:
+    """Atomically UPDATE every row matching ``condition``: each
+    ``set`` entry (column -> Column or SQL string) is applied to
+    matching rows, everything else is untouched — Delta's UPDATE,
+    with the same ``between`` stats skipping as delete_where (only
+    candidate files are read).
+
+    ``mode="cow"`` rewrites the candidate files with the updated
+    rows folded in. ``mode="dv"`` is merge-on-read: the matched rows'
+    positions go into a deletion-vector sidecar (killing the OLD
+    versions) and the UPDATED rows are appended as fresh per-bucket
+    files in the same commit — no candidate rewrite, write cost
+    O(matched rows), the Delta/Iceberg v2 UPDATE trade. Keys must not
+    be updated (that is an upsert+delete, not an UPDATE — a changed
+    key would scatter the row to a different bucket and break LWW);
+    the row's ``_epoch`` lineage is preserved. The change feed
+    reports tuple-level update_preimage/update_postimage rows for
+    either mode."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"update mode must be 'cow' or 'dv', got {mode!r}")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    sets = {
+        c: (F.expr(v) if isinstance(v, str) else v) for c, v in set.items()
+    }
+    for _ in range(max_retries):
+        snap = snapshot(table_dir)
+        if snap is None:
+            raise ValueError(f"update_where on empty table {table_dir}")
+        old_version, old_manifest = snap
+        if _seen_epoch(old_manifest, app_id, epoch_id):
+            return old_version
+        bad = {*sets} & {*old_manifest["key_cols"], "kb", "_epoch"}
+        if bad:
+            raise ValueError(
+                f"update_where must not modify key/bucket/lineage columns {sorted(bad)}"
+            )
+        candidates = (
+            prune_files(old_manifest, between) if between else old_manifest["files"]
+        )
+        if not candidates:
+            return old_version  # stats prove nothing matches
+        cand_paths = {f["path"] for f in candidates}
+        keep = [f for f in old_manifest["files"] if f["path"] not in cand_paths]
+        live = _read_entries(spark, table_dir, candidates, old_manifest.get("schema"))
+        matched = F.coalesce(cond, F.lit(False))
+
+        def _apply(df: DataFrame, always: bool) -> DataFrame:
+            out = df
+            for c, expr in sets.items():
+                out = out.withColumn(
+                    c, expr if always else F.when(matched, expr).otherwise(F.col(c))
+                )
+            return out
+
+        if mode == "dv":
+            new_cand = _dv_delete_entries(
+                spark, table_dir, old_manifest, old_version + 1, candidates,
+                matcher=lambda lv: lv.filter(matched),
+            )
+            if new_cand is None:
+                return old_version  # nothing matched: no commit needed
+            updated_rows = _apply(live.filter(matched), always=True)
+            appended = _write_txn_files(
+                updated_rows, table_dir, old_version + 1,
+                stats_cols=old_manifest.get("stats_cols"),
+            )
+            files = keep + new_cand + appended
+        else:
+            rewritten = _apply(live, always=False)
+            files = keep + _write_txn_files(
+                rewritten, table_dir, old_version + 1,
+                stats_cols=old_manifest.get("stats_cols"),
+            )
+        manifest = dict(
+            old_manifest,
+            version=old_version + 1,
+            op="update_where",
+            epoch=None if epoch_id is None else int(epoch_id),
+            eff_epoch=None,
+            app_id=app_id,
+            epochs=_record_epoch(old_manifest, app_id, epoch_id),
+            files=files,
         )
         try:
             _commit(table_dir, old_version + 1, manifest)

@@ -205,3 +205,111 @@ def test_dv_bad_mode_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="mode"):
         tx_table.delete(spark, tx, spark.createDataFrame([("a",)], "k string"),
                         mode="nope")
+
+
+def test_update_where_cow_and_dv_match(spark, tmp_path):
+    """UPDATE ... SET through both modes: identical read-back, keys
+    and untouched rows preserved, _epoch lineage preserved, and the
+    DV path rewrites no candidate file (it only appends + DVs)."""
+    cow, dv = str(tmp_path / "cow"), str(tmp_path / "dv")
+    _build(spark, cow, stats=["v"])
+    _build(spark, dv, stats=["v"])
+
+    files_before = {f["path"] for f in tx_table.snapshot(dv)[1]["files"]}
+    v1 = tx_table.update_where(spark, cow, F.col("v") >= 5, {"v": F.col("v") * 10},
+                               epoch_id=20)
+    v2 = tx_table.update_where(spark, dv, F.col("v") >= 5, {"v": F.col("v") * 10},
+                               epoch_id=20, mode="dv")
+    got_cow = _content(spark, cow, v1)
+    got_dv = _content(spark, dv, v2)
+    assert got_cow == got_dv == {("a", 80), ("b", 70), ("c", 3), ("d", 4), ("e", 50)}
+    # dv mode: every pre-update file is still in the manifest (DV'd or
+    # untouched), plus fresh appended files for the updated rows
+    paths_after = {f["path"] for f in tx_table.snapshot(dv)[1]["files"]}
+    assert files_before <= paths_after
+    # _epoch lineage preserved: a replayed old epoch still loses LWW
+    eps = {r.k: r["_epoch"] for r in
+           tx_table.read_table(spark, dv).select("k", "_epoch").collect()}
+    assert eps == {"a": 2, "b": 2, "c": 0, "d": 0, "e": 1}
+    # metadata-only count unchanged by an update
+    assert tx_table.table_count(dv) == 5
+    # replay protection
+    assert tx_table.update_where(spark, dv, F.col("v") >= 5, {"v": F.lit(0)},
+                                 epoch_id=20, mode="dv") == v2
+    # key/bucket/lineage columns are not updatable
+    with pytest.raises(ValueError, match="key/bucket"):
+        tx_table.update_where(spark, dv, F.lit(True), {"k": F.lit("x")})
+
+
+def test_update_where_cdf_tuple_diff(spark, tmp_path):
+    """The change feed for UPDATE commits reports tuple-level pre/post
+    images (carried-verbatim rows cancel), identically for cow and dv
+    — and the txcdf streaming twin agrees."""
+    from real_time_event_streaming_pipeline_spark.streaming.tx_cdf_source import (
+        TxChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(TxChangeFeedDataSource)
+    cow, dv = str(tmp_path / "cow"), str(tmp_path / "dv")
+    _build(spark, cow)
+    _build(spark, dv)
+    v1 = tx_table.update_where(spark, cow, F.col("v") >= 7, {"v": F.col("v") + 100})
+    v2 = tx_table.update_where(spark, dv, F.col("v") >= 7, {"v": F.col("v") + 100},
+                               mode="dv")
+
+    def changes(t, v):
+        df = tx_table.read_changes(spark, t, v)
+        return {(r.k, r.v, r._change_type)
+                for r in df.select("k", "v", "_change_type").collect()}
+
+    want = {
+        ("a", 8, "update_preimage"), ("a", 108, "update_postimage"),
+        ("b", 7, "update_preimage"), ("b", 107, "update_postimage"),
+    }
+    assert changes(cow, v1) == changes(dv, v2) == want
+
+    # streamed parity over the dv table's whole history
+    name = "cdf_upd_parity"
+    q = (
+        spark.readStream.format("txcdf").option("table_dir", dv).load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.sql(
+            f"SELECT k, v, _change_type, _commit_version FROM {name}"
+        ).collect()
+    }
+    want_all = set()
+    for v in range(tx_table.latest_version(dv) + 1):
+        df = tx_table.read_changes(spark, dv, v)
+        if df is None:
+            continue
+        want_all |= {(r.k, r.v, r._change_type, v)
+                     for r in df.select("k", "v", "_change_type").collect()}
+    assert got == want_all
+    assert {x for x in got if x[3] == v2} == {(k, v, ct, v2) for k, v, ct in want}
+
+
+def test_update_where_with_skipping_then_compact(spark, tmp_path):
+    """between-stats pruning applies to UPDATE too; compaction folds
+    the DV'd + appended layout back into clean files with identical
+    content."""
+    tx = str(tmp_path / "tx")
+    rows = [(f"key{i}", i) for i in range(40)]
+    tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=4,
+                    order_col="v", epoch_id=0, stats_cols=["v"])
+    v = tx_table.update_where(spark, tx, F.col("v") < 5, {"v": F.col("v") + 1000},
+                              between={"v": (None, 4)}, mode="dv")
+    content = _content(spark, tx, v)
+    assert {("key%d" % i, i + 1000) for i in range(5)} <= content
+    assert len(content) == 40
+    # stats-proven no-op
+    assert tx_table.update_where(spark, tx, F.col("v") < 0, {"v": F.lit(1)},
+                                 between={"v": (None, -1)}, mode="dv") == v
+    vc = tx_table.compact(spark, tx)
+    assert not any(f.get("dv") for f in tx_table.snapshot(tx)[1]["files"])
+    assert _content(spark, tx, vc) == content

@@ -1,0 +1,279 @@
+"""10x synthetic scale soak (VERDICT r4 #5).
+
+The driver testdata tops out at sf0.1 (17 MB) — enough for
+correctness, not for a measured scaling slope. This tool synthesizes
+a one-off ~sf1 dataset (10x sf0.1 rows, same schemas/domains as
+FIXTURES.md §B, seeded, NOT committed — it lands in /tmp), runs the
+bench headline plus the dedup/ANN/corpus families at sf0.1 and sf1,
+and prints a per-query scaling table: t(sf1)/t(sf0.1) and the implied
+exponent log10 of the ratio (1.0 = linear). Paste the table into
+SCALING.md; any query scaling clearly worse than linear gets a
+tracked task.
+
+    python tools/scale_soak.py --generate      # build /tmp dataset
+    python tools/scale_soak.py --run           # measure + print table
+    python tools/scale_soak.py --generate --run
+
+Generation is deterministic (fixed numpy seed; content is a function
+of row index only) and mirrors the driver domains: bag-of-words
+documents with planted exact and near duplicates, unit-norm 64-d
+embeddings with planted cos~0.5 near-dup pairs, the TPC-H-ish star
+schema, and the events stream at ~1M rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+SEED = 42
+
+# row counts: 10x the sf0.1 testdata
+N = {
+    "region": 5,
+    "nation": 25,
+    "supplier": 10_000,
+    "customer": 150_000,
+    "part": 200_000,
+    "orders": 1_500_000,
+    "lineitem": 6_000_000,
+    "events": 1_000_000,
+    "documents": 50_000,
+    "embeddings": 20_000,
+}
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash slow "
+    "group agg filter query a big key window row table stream merge data "
+    "vector join scale plan index"
+).split()  # 31 terms — matches the llm_token_freq domain size
+
+SOAK_QUERIES = [
+    # bench headline
+    "cs_windowed_agg", "cs_sliding_agg", "cs_cities", "cs_stats",
+    "rel_pricing_summary", "rel_shipping_priority", "rel_local_supplier_volume",
+    "rel_nation_profit", "rel_top_orders_per_customer", "rel_user_sessions",
+    "rel_asof_purchase_view", "llm_text_stats", "llm_dedup_exact_hash",
+    "llm_dedup_ngram_jaccard", "llm_contamination", "llm_dedup_minhash_lsh",
+    "llm_emb_cosine_topk", "llm_dedup_clusters", "llm_corpus_pipeline",
+    # dedup / ANN / corpus families
+    "llm_dedup_ngram_survivors", "llm_semdedup", "llm_semdedup_survivors",
+    "llm_emb_ann_lsh", "llm_emb_ann_ivf", "llm_emb_ann_pq",
+    "llm_corpus_build",
+]
+
+
+def _write(table: str, pa_table) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(SF1_DIR, exist_ok=True)
+    pq.write_table(pa_table, os.path.join(SF1_DIR, f"{table}.parquet"))
+    print(f"  {table}: {pa_table.num_rows} rows")
+
+
+def generate() -> None:
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(SEED)
+    t0 = time.time()
+
+    # -- dims ---------------------------------------------------------
+    _write("region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": [f"REGION_{i}" for i in range(5)],
+    }))
+    _write("nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+
+    n = N["supplier"]
+    _write("supplier", pa.table({
+        "s_suppkey": pa.array(range(n)),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n)],
+        "s_nationkey": pa.array(rng.integers(0, 25, n), pa.int32()),
+        "s_acctbal": np.round(rng.uniform(0, 10_000, n), 2),
+    }))
+
+    n = N["customer"]
+    segs = np.array(["FURNITURE", "MACHINERY", "AUTOMOBILE", "BUILDING", "HOUSEHOLD"])
+    _write("customer", pa.table({
+        "c_custkey": pa.array(range(n)),
+        "c_name": [f"Customer#{i:09d}" for i in range(n)],
+        "c_nationkey": pa.array(rng.integers(0, 25, n), pa.int32()),
+        "c_acctbal": np.round(rng.uniform(-999, 10_000, n), 2),
+        "c_mktsegment": segs[rng.integers(0, len(segs), n)],
+    }))
+
+    n = N["part"]
+    adjs = np.array(["large", "hot", "small", "cold", "dim", "light", "metal", "red"])
+    nouns = np.array(["ring", "bolt", "case", "tube", "disk", "plate", "wire", "rod"])
+    types = np.array(["LARGE", "ECONOMY", "STANDARD", "SMALL", "MEDIUM", "PROMO"])
+    _write("part", pa.table({
+        "p_partkey": pa.array(range(n)),
+        "p_name": [f"{a} {b}" for a, b in zip(
+            adjs[rng.integers(0, len(adjs), n)], nouns[rng.integers(0, len(nouns), n)]
+        )],
+        "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n)],
+        "p_type": types[rng.integers(0, len(types), n)],
+        "p_size": pa.array(rng.integers(1, 51, n), pa.int32()),
+        "p_retailprice": np.round(900.0 + rng.uniform(0, 200, n), 2),
+    }))
+
+    n = N["orders"]
+    day_ms = 86_400_000
+    o_date = (np.datetime64("1992-01-01").astype("datetime64[ms]").astype(np.int64)
+              + rng.integers(0, 2520, n) * day_ms)
+    prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+    _write("orders", pa.table({
+        "o_orderkey": pa.array(range(n)),
+        "o_custkey": pa.array(rng.integers(0, N["customer"], n)),
+        "o_orderstatus": np.array(["O", "F", "P"])[rng.integers(0, 3, n)],
+        "o_totalprice": np.round(rng.uniform(1_000, 400_000, n), 2),
+        "o_orderdate": pa.array(o_date, pa.timestamp("ms")),
+        "o_orderpriority": prios[rng.integers(0, len(prios), n)],
+    }))
+
+    n = N["lineitem"]
+    lines_per_order = n // N["orders"]  # 4
+    qty = rng.integers(1, 51, n).astype(np.float64)
+    price = np.round(qty * rng.uniform(900, 2100, n), 2)
+    ship = (np.datetime64("1992-01-01").astype("datetime64[ms]").astype(np.int64)
+            + rng.integers(0, 2520, n) * day_ms)
+    _write("lineitem", pa.table({
+        "l_orderkey": pa.array(np.arange(n) // lines_per_order),
+        "l_partkey": pa.array(rng.integers(0, N["part"], n)),
+        "l_suppkey": pa.array(rng.integers(0, N["supplier"], n)),
+        "l_linenumber": pa.array((np.arange(n) % lines_per_order) + 1, pa.int32()),
+        "l_quantity": qty,
+        "l_extendedprice": price,
+        "l_discount": np.round(rng.integers(0, 11, n) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, n) / 100.0, 2),
+        "l_returnflag": np.array(["R", "N", "A"])[rng.integers(0, 3, n)],
+        "l_linestatus": np.array(["O", "F"])[rng.integers(0, 2, n)],
+        "l_shipdate": pa.array(ship, pa.timestamp("ms")),
+    }))
+
+    n = N["events"]
+    base_us = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
+    ts = base_us + np.cumsum(rng.integers(1_000_000, 12_000_000, n))  # ~1-12 s apart
+    etypes = np.array(["error", "signup", "purchase", "view", "click"])
+    _write("events", pa.table({
+        "event_id": pa.array(range(n)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 15_000, n)),
+        "event_type": etypes[rng.integers(0, len(etypes), n)],
+        "value": np.round(rng.uniform(1, 500, n), 2),
+        "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n)],
+    }))
+
+    # -- documents: bag-of-words with planted exact + near dups -------
+    n = N["documents"]
+    vocab = np.array(VOCAB)
+    langs = np.array(["en"] * 9 + ["zh"])
+    texts: list[str] = []
+    lengths = rng.integers(10, 101, n)
+    words_cache: dict[int, np.ndarray] = {}
+    for i in range(n):
+        if i % 17 == 3 and i >= 3:
+            w = words_cache[i - 3]          # exact duplicate
+        elif i % 10 == 1 and i >= 1:
+            w = words_cache[i - 1].copy()   # near duplicate: ~8% words swapped
+            flip = rng.random(len(w)) < 0.08
+            w[flip] = vocab[rng.integers(0, len(vocab), int(flip.sum()))]
+        else:
+            w = vocab[rng.integers(0, len(vocab), lengths[i])]
+        words_cache[i] = w
+        texts.append(" ".join(w))
+        if i >= 20:
+            words_cache.pop(i - 20, None)  # bound memory; dups look back <= 3
+    _write("documents", pa.table({
+        "doc_id": pa.array(range(n)),
+        "text": texts,
+        "lang": langs[rng.integers(0, len(langs), n)],
+        "source": [f"src{i}" for i in rng.integers(0, 20, n)],
+        "n_chars": pa.array([len(t) for t in texts]),
+    }))
+
+    # -- embeddings: unit 64-d with planted cos~0.5 near-dup pairs ----
+    n = N["embeddings"]
+    V = rng.standard_normal((n, 64))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    nd = np.arange(n) % 8 == 5
+    idx = np.nonzero(nd)[0]
+    noise = rng.standard_normal((len(idx), 64))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    mixed = V[idx - 1] + np.sqrt(3.0) * noise  # cos ~ 1/sqrt(1+3) = 0.5
+    V[idx] = mixed / np.linalg.norm(mixed, axis=1, keepdims=True)
+    import pyarrow as pa2
+
+    _write("embeddings", pa.table({
+        "vec_id": pa.array(range(n)),
+        "embedding": pa2.array([row.tolist() for row in V.astype(np.float32)],
+                               pa2.list_(pa2.float32())),
+        "label": pa.array(rng.integers(0, 10, n), pa.int32()),
+    }))
+    print(f"generated sf1 at {SF1_DIR} in {time.time() - t0:.1f}s")
+
+
+def run() -> None:
+    from real_time_event_streaming_pipeline_spark.plans import all_queries
+    from real_time_event_streaming_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_soak")
+    queries = all_queries()
+    dirs = {"sf0.1": "/root/testdata/sf0.1", "sf1": SF1_DIR}
+    queries["cs_cities"](spark, dirs["sf0.1"]).collect()  # warm-up
+
+    results: dict[str, dict[str, float | str]] = {}
+    for name in SOAK_QUERIES:
+        results[name] = {}
+        for label, d in dirs.items():
+            best: float | str = float("inf")
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    queries[name](spark, d).collect()
+                    best = min(best, time.perf_counter() - t0)
+                best = round(best, 3)
+            except Exception as e:  # noqa: BLE001 — the sweep must finish
+                best = f"error: {type(e).__name__}"
+            results[name][label] = best
+            print(f"  {name} @ {label}: {best}", flush=True)
+
+    import math
+
+    print("\n| query | sf0.1 (s) | sf1 (s) | ratio | exponent |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        a, b = r["sf0.1"], r["sf1"]
+        if isinstance(a, str) or isinstance(b, str) or a <= 0:
+            print(f"| {name} | {a} | {b} | — | — |")
+            continue
+        ratio = b / a
+        expo = math.log10(ratio) if ratio > 0 else float("nan")
+        print(f"| {name} | {a} | {b} | {ratio:.2f}x | {expo:.2f} |")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "SOAK_sf1.json"), "w") as fh:
+        json.dump(results, fh, indent=1, sort_keys=True)
+    print("\nwrote SOAK_sf1.json; exponent 1.0 = linear in rows (10x data)")
+
+
+def main() -> None:
+    if "--generate" in sys.argv:
+        generate()
+    if "--run" in sys.argv:
+        run()
+    if len(sys.argv) == 1:
+        print(__doc__)
+
+
+if __name__ == "__main__":
+    main()
