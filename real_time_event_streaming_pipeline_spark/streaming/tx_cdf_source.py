@@ -176,7 +176,11 @@ def _changes_for_version(table_dir: str, version: int, field_names: list[str]):
         return pd.concat(frames, ignore_index=True)
 
     eff = tx_table._commit_eff_epoch(m_v)
-    post = cur[cur["_epoch"] == eff] if m_v["op"] == "upsert" else cur.iloc[0:0]
+    post = (
+        cur[cur["_epoch"] == eff]
+        if m_v["op"] in ("upsert", "merge")
+        else cur.iloc[0:0]
+    )
 
     def keyed(df):
         return df[key_cols].drop_duplicates()

@@ -345,7 +345,9 @@ def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame
         for df in out[1:]:
             res = res.unionByName(df)
         return res
-    if cur is not None and m_v["op"] == "upsert":
+    if cur is not None and m_v["op"] in ("upsert", "merge"):
+        # merge stamps its written rows (updates + inserts) with
+        # eff_epoch exactly like an upsert, so one CDF path serves both
         post = cur.filter(F.col("_epoch") == _commit_eff_epoch(m_v))
     else:
         post = None  # delete ops introduce no rows
@@ -949,6 +951,164 @@ def delete_where(
             return old_version + 1
         except CommitConflict:
             continue
+    raise CommitConflict(f"gave up after {max_retries} commit conflicts")
+
+
+def merge(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    when_matched_update: dict | None = None,
+    when_matched_delete=None,
+    when_not_matched_insert: bool = True,
+    epoch_id: int | None = None,
+    max_retries: int = 20,
+    app_id: str | None = None,
+) -> int:
+    """Delta's MERGE INTO in one atomic commit: join ``source`` to the
+    table on its key columns, then per matched target row apply
+    ``when_matched_delete`` (a Column/SQL condition; may reference
+    source columns as ``_src_<name>``) first, else
+    ``when_matched_update`` (column -> expression over the joined row,
+    source columns as ``_src_<name>``); source rows matching no target
+    key insert when ``when_not_matched_insert`` (source must then
+    carry the full table schema). ``upsert`` is the special case
+    update=whole-row-replace + insert; ``merge`` generalizes it to
+    conditional column-level updates and matched deletes without
+    extra commits.
+
+    Copy-on-write on the affected buckets only (the source's key
+    hashes), one manifest commit, the app-scoped exactly-once ledger,
+    and LWW lineage: rows WRITTEN by the merge (updated + inserted)
+    are stamped with this commit's eff_epoch, exactly as an upsert
+    stamps its batch. The change feed therefore reports merge commits
+    through the same logic as upserts: update pre/post images for
+    matched updates, inserts for new keys, deletes for
+    matched-delete rows."""
+    if when_matched_update is None and when_matched_delete is None and not when_not_matched_insert:
+        raise ValueError("merge needs at least one WHEN clause")
+    upd = {
+        c: (F.expr(v) if isinstance(v, str) else v)
+        for c, v in (when_matched_update or {}).items()
+    }
+    del_cond = (
+        F.expr(when_matched_delete)
+        if isinstance(when_matched_delete, str)
+        else when_matched_delete
+    )
+    for _ in range(max_retries):
+        snap = snapshot(table_dir)
+        if snap is None:
+            raise ValueError(
+                f"merge into empty table {table_dir}: create it with upsert first"
+            )
+        old_version, old_manifest = snap
+        if _seen_epoch(old_manifest, app_id, epoch_id):
+            return old_version
+        key_cols = old_manifest["key_cols"]
+        n_buckets = old_manifest["n_buckets"]
+        bad = {*upd} & {*key_cols, "kb", "_epoch"}
+        if bad:
+            raise ValueError(
+                f"merge must not update key/bucket/lineage columns {sorted(bad)}"
+            )
+        missing = [k for k in key_cols if k not in source.columns]
+        if missing:
+            raise ValueError(f"merge source lacks key column(s) {missing}")
+        eff_epoch = int(epoch_id) if epoch_id is not None else _next_epoch(old_manifest)
+        kb = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast("int")
+        src = source.withColumn("kb", kb).persist()
+        try:
+            affected = sorted(r.kb for r in src.select("kb").distinct().collect())
+            if not affected:
+                return old_version
+            keep = [f for f in old_manifest["files"] if f["kb"] not in set(affected)]
+            cand = [f for f in old_manifest["files"] if f["kb"] in set(affected)]
+            existing = _read_entries(spark, table_dir, cand, old_manifest.get("schema"))
+            if old_manifest.get("schema") is not None:
+                from pyspark.sql.types import StructType
+
+                schema_cols = StructType.fromJson(
+                    json.loads(old_manifest["schema"])
+                ).fieldNames()
+            else:
+                schema_cols = existing.columns if existing is not None else None
+            src_renamed = src.select(
+                *[F.col(k) for k in key_cols],
+                *[
+                    F.col(c).alias(f"_src_{c}")
+                    for c in source.columns
+                    if c not in key_cols
+                ],
+            )
+            parts = []
+            if existing is not None:
+                # a left-join row is matched iff a source row exists —
+                # detected via a sentinel column, since all-null source
+                # payload columns are legal
+                src_sentinel = src_renamed.withColumn("_src_matched", F.lit(True))
+                joined = existing.join(F.broadcast(src_sentinel), key_cols, "left")
+                matched = F.coalesce(F.col("_src_matched"), F.lit(False))
+                surviving = joined
+                if del_cond is not None:
+                    surviving = surviving.filter(
+                        ~(matched & F.coalesce(del_cond, F.lit(False)))
+                    )
+                updated = surviving
+                if upd:
+                    for c, expr in upd.items():
+                        updated = updated.withColumn(
+                            c, F.when(matched, expr).otherwise(F.col(c))
+                        )
+                    updated = updated.withColumn(
+                        "_epoch",
+                        F.when(matched, F.lit(eff_epoch)).otherwise(F.col("_epoch")),
+                    )
+                parts.append(updated.select(*schema_cols))
+            if when_not_matched_insert:
+                new_keys = (
+                    src if existing is None
+                    else src.join(
+                        existing.select(*key_cols).distinct(), key_cols, "left_anti"
+                    )
+                )
+                inserts = new_keys.withColumn("_epoch", F.lit(eff_epoch))
+                if schema_cols is not None:
+                    have = set(inserts.columns)
+                    lacking = [c for c in schema_cols if c not in have]
+                    if lacking:
+                        raise ValueError(
+                            f"merge insert needs full-schema source rows; missing {lacking}"
+                        )
+                    inserts = inserts.select(*schema_cols)
+                parts.append(inserts)
+            if not parts:
+                return old_version
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
+            new_entries = _write_txn_files(
+                merged, table_dir, old_version + 1,
+                stats_cols=old_manifest.get("stats_cols"),
+            )
+            manifest = dict(
+                old_manifest,
+                version=old_version + 1,
+                op="merge",
+                epoch=None if epoch_id is None else int(epoch_id),
+                eff_epoch=eff_epoch,
+                app_id=app_id,
+                epochs=_record_epoch(old_manifest, app_id, epoch_id),
+                max_epoch=max(eff_epoch, _next_epoch(old_manifest) - 1),
+                files=keep + new_entries,
+            )
+            try:
+                _commit(table_dir, old_version + 1, manifest)
+                return old_version + 1
+            except CommitConflict:
+                continue
+        finally:
+            src.unpersist()
     raise CommitConflict(f"gave up after {max_retries} commit conflicts")
 
 

@@ -313,3 +313,113 @@ def test_update_where_with_skipping_then_compact(spark, tmp_path):
     vc = tx_table.compact(spark, tx)
     assert not any(f.get("dv") for f in tx_table.snapshot(tx)[1]["files"])
     assert _content(spark, tx, vc) == content
+
+
+def test_merge_into_all_three_clauses(spark, tmp_path):
+    """MERGE INTO: matched-delete, conditional matched-update with
+    source-column references, and not-matched-insert compose in ONE
+    atomic commit; the change feed reports them through the upsert
+    logic (update images + inserts + deletes)."""
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)  # {a:8, b:7, c:3, d:4, e:5}
+    v0 = tx_table.latest_version(tx)
+
+    src = spark.createDataFrame(
+        [("a", 100), ("c", -1), ("z", 50)], "k string, v int"
+    )
+    v = tx_table.merge(
+        spark, tx, src,
+        when_matched_update={"v": F.col("_src_v")},
+        when_matched_delete=F.col("_src_v") < 0,   # kills c
+        epoch_id=30,
+    )
+    assert v == v0 + 1
+    assert _content(spark, tx, v) == {
+        ("a", 100), ("b", 7), ("d", 4), ("e", 5), ("z", 50)
+    }
+    # LWW lineage: written rows (a updated, z inserted) carry eff_epoch
+    eps = {r.k: r["_epoch"] for r in
+           tx_table.read_table(spark, tx).select("k", "_epoch").collect()}
+    assert eps["a"] == 30 and eps["z"] == 30 and eps["b"] == 2
+
+    ch = tx_table.read_changes(spark, tx, v)
+    got = {(r.k, r.v, r._change_type)
+           for r in ch.select("k", "v", "_change_type").collect()}
+    assert got == {
+        ("a", 8, "update_preimage"), ("a", 100, "update_postimage"),
+        ("z", 50, "insert"), ("c", 3, "delete"),
+    }
+    # replay protection
+    assert tx_table.merge(spark, tx, src, when_matched_update={"v": F.lit(0)},
+                          epoch_id=30) == v
+
+
+def test_merge_guards_and_variants(spark, tmp_path):
+    """MERGE guardrails: key updates rejected, missing key column
+    rejected, at least one clause required; update-only and
+    insert-only variants behave."""
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)
+    src = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError, match="key/bucket"):
+        tx_table.merge(spark, tx, src, when_matched_update={"k": F.lit("x")})
+    with pytest.raises(ValueError, match="key column"):
+        tx_table.merge(spark, tx, spark.createDataFrame([(1,)], "v int"))
+    with pytest.raises(ValueError, match="WHEN clause"):
+        tx_table.merge(spark, tx, src, when_not_matched_insert=False)
+
+    # update-only: unmatched source rows do NOT insert
+    v = tx_table.merge(spark, tx,
+                       spark.createDataFrame([("a", 11), ("q", 1)], "k string, v int"),
+                       when_matched_update={"v": F.col("_src_v")},
+                       when_not_matched_insert=False, epoch_id=40)
+    assert _content(spark, tx, v) == {("a", 11), ("b", 7), ("c", 3), ("d", 4), ("e", 5)}
+
+    # insert-only (WHEN NOT MATCHED THEN INSERT): matched rows untouched
+    v2 = tx_table.merge(spark, tx,
+                        spark.createDataFrame([("a", 99), ("n", 9)], "k string, v int"),
+                        epoch_id=41)
+    assert _content(spark, tx, v2) == {
+        ("a", 11), ("b", 7), ("c", 3), ("d", 4), ("e", 5), ("n", 9)
+    }
+
+
+def test_merge_txcdf_stream_parity(spark, tmp_path):
+    """The txcdf streaming twin reconstructs merge commits identically
+    to the DataFrame read_changes path."""
+    from real_time_event_streaming_pipeline_spark.streaming.tx_cdf_source import (
+        TxChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(TxChangeFeedDataSource)
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)
+    tx_table.merge(
+        spark, tx,
+        spark.createDataFrame([("a", 100), ("c", -1), ("z", 50)], "k string, v int"),
+        when_matched_update={"v": F.col("_src_v")},
+        when_matched_delete=F.col("_src_v") < 0,
+        epoch_id=30,
+    )
+    name = "cdf_merge_parity"
+    q = (
+        spark.readStream.format("txcdf").option("table_dir", tx).load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.sql(
+            f"SELECT k, v, _change_type, _commit_version FROM {name}"
+        ).collect()
+    }
+    want = set()
+    for v in range(tx_table.latest_version(tx) + 1):
+        df = tx_table.read_changes(spark, tx, v)
+        if df is None:
+            continue
+        want |= {(r.k, r.v, r._change_type, v)
+                 for r in df.select("k", "v", "_change_type").collect()}
+    assert got == want

@@ -48,10 +48,12 @@ N = {
 }
 
 VOCAB = (
-    "batch part spark line column order small sort fast value scan hash slow "
-    "group agg filter query a big key window row table stream merge data "
-    "vector join scale plan index"
-).split()  # 31 terms — matches the llm_token_freq domain size
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window"
+).split()  # the driver corpus's exact 31-term vocabulary (incl. the two
+# stopwords 'a'/'the' the gopher gate needs — without them zero docs
+# pass the gate and downstream stages see an empty corpus)
 
 SOAK_QUERIES = [
     # bench headline
@@ -210,7 +212,7 @@ def generate() -> None:
     idx = np.nonzero(nd)[0]
     noise = rng.standard_normal((len(idx), 64))
     noise /= np.linalg.norm(noise, axis=1, keepdims=True)
-    mixed = V[idx - 1] + np.sqrt(3.0) * noise  # cos ~ 1/sqrt(1+3) = 0.5
+    mixed = V[idx - 1] + 0.75 * noise  # cos ~ 1/sqrt(1+0.5625) = 0.8
     V[idx] = mixed / np.linalg.norm(mixed, axis=1, keepdims=True)
     import pyarrow as pa2
 
@@ -247,6 +249,30 @@ def run() -> None:
                 best = f"error: {type(e).__name__}"
             results[name][label] = best
             print(f"  {name} @ {label}: {best}", flush=True)
+
+    # semdedup at a RE-CALIBRATED threshold: the registered query's
+    # fixed 0.45 operating point is calibrated to the margin-free
+    # driver corpus; at 10x rows the ~3.6-sigma random-pair tail grows
+    # ~n^2 and forms a giant component (non-convergent clustering).
+    # The machinery itself scales when the operating point matches the
+    # corpus — shown at threshold 0.7: above the noise tail (5.6 sigma),
+    # below the sf1 generator's planted near-dups (cos ~0.8).
+    from real_time_event_streaming_pipeline_spark.catalog import load as _load
+    from real_time_event_streaming_pipeline_spark.streaming.semdedup_index import (
+        batch_semdedup_survivors,
+    )
+
+    results["semdedup_survivors_recal"] = {}
+    for label, d in dirs.items():
+        thr = 0.45 if label == "sf0.1" else 0.7  # above the sf1 noise tail
+        try:
+            t0 = time.perf_counter()
+            batch_semdedup_survivors(_load(spark, d, "embeddings"), threshold=thr).count()
+            results["semdedup_survivors_recal"][label] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            results["semdedup_survivors_recal"][label] = f"error: {type(e).__name__}"
+        print(f"  semdedup_survivors_recal @ {label}: "
+              f"{results['semdedup_survivors_recal'][label]}", flush=True)
 
     import math
 
