@@ -566,20 +566,41 @@ _OP = st.one_of(
             min_size=1, max_size=4, unique_by=lambda kv: kv[0],
         ),
     ),
-    st.tuples(st.just("delete"), st.lists(st.sampled_from(_KEYS), min_size=1,
-                                          max_size=2, unique=True)),
-    st.tuples(st.just("delete_where"), st.integers(0, 999)),
+    st.tuples(
+        st.just("delete"),
+        st.tuples(
+            st.lists(st.sampled_from(_KEYS), min_size=1, max_size=2, unique=True),
+            st.sampled_from(["cow", "dv"]),
+        ),
+    ),
+    st.tuples(
+        st.just("delete_where"),
+        st.tuples(st.integers(0, 999), st.sampled_from(["cow", "dv"])),
+    ),
+    st.tuples(
+        st.just("update_where"),
+        st.tuples(st.integers(0, 999), st.sampled_from(["cow", "dv"])),
+    ),
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(st.sampled_from(_KEYS), st.integers(-200, 999)),
+            min_size=1, max_size=3, unique_by=lambda kv: kv[0],
+        ),
+    ),
 )
 
 
 @given(ops=st.lists(_OP, min_size=1, max_size=5))
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_tx_model_based_dml_sequences(spark, tmp_path_factory, ops):
-    """Any sequence of keyed upserts, keyed deletes, and predicate
-    deletes must leave the table exactly where a driver-side dict
-    model lands — and every historical version must equal the model's
-    state at that point."""
+    """Any sequence of keyed upserts, keyed/predicate deletes (cow or
+    deletion-vector), predicate updates (cow or dv), and MERGEs
+    (matched-delete on negative source values, matched-update, insert)
+    must leave the table exactly where a driver-side dict model lands
+    — and every historical version must equal the model's state at
+    that point."""
     tmp = tmp_path_factory.mktemp("txmodel")
     tx = str(tmp / "t")
     model: dict[str, int] = {}
@@ -592,18 +613,43 @@ def test_tx_model_based_dml_sequences(spark, tmp_path_factory, ops):
             model.update(dict(payload))
         elif kind == "delete_where":
             if last_version < 0:
-                continue  # delete on an empty table raises by contract
-            v = tx_table.delete_where(spark, tx, F.col("v") <= payload,
-                                      epoch_id=i)
-            model = {k: x for k, x in model.items() if x > payload}
+                continue  # DML on an empty table raises by contract
+            thr, mode = payload
+            v = tx_table.delete_where(spark, tx, F.col("v") <= thr,
+                                      epoch_id=i, mode=mode)
+            model = {k: x for k, x in model.items() if x > thr}
+        elif kind == "update_where":
+            if last_version < 0:
+                continue
+            thr, mode = payload
+            v = tx_table.update_where(spark, tx, F.col("v") <= thr,
+                                      {"v": F.col("v") + 1000},
+                                      epoch_id=i, mode=mode)
+            model = {k: (x + 1000 if x <= thr else x) for k, x in model.items()}
+        elif kind == "merge":
+            if last_version < 0:
+                continue
+            src = _batch(spark, payload)
+            v = tx_table.merge(
+                spark, tx, src,
+                when_matched_update={"v": F.col("_src_v")},
+                when_matched_delete=F.col("_src_v") < 0,
+                epoch_id=i,
+            )
+            for k, val in payload:
+                if k in model and val < 0:
+                    model.pop(k)
+                else:
+                    model[k] = val
         else:
             if last_version < 0:
-                continue  # delete on an empty table raises by contract
-            keys = spark.createDataFrame([(k,) for k in payload], "k string")
-            v = tx_table.delete(spark, tx, keys, epoch_id=i)
-            for k in payload:
+                continue
+            keys_list, mode = payload
+            keys = spark.createDataFrame([(k,) for k in keys_list], "k string")
+            v = tx_table.delete(spark, tx, keys, epoch_id=i, mode=mode)
+            for k in keys_list:
                 model.pop(k, None)
-        if v > last_version:  # no-op deletes commit nothing
+        if v > last_version:  # no-op DML commits nothing
             last_version = v
             states.append(dict(model))
     if not states:

@@ -274,13 +274,47 @@ def run() -> None:
         print(f"  semdedup_survivors_recal @ {label}: "
               f"{results['semdedup_survivors_recal'][label]}", flush=True)
 
+    # the n-gram stop-shingle cap's truncation profile per scale (the
+    # SCALING.md follow-up: make the cap's effect a measured number,
+    # not a silent drop) — fraction of distinct shingles over the
+    # max_doc_freq=100 cap and fraction of (doc, shingle) instances
+    # they carry. A rising instance fraction marks the closed-
+    # vocabulary cap regime responsible for the family's superlinear
+    # slope on this corpus shape.
+    from pyspark.sql import functions as _F
+
+    from real_time_event_streaming_pipeline_spark.operators.dedup import doc_shingles
+
+    results["ngram_cap_profile"] = {}
+    for label, d in dirs.items():
+        freq = (
+            doc_shingles(_load(spark, d, "documents"), 3)
+            .groupBy("shingle").count()
+        )
+        r = freq.agg(
+            _F.count(_F.lit(1)).alias("n_shingles"),
+            _F.count_if(_F.col("count") > 100).alias("n_capped"),
+            _F.sum("count").alias("n_instances"),
+            _F.sum(_F.when(_F.col("count") > 100, _F.col("count"))).alias("capped_instances"),
+        ).collect()[0]
+        prof = {
+            "shingles": int(r["n_shingles"]),
+            "capped_shingles": int(r["n_capped"]),
+            "capped_shingle_frac": round(r["n_capped"] / max(r["n_shingles"], 1), 4),
+            "capped_instance_frac": round(
+                (r["capped_instances"] or 0) / max(r["n_instances"], 1), 4
+            ),
+        }
+        results["ngram_cap_profile"][label] = prof
+        print(f"  ngram_cap_profile @ {label}: {prof}", flush=True)
+
     import math
 
     print("\n| query | sf0.1 (s) | sf1 (s) | ratio | exponent |")
     print("|---|---|---|---|---|")
     for name, r in results.items():
         a, b = r["sf0.1"], r["sf1"]
-        if isinstance(a, str) or isinstance(b, str) or a <= 0:
+        if not isinstance(a, (int, float)) or not isinstance(b, (int, float)) or a <= 0:
             print(f"| {name} | {a} | {b} | — | — |")
             continue
         ratio = b / a
