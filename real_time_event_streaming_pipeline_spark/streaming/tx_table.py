@@ -1218,6 +1218,7 @@ def compact(
     table_dir: str,
     sort_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> int | None:
     """Rewrite the current snapshot into one transaction directory
     (one file set per bucket) and commit it as a new version — same
@@ -1232,13 +1233,43 @@ def compact(
     the sort column goes from "keeps most files" to "keeps the one
     file the range lives in". This is the periodic maintenance pass
     that buys back read selectivity on tables whose upsert keys don't
-    correlate with the query predicate (e.g. ttl, event time)."""
+    correlate with the query predicate (e.g. ttl, event time).
+
+    ``zorder_cols`` (2+ numeric columns) clusters on the Morton curve
+    instead (OPTIMIZE ... ZORDER BY): each row sorts by the
+    interleaved-bit z-value over the columns' observed [min, max]
+    ranges (one bounded agg computes them), so every output file's
+    min/max stats are narrow in EVERY z-ordered dimension at once —
+    prune_files then skips on conjunctive multi-column ranges, which
+    a single-column sort cannot give. Mutually exclusive with
+    ``sort_cols``; stats_cols should cover the z-ordered columns for
+    the skipping to bite."""
+    if sort_cols and zorder_cols:
+        raise ValueError("pass sort_cols or zorder_cols, not both")
     snap = snapshot(table_dir)
     if snap is None:
         return None
     version, manifest = snap
     df = read_table(spark, table_dir, version)
-    if sort_cols:
+    if zorder_cols:
+        from ..sources.maintenance import zorder_value
+
+        rng = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in zorder_cols],
+            *[F.max(c).alias(f"hi_{c}") for c in zorder_cols],
+        ).collect()[0]  # bounded: one row
+        z = zorder_value(
+            zorder_cols,
+            [rng[f"lo_{c}"] for c in zorder_cols],
+            [rng[f"hi_{c}"] for c in zorder_cols],
+        )
+        df = (
+            df.withColumn("_z", z)
+            .repartition("kb")
+            .sortWithinPartitions("kb", "_z")
+            .drop("_z")
+        )
+    elif sort_cols:
         df = df.repartition("kb").sortWithinPartitions("kb", *sort_cols)
     entries = _write_txn_files(
         df, table_dir, version + 1,

@@ -423,3 +423,46 @@ def test_merge_txcdf_stream_parity(spark, tmp_path):
         want |= {(r.k, r.v, r._change_type, v)
                  for r in df.select("k", "v", "_change_type").collect()}
     assert got == want
+
+
+def test_compact_zorder_multi_dim_skipping(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY on the tx table: after
+    compact(zorder_cols=['x','y']), the manifest's per-file stats are
+    narrow in BOTH dimensions, so prune_files keeps only a small file
+    subset for a conjunctive (x, y) box — which a single-column sort
+    cannot give for the second column."""
+    tx = str(tmp_path / "tx")
+    rows = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") / 100).cast("long") % 100).alias("y"),
+    )
+    tx_table.upsert(spark, tx, rows, ["k"], n_buckets=1, epoch_id=0,
+                    stats_cols=["x", "y"])
+    v = tx_table.compact(spark, tx, zorder_cols=["x", "y"],
+                         max_records_per_file=1250)
+    m = tx_table.read_manifest(tx, v)
+    assert len(m["files"]) >= 8
+    box = {"x": (10, 19), "y": (10, 19)}
+    kept = tx_table.prune_files(m, box)
+    frac = len(kept) / len(m["files"])
+    assert frac <= 0.5, f"z-order kept {frac:.0%} of files for a 1% box"
+
+    # the pruned read still returns a superset of the exact box rows
+    df = tx_table.read_table(spark, tx, version=v, between=box)
+    exact = df.filter("x between 10 and 19 and y between 10 and 19").count()
+    want = rows.filter("x between 10 and 19 and y between 10 and 19").count()
+    assert exact == want > 0
+
+    # contrast: a single-dimension sort leaves y's span global — the
+    # same box prunes (almost) nothing on the y bound
+    tx2 = str(tmp_path / "tx2")
+    tx_table.upsert(spark, tx2, rows, ["k"], n_buckets=1, epoch_id=0,
+                    stats_cols=["x", "y"])
+    v2 = tx_table.compact(spark, tx2, sort_cols=["x"], max_records_per_file=1250)
+    m2 = tx_table.read_manifest(tx2, v2)
+    kept_y = tx_table.prune_files(m2, {"y": (10, 19)})
+    assert len(kept_y) / len(m2["files"]) > 0.9  # y-only query: no skip
+
+    with pytest.raises(ValueError, match="not both"):
+        tx_table.compact(spark, tx, sort_cols=["x"], zorder_cols=["y", "x"])
