@@ -175,6 +175,31 @@ def _changes_for_version(table_dir: str, version: int, field_names: list[str]):
             return pd.DataFrame(columns=[*field_names, "_change_type"])
         return pd.concat(frames, ignore_index=True)
 
+    def _dv_dead_frame(p_ent, c_ent):
+        """Raw rows at (cur DV minus prev DV) positions, or None."""
+        cur_dead = (
+            _read_dv_positions(table_dir, c_ent["dv"], c_ent["path"])
+            if c_ent.get("dv") else set()
+        )
+        prev_dead = (
+            _read_dv_positions(table_dir, p_ent["dv"], p_ent["path"])
+            if p_ent.get("dv") else set()
+        )
+        newly = sorted(cur_dead - prev_dead)
+        if not newly:
+            return None
+        raw = _load_entries(table_dir, [dict(c_ent, dv=None)], field_names)
+        return raw.iloc[newly]
+
+    if m_v["op"] in ("upsert", "merge") and dv_changed:
+        # dv-mode merge: fold DV-killed rows into the prev side so the
+        # key-based classification below covers update images and
+        # matched deletes (mirrors tx_table.read_changes)
+        dead = [f for f in (_dv_dead_frame(p, c) for p, c in dv_changed) if f is not None]
+        if dead:
+            prev = pd.concat([prev, *dead], ignore_index=True)
+        dv_changed = []
+
     eff = tx_table._commit_eff_epoch(m_v)
     post = (
         cur[cur["_epoch"] == eff]

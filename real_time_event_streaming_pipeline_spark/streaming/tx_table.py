@@ -345,6 +345,14 @@ def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame
         for df in out[1:]:
             res = res.unionByName(df)
         return res
+    if m_v["op"] in ("upsert", "merge") and dv_changed:
+        # a dv-mode merge kills old row versions via DV pointers
+        # instead of dropping files: fold the newly-dead rows into the
+        # prev side and the key-based classification below handles
+        # update images and matched deletes uniformly
+        dvr = _dv_delta_rows(spark, table_dir, dv_changed, m_v.get("schema"))
+        prev = dvr if prev is None else prev.unionByName(dvr)
+        dv_changed = []
     if cur is not None and m_v["op"] in ("upsert", "merge"):
         # merge stamps its written rows (updates + inserts) with
         # eff_epoch exactly like an upsert, so one CDF path serves both
@@ -964,6 +972,7 @@ def merge(
     epoch_id: int | None = None,
     max_retries: int = 20,
     app_id: str | None = None,
+    mode: str = "cow",
 ) -> int:
     """Delta's MERGE INTO in one atomic commit: join ``source`` to the
     table on its key columns, then per matched target row apply
@@ -977,16 +986,25 @@ def merge(
     conditional column-level updates and matched deletes without
     extra commits.
 
-    Copy-on-write on the affected buckets only (the source's key
-    hashes), one manifest commit, the app-scoped exactly-once ledger,
-    and LWW lineage: rows WRITTEN by the merge (updated + inserted)
-    are stamped with this commit's eff_epoch, exactly as an upsert
-    stamps its batch. The change feed therefore reports merge commits
-    through the same logic as upserts: update pre/post images for
-    matched updates, inserts for new keys, deletes for
-    matched-delete rows."""
+    ``mode="cow"`` rewrites the affected buckets (the source's key
+    hashes) — one manifest commit. ``mode="dv"`` is merge-on-read:
+    matched rows a clause touches (updated or deleted) are killed via
+    a deletion-vector sidecar and the updated + inserted rows are
+    appended as fresh per-bucket files in the same commit — no bucket
+    rewrite, write cost O(source-touched rows), the Delta/Iceberg v2
+    MERGE trade; matched rows no clause touches stay in place.
+
+    Either way: the app-scoped exactly-once ledger applies, and rows
+    WRITTEN by the merge (updated + inserted) are stamped with this
+    commit's eff_epoch, exactly as an upsert stamps its batch. The
+    change feed therefore reports merge commits through the same
+    logic as upserts: update pre/post images for matched updates,
+    inserts for new keys, deletes for matched-delete rows (dv mode
+    folds the DV-killed rows into the same classification)."""
     if when_matched_update is None and when_matched_delete is None and not when_not_matched_insert:
         raise ValueError("merge needs at least one WHEN clause")
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"merge mode must be 'cow' or 'dv', got {mode!r}")
     upd = {
         c: (F.expr(v) if isinstance(v, str) else v)
         for c, v in (when_matched_update or {}).items()
@@ -1042,29 +1060,63 @@ def merge(
                 ],
             )
             parts = []
+            cand_entries = cand  # dv mode swaps in DV'd replacements
             if existing is not None:
                 # a left-join row is matched iff a source row exists —
                 # detected via a sentinel column, since all-null source
                 # payload columns are legal
                 src_sentinel = src_renamed.withColumn("_src_matched", F.lit(True))
-                joined = existing.join(F.broadcast(src_sentinel), key_cols, "left")
-                matched = F.coalesce(F.col("_src_matched"), F.lit(False))
-                surviving = joined
-                if del_cond is not None:
-                    surviving = surviving.filter(
-                        ~(matched & F.coalesce(del_cond, F.lit(False)))
-                    )
-                updated = surviving
-                if upd:
-                    for c, expr in upd.items():
-                        updated = updated.withColumn(
-                            c, F.when(matched, expr).otherwise(F.col(c))
+                if mode == "dv":
+                    # kill the matched rows a clause TOUCHES (updated or
+                    # deleted) via a DV sidecar; untouched matched rows
+                    # stay in place and never rewrite
+                    clause = F.lit(bool(upd))
+                    if del_cond is not None:
+                        clause = clause | F.coalesce(del_cond, F.lit(False))
+
+                    def dv_matcher(live):
+                        j = live.join(F.broadcast(src_sentinel), key_cols, "left")
+                        return j.filter(
+                            F.coalesce(F.col("_src_matched"), F.lit(False)) & clause
                         )
-                    updated = updated.withColumn(
-                        "_epoch",
-                        F.when(matched, F.lit(eff_epoch)).otherwise(F.col("_epoch")),
+
+                    dv_entries = _dv_delete_entries(
+                        spark, table_dir, old_manifest, old_version + 1, cand,
+                        matcher=dv_matcher,
                     )
-                parts.append(updated.select(*schema_cols))
+                    if dv_entries is not None:
+                        cand_entries = dv_entries
+                    if upd:
+                        upd_rows = existing.join(
+                            F.broadcast(src_sentinel), key_cols, "inner"
+                        )
+                        if del_cond is not None:
+                            upd_rows = upd_rows.filter(
+                                ~F.coalesce(del_cond, F.lit(False))
+                            )
+                        for c, expr in upd.items():
+                            upd_rows = upd_rows.withColumn(c, expr)
+                        upd_rows = upd_rows.withColumn("_epoch", F.lit(eff_epoch))
+                        parts.append(upd_rows.select(*schema_cols))
+                else:
+                    joined = existing.join(F.broadcast(src_sentinel), key_cols, "left")
+                    matched = F.coalesce(F.col("_src_matched"), F.lit(False))
+                    surviving = joined
+                    if del_cond is not None:
+                        surviving = surviving.filter(
+                            ~(matched & F.coalesce(del_cond, F.lit(False)))
+                        )
+                    updated = surviving
+                    if upd:
+                        for c, expr in upd.items():
+                            updated = updated.withColumn(
+                                c, F.when(matched, expr).otherwise(F.col(c))
+                            )
+                        updated = updated.withColumn(
+                            "_epoch",
+                            F.when(matched, F.lit(eff_epoch)).otherwise(F.col("_epoch")),
+                        )
+                    parts.append(updated.select(*schema_cols))
             if when_not_matched_insert:
                 new_keys = (
                     src if existing is None
@@ -1082,15 +1134,22 @@ def merge(
                         )
                     inserts = inserts.select(*schema_cols)
                 parts.append(inserts)
-            if not parts:
-                return old_version
-            merged = parts[0]
-            for p in parts[1:]:
-                merged = merged.unionByName(p)
-            new_entries = _write_txn_files(
-                merged, table_dir, old_version + 1,
-                stats_cols=old_manifest.get("stats_cols"),
-            )
+            if not parts and cand_entries is cand:
+                return old_version  # no clause fired, nothing to insert
+            if parts:
+                merged = parts[0]
+                for p in parts[1:]:
+                    merged = merged.unionByName(p)
+                new_entries = _write_txn_files(
+                    merged, table_dir, old_version + 1,
+                    stats_cols=old_manifest.get("stats_cols"),
+                )
+            else:
+                new_entries = []
+            if mode == "dv":
+                # affected buckets' files stay (with moved DV pointers
+                # where rows died); appends land beside them
+                new_entries = cand_entries + new_entries
             manifest = dict(
                 old_manifest,
                 version=old_version + 1,

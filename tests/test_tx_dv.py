@@ -466,3 +466,83 @@ def test_compact_zorder_multi_dim_skipping(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not both"):
         tx_table.compact(spark, tx, sort_cols=["x"], zorder_cols=["y", "x"])
+
+
+def test_merge_dv_matches_cow(spark, tmp_path):
+    """MERGE mode='dv': identical read-back and change feed to the
+    cow merge; matched rows NO clause touches stay in their original
+    files (no rewrite), clause-touched rows die via DV and reappear
+    as appended rows."""
+    from real_time_event_streaming_pipeline_spark.streaming.tx_cdf_source import (
+        TxChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(TxChangeFeedDataSource)
+    cow, dv = str(tmp_path / "cow"), str(tmp_path / "dv")
+    _build(spark, cow)  # {a:8, b:7, c:3, d:4, e:5}
+    _build(spark, dv)
+    src = spark.createDataFrame(
+        [("a", 100), ("c", -1), ("z", 50)], "k string, v int"
+    )
+    kw = dict(
+        when_matched_update={"v": F.col("_src_v")},
+        when_matched_delete=F.col("_src_v") < 0,
+        epoch_id=30,
+    )
+    files_before = {f["path"] for f in tx_table.snapshot(dv)[1]["files"]}
+    v1 = tx_table.merge(spark, cow, src, **kw)
+    v2 = tx_table.merge(spark, dv, src, mode="dv", **kw)
+    want = {("a", 100), ("b", 7), ("d", 4), ("e", 5), ("z", 50)}
+    assert _content(spark, cow, v1) == _content(spark, dv, v2) == want
+    # dv: every pre-merge file survives in the manifest
+    paths_after = {f["path"] for f in tx_table.snapshot(dv)[1]["files"]}
+    assert files_before <= paths_after
+
+    def changes(t, v):
+        df = tx_table.read_changes(spark, t, v)
+        return {(r.k, r.v, r._change_type)
+                for r in df.select("k", "v", "_change_type").collect()}
+
+    want_ch = {
+        ("a", 8, "update_preimage"), ("a", 100, "update_postimage"),
+        ("z", 50, "insert"), ("c", 3, "delete"),
+    }
+    assert changes(cow, v1) == changes(dv, v2) == want_ch
+
+    # streamed twin parity over the dv table
+    name = "cdf_merge_dv"
+    q = (
+        spark.readStream.format("txcdf").option("table_dir", dv).load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.sql(
+            f"SELECT k, v, _change_type, _commit_version FROM {name}"
+        ).collect()
+    }
+    assert {(k, v, ct) for k, v, ct, cv in got if cv == v2} == want_ch
+
+    # replay protection + compaction folds the dv-merge layout
+    assert tx_table.merge(spark, dv, src, mode="dv", **kw) == v2
+    vc = tx_table.compact(spark, dv)
+    assert _content(spark, dv, vc) == want
+    assert not any(f.get("dv") for f in tx_table.snapshot(dv)[1]["files"])
+
+
+def test_merge_dv_untouched_matched_rows_stay(spark, tmp_path):
+    """A dv-merge with ONLY a matched-delete clause must not DV or
+    rewrite matched rows the condition spares."""
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)
+    src = spark.createDataFrame([("a", -1), ("b", 7)], "k string, v int")
+    v = tx_table.merge(spark, tx, src, when_matched_delete=F.col("_src_v") < 0,
+                       when_not_matched_insert=False, epoch_id=50, mode="dv")
+    assert _content(spark, tx, v) == {("b", 7), ("c", 3), ("d", 4), ("e", 5)}
+    ch = tx_table.read_changes(spark, tx, v)
+    got = {(r.k, r.v, r._change_type)
+           for r in ch.select("k", "v", "_change_type").collect()}
+    assert got == {("a", 8, "delete")}  # b matched but untouched: no image

@@ -583,9 +583,12 @@ _OP = st.one_of(
     ),
     st.tuples(
         st.just("merge"),
-        st.lists(
-            st.tuples(st.sampled_from(_KEYS), st.integers(-200, 999)),
-            min_size=1, max_size=3, unique_by=lambda kv: kv[0],
+        st.tuples(
+            st.lists(
+                st.tuples(st.sampled_from(_KEYS), st.integers(-200, 999)),
+                min_size=1, max_size=3, unique_by=lambda kv: kv[0],
+            ),
+            st.sampled_from(["cow", "dv"]),
         ),
     ),
 )
@@ -629,12 +632,13 @@ def test_tx_model_based_dml_sequences(spark, tmp_path_factory, ops):
         elif kind == "merge":
             if last_version < 0:
                 continue
+            payload, mode = payload
             src = _batch(spark, payload)
             v = tx_table.merge(
                 spark, tx, src,
                 when_matched_update={"v": F.col("_src_v")},
                 when_matched_delete=F.col("_src_v") < 0,
-                epoch_id=i,
+                epoch_id=i, mode=mode,
             )
             for k, val in payload:
                 if k in model and val < 0:
