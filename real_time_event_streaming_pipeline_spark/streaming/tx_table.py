@@ -652,7 +652,13 @@ def _dv_delete_entries(
         sidecar = sidecar.unionByName(carried)
     txn_rel = f"txn-{new_version:010d}-{uuid.uuid4().hex[:8]}"
     dv_rel = f"{txn_rel}/_dv"
-    sidecar.repartition(1).write.parquet(os.path.join(_data_dir(table_dir), dv_rel))
+    # partition the sidecar BY FILE: a commit deleting billions of rows
+    # across many files writes one (AQE-coalesced) sidecar file per
+    # data-file group instead of funnelling through a single writer;
+    # for point deletes AQE collapses the shuffle to one tiny file
+    sidecar.repartition("_file").write.parquet(
+        os.path.join(_data_dir(table_dir), dv_rel)
+    )
     out = []
     for e in cand_entries:
         if e["path"] in counts:
