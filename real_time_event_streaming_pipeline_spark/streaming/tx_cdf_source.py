@@ -191,21 +191,60 @@ def _changes_for_version(table_dir: str, version: int, field_names: list[str]):
         raw = _load_entries(table_dir, [dict(c_ent, dv=None)], field_names)
         return raw.iloc[newly]
 
-    if m_v["op"] in ("upsert", "merge") and dv_changed:
+    if m_v["op"] in ("upsert", "merge", "restore") and dv_changed:
         # dv-mode merge: fold DV-killed rows into the prev side so the
         # key-based classification below covers update images and
-        # matched deletes (mirrors tx_table.read_changes)
+        # matched deletes; a restore additionally REVIVES
+        # prev-DV-minus-cur-DV rows on the post side (mirrors
+        # tx_table.read_changes)
         dead = [f for f in (_dv_dead_frame(p, c) for p, c in dv_changed) if f is not None]
         if dead:
             prev = pd.concat([prev, *dead], ignore_index=True)
+        if m_v["op"] == "restore":
+            revived = [
+                f for f in (_dv_dead_frame(c, p) for p, c in dv_changed)
+                if f is not None
+            ]
+            if revived:
+                cur = pd.concat([cur, *revived], ignore_index=True)
         dv_changed = []
 
+    if m_v["op"] == "restore":
+        # tuple-level diff, then key attribution — mirrors
+        # tx_table.read_changes' restore branch
+        from collections import Counter
+
+        rem_c = Counter(tuple(r) for r in prev.itertuples(index=False))
+        add_c = Counter(tuple(r) for r in cur.itertuples(index=False))
+        removed = list((rem_c - add_c).elements())
+        added = list((add_c - rem_c).elements())
+        key_idx = [field_names.index(k) for k in key_cols]
+
+        def keyof(t):
+            return tuple(t[i] for i in key_idx)
+
+        rk = {keyof(t) for t in removed}
+        ak = {keyof(t) for t in added}
+        frames = []
+        for rows, ct in (
+            ([t for t in removed if keyof(t) in ak], "update_preimage"),
+            ([t for t in removed if keyof(t) not in ak], "delete"),
+            ([t for t in added if keyof(t) in rk], "update_postimage"),
+            ([t for t in added if keyof(t) not in rk], "insert"),
+        ):
+            if rows:
+                frames.append(
+                    pd.DataFrame(rows, columns=field_names).assign(_change_type=ct)
+                )
+        if not frames:
+            return pd.DataFrame(columns=[*field_names, "_change_type"])
+        return pd.concat(frames, ignore_index=True)
+
     eff = tx_table._commit_eff_epoch(m_v)
-    post = (
-        cur[cur["_epoch"] == eff]
-        if m_v["op"] in ("upsert", "merge")
-        else cur.iloc[0:0]
-    )
+    if m_v["op"] in ("upsert", "merge"):
+        post = cur[cur["_epoch"] == eff]
+    else:
+        post = cur.iloc[0:0]
 
     def keyed(df):
         return df[key_cols].drop_duplicates()

@@ -345,14 +345,61 @@ def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame
         for df in out[1:]:
             res = res.unionByName(df)
         return res
-    if m_v["op"] in ("upsert", "merge") and dv_changed:
+    if m_v["op"] in ("upsert", "merge", "restore") and dv_changed:
         # a dv-mode merge kills old row versions via DV pointers
         # instead of dropping files: fold the newly-dead rows into the
         # prev side and the key-based classification below handles
-        # update images and matched deletes uniformly
+        # update images and matched deletes uniformly. A restore can
+        # also REVIVE rows (its target's DV is a subset of the current
+        # one): prev-DV-minus-cur-DV positions re-enter on the post side
         dvr = _dv_delta_rows(spark, table_dir, dv_changed, m_v.get("schema"))
         prev = dvr if prev is None else prev.unionByName(dvr)
+        if m_v["op"] == "restore":
+            revived = _dv_delta_rows(
+                spark, table_dir, [(c, p) for p, c in dv_changed], m_v.get("schema")
+            )
+            cur = revived if cur is None else cur.unionByName(revived)
         dv_changed = []
+    if m_v["op"] == "restore":
+        # tuple-level diff first (rows merely carried between the two
+        # file sets cancel), then key attribution: a key on both sides
+        # changed value (update images); only-removed keys died with
+        # the rolled-back commits (delete); only-added keys revive
+        # (insert)
+        if prev is None and cur is None:
+            return None
+        removed = prev if cur is None else (prev.exceptAll(cur) if prev is not None else None)
+        added = cur if prev is None else (cur.exceptAll(prev) if cur is not None else None)
+        out = []
+        if removed is not None and added is not None:
+            added_keys = added.select(*key_cols).distinct()
+            removed_keys = removed.select(*key_cols).distinct()
+            out.append(
+                removed.join(F.broadcast(added_keys), key_cols, "left_semi")
+                .withColumn("_change_type", F.lit("update_preimage"))
+            )
+            out.append(
+                removed.join(F.broadcast(added_keys), key_cols, "left_anti")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            out.append(
+                added.join(F.broadcast(removed_keys), key_cols, "left_semi")
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+            out.append(
+                added.join(F.broadcast(removed_keys), key_cols, "left_anti")
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        elif removed is not None:
+            out.append(removed.withColumn("_change_type", F.lit("delete")))
+        elif added is not None:
+            out.append(added.withColumn("_change_type", F.lit("insert")))
+        if not out:
+            return None
+        res = out[0]
+        for df in out[1:]:
+            res = res.unionByName(df)
+        return res
     if cur is not None and m_v["op"] in ("upsert", "merge"):
         # merge stamps its written rows (updates + inserts) with
         # eff_epoch exactly like an upsert, so one CDF path serves both
@@ -410,11 +457,16 @@ def _dv_delta_rows(
     data = _data_dir(table_dir)
     files = sorted({c["path"] for _, c in dv_changed})
     cur_dirs = sorted({c["dv"] for _, c in dv_changed if c.get("dv")})
-    cur_dv = (
-        spark.read.parquet(*[os.path.join(data, d) for d in cur_dirs])
-        .filter(F.col("_file").isin(files))
-        .select("_file", "_pos")
-    )
+    if cur_dirs:
+        cur_dv = (
+            spark.read.parquet(*[os.path.join(data, d) for d in cur_dirs])
+            .filter(F.col("_file").isin(files))
+            .select("_file", "_pos")
+        )
+    else:
+        # the "to" side has no DV at all (e.g. a restore target that
+        # predates every delete): nothing newly dead on this side
+        cur_dv = spark.createDataFrame([], "_file string, _pos long")
     prev_dirs = sorted({p["dv"] for p, _ in dv_changed if p.get("dv")})
     if prev_dirs:
         prev_dv = (
@@ -1347,6 +1399,55 @@ def compact(
     )
     _commit(table_dir, version + 1, new_manifest)
     return version + 1
+
+
+def restore(table_dir: str, version: int) -> int:
+    """Delta's RESTORE TABLE TO VERSION: commit a NEW version whose
+    file list (and schema, stats columns) equals an earlier commit's —
+    an O(metadata) rollback, since data files are referenced, never
+    copied. History is preserved: the bad versions stay readable until
+    vacuum, and the restore itself is one more commit.
+
+    What does NOT rewind: the exactly-once epoch ledger and max_epoch
+    carry the CURRENT values forward, so replayed epochs stay no-ops
+    after a restore and a post-restore batch upsert still outranks
+    every restored row's _epoch in the LWW merge. The target version's
+    files must still exist — restoring past vacuum's retained tail
+    fails loudly here instead of producing a half-readable table."""
+    latest = latest_version(table_dir)
+    if latest is None:
+        raise ValueError(f"restore on empty table {table_dir}")
+    target = read_manifest(table_dir, version)  # FileNotFoundError if vacuumed
+    current = read_manifest(table_dir, latest)
+    missing = [
+        f["path"] for f in target["files"]
+        if not os.path.exists(os.path.join(_data_dir(table_dir), f["path"]))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore to v{version}: {len(missing)} data file(s) were "
+            f"vacuumed (first: {missing[0]}); only versions inside the vacuum "
+            "retention tail are restorable"
+        )
+    manifest = dict(
+        target,
+        version=latest + 1,
+        op="restore",
+        epoch=None,
+        eff_epoch=None,
+        app_id=None,
+        restored_from=int(version),
+        epochs=_ledger(current),
+        max_epoch=_next_epoch(current) - 1,
+    )
+    for _ in range(20):
+        try:
+            _commit(table_dir, latest + 1, manifest)
+            return latest + 1
+        except CommitConflict:
+            latest = latest_version(table_dir)
+            manifest = dict(manifest, version=latest + 1)
+    raise CommitConflict("gave up restoring after 20 commit conflicts")
 
 
 def vacuum(

@@ -546,3 +546,76 @@ def test_merge_dv_untouched_matched_rows_stay(spark, tmp_path):
     got = {(r.k, r.v, r._change_type)
            for r in ch.select("k", "v", "_change_type").collect()}
     assert got == {("a", 8, "delete")}  # b matched but untouched: no image
+
+
+def test_restore_rolls_back_content_not_protections(spark, tmp_path):
+    """RESTORE TO VERSION: an O(metadata) rollback commit — content
+    equals the target version bit-for-bit (including reviving
+    DV-killed rows), history stays readable, the change feed reports
+    the diff, and neither the exactly-once ledger nor the LWW epoch
+    ceiling rewinds."""
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)                       # v0..v2 -> {a:8,b:7,c:3,d:4,e:5}
+    v2_content = _content(spark, tx)
+    tx_table.delete(spark, tx, spark.createDataFrame([("a",)], "k string"),
+                    epoch_id=10, mode="dv")  # v3
+    tx_table.upsert(spark, tx, _batch(spark, [("x", 1)]), ["k"], n_buckets=2,
+                    order_col="v", epoch_id=11)  # v4
+    v = tx_table.restore(tx, 2)
+    assert v == 5
+    assert _content(spark, tx) == v2_content        # 'a' revived, 'x' gone
+    assert _content(spark, tx, version=4) == (v2_content - {("a", 8)}) | {("x", 1)}
+
+    # CDF of the restore = the content diff (revival + removal)
+    ch = tx_table.read_changes(spark, tx, v)
+    got = {(r.k, r.v, r._change_type)
+           for r in ch.select("k", "v", "_change_type").collect()}
+    assert ("a", 8, "insert") in got
+    assert ("x", 1, "delete") in got
+    assert not any(ct == "update_postimage" and k == "b" for k, _, ct in got)
+
+    # the replay ledger did NOT rewind: epochs 0-2 and 10-11 stay no-ops
+    before = tx_table.latest_version(tx)
+    assert tx_table.upsert(spark, tx, _batch(spark, [("a", 999)]), ["k"],
+                           n_buckets=2, order_col="v", epoch_id=1) == before
+    # the LWW ceiling did not rewind: a batch upsert still wins
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 123)]), ["k"], n_buckets=2,
+                    order_col="v")
+    assert ("a", 123) in _content(spark, tx)
+
+    # txcdf twin agrees across the whole history incl. the restore
+    from real_time_event_streaming_pipeline_spark.streaming.tx_cdf_source import (
+        TxChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(TxChangeFeedDataSource)
+    name = "cdf_restore_parity"
+    q = (
+        spark.readStream.format("txcdf").option("table_dir", tx).load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got_all = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.sql(
+            f"SELECT k, v, _change_type, _commit_version FROM {name}"
+        ).collect()
+    }
+    want_all = set()
+    for vv in range(tx_table.latest_version(tx) + 1):
+        df = tx_table.read_changes(spark, tx, vv)
+        if df is None:
+            continue
+        want_all |= {(r.k, r.v, r._change_type, vv)
+                     for r in df.select("k", "v", "_change_type").collect()}
+    assert got_all == want_all
+
+
+def test_restore_past_vacuum_fails_loudly(spark, tmp_path):
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)
+    tx_table.vacuum(tx, keep_versions=2, retention_seconds=0.0)
+    with pytest.raises((ValueError, FileNotFoundError)):
+        tx_table.restore(tx, 0)  # v0's manifest/files are gone
