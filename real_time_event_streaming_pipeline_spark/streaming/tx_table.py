@@ -161,10 +161,16 @@ def read_manifest(table_dir: str, version: int) -> dict:
 
 def _commit(table_dir: str, version: int, manifest: dict) -> None:
     """Atomic put-if-absent of the version file. The link either fully
-    publishes the manifest or fails; there is no partial state."""
+    publishes the manifest or fails; there is no partial state. The
+    wall-clock commit time is stamped here (committed_at) — the basis
+    for TIMESTAMP AS OF time travel; versions, not timestamps, remain
+    the correctness-bearing order."""
+    import time
+
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     final = _manifest_path(table_dir, version)
     tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
+    manifest = dict(manifest, committed_at=time.time())
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, sort_keys=True)
         fh.flush()
@@ -190,12 +196,27 @@ def snapshot(table_dir: str, version: int | None = None) -> tuple[int, dict] | N
     return version, read_manifest(table_dir, version)
 
 
+def version_as_of(table_dir: str, timestamp: float) -> int | None:
+    """TIMESTAMP AS OF resolution: the newest version committed at or
+    before ``timestamp`` (epoch seconds) — Delta's timestamp time
+    travel. None if the table's first retained commit is later.
+    Commit times are wall clock and only as monotone as the writers'
+    clocks; version numbers stay the authoritative order."""
+    best = None
+    for v in list_versions(table_dir):
+        at = read_manifest(table_dir, v).get("committed_at")
+        if at is not None and at <= timestamp:
+            best = v
+    return best
+
+
 def read_table(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     buckets: list[int] | None = None,
     between: dict | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame | None:
     """The table as of a commit (default: latest), as a DataFrame over
     exactly the manifest's files — snapshot-isolated against
@@ -204,7 +225,15 @@ def read_table(
     and nothing else). ``between`` ({col: (lo, hi)}) applies min/max
     data skipping over the manifest's file stats; the returned frame
     is a SUPERSET of the matching rows (whole files are skipped, not
-    rows), so callers still apply their own .filter."""
+    rows), so callers still apply their own .filter. ``timestamp``
+    (epoch seconds) resolves TIMESTAMP AS OF instead of a version —
+    mutually exclusive with ``version``."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version or timestamp, not both")
+        version = version_as_of(table_dir, timestamp)
+        if version is None:
+            return None  # the first retained commit is later
     snap = snapshot(table_dir, version)
     if snap is None:
         return None
@@ -530,7 +559,13 @@ def history(table_dir: str) -> list[dict]:
     for v in list_versions(table_dir):
         m = read_manifest(table_dir, v)
         out.append(
-            {"version": v, "op": m["op"], "epoch": m.get("epoch"), "n_files": len(m["files"])}
+            {
+                "version": v,
+                "op": m["op"],
+                "epoch": m.get("epoch"),
+                "n_files": len(m["files"]),
+                "committed_at": m.get("committed_at"),
+            }
         )
     return out
 

@@ -619,3 +619,33 @@ def test_restore_past_vacuum_fails_loudly(spark, tmp_path):
     tx_table.vacuum(tx, keep_versions=2, retention_seconds=0.0)
     with pytest.raises((ValueError, FileNotFoundError)):
         tx_table.restore(tx, 0)  # v0's manifest/files are gone
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: read_table(timestamp=...) resolves the newest
+    commit at or before the instant — including instants between
+    commits — and composes with version time travel's guarantees."""
+    import time
+
+    tx = str(tmp_path / "tx")
+    marks = []
+    for i, rows in enumerate(EPOCHS):
+        tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=2,
+                        order_col="v", epoch_id=i)
+        time.sleep(0.05)
+        marks.append(time.time())  # strictly after commit i
+    h = tx_table.history(tx)
+    assert all(e["committed_at"] is not None for e in h)
+    assert [e["committed_at"] for e in h] == sorted(e["committed_at"] for e in h)
+
+    def at(ts):
+        df = tx_table.read_table(spark, tx, timestamp=ts)
+        return None if df is None else {(r.k, r.v) for r in df.select("k", "v").collect()}
+
+    assert at(marks[0]) == {("a", 1), ("b", 2), ("c", 3), ("d", 4)}
+    assert at(marks[1]) == {("a", 9), ("b", 2), ("c", 3), ("d", 4), ("e", 5)}
+    assert at(marks[2]) == _content(spark, tx)  # latest
+    assert at(h[0]["committed_at"] - 1.0) is None  # before the first commit
+    assert tx_table.version_as_of(tx, marks[1]) == 1
+    with pytest.raises(ValueError, match="not both"):
+        tx_table.read_table(spark, tx, version=1, timestamp=marks[1])
