@@ -300,7 +300,19 @@ def _changes_for_version(table_dir: str, version: int, field_names: list[str]):
 class _TxChangeFeedStreamReader(DataSourceStreamReader):
     def __init__(self, options, fields):
         self.table_dir = options["table_dir"]
-        self.start_version = int(options.get("start_version", 0))
+        if "start_timestamp" in options:
+            if "start_version" in options:
+                raise ValueError("pass start_version or start_timestamp, not both")
+            # TIMESTAMP AS OF subscription: start AFTER the newest
+            # commit at or before the instant (its state is the
+            # baseline; later commits are the changes), from the
+            # first retained commit when the instant predates history
+            v = tx_table.version_as_of(
+                self.table_dir, float(options["start_timestamp"])
+            )
+            self.start_version = 0 if v is None else v + 1
+        else:
+            self.start_version = int(options.get("start_version", 0))
         self.fields = fields  # [(name, typeName), ...] minus the CDF columns
         mvpt = options.get("max_versions_per_trigger")
         self.max_versions = int(mvpt) if mvpt is not None else None

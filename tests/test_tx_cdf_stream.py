@@ -312,3 +312,39 @@ def test_cdf_stream_schema_evolution_fails_loudly(spark, tmp_path):
         for r in spark.sql("SELECT k, v, extra, _change_type FROM cdf_evo3").collect()
     }
     assert rows == {("a", 1, None, "insert"), ("b", 2, "x", "insert")}
+
+
+def test_cdf_stream_start_timestamp(spark, tmp_path):
+    """start_timestamp subscribes from an instant: the newest commit
+    at or before it is the baseline, later commits stream as changes
+    (the TIMESTAMP AS OF analogue of start_version)."""
+    import time
+
+    spark.dataSource.register(TxChangeFeedDataSource)
+    tx = str(tmp_path / "tx")
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 1)]), ["k"], n_buckets=2,
+                    order_col="v", epoch_id=0)
+    time.sleep(0.05)
+    mark = time.time()
+    time.sleep(0.05)
+    tx_table.upsert(spark, tx, _batch(spark, [("b", 2)]), ["k"], n_buckets=2,
+                    order_col="v", epoch_id=1)
+
+    name = "cdf_ts_start"
+    q = (
+        spark.readStream.format("txcdf")
+        .option("table_dir", tx)
+        .option("start_timestamp", str(mark))
+        .load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.sql(
+            f"SELECT k, v, _change_type, _commit_version FROM {name}"
+        ).collect()
+    }
+    assert got == {("b", 2, "insert", 1)}  # v0 predates the mark
