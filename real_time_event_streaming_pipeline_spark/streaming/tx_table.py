@@ -1464,24 +1464,27 @@ def restore(table_dir: str, version: int) -> int:
             f"vacuumed (first: {missing[0]}); only versions inside the vacuum "
             "retention tail are restorable"
         )
-    manifest = dict(
-        target,
-        version=latest + 1,
-        op="restore",
-        epoch=None,
-        eff_epoch=None,
-        app_id=None,
-        restored_from=int(version),
-        epochs=_ledger(current),
-        max_epoch=_next_epoch(current) - 1,
-    )
     for _ in range(20):
+        # the ledger and epoch ceiling must be re-read per attempt: a
+        # competitor that wins the race may have recorded new epochs,
+        # and restoring a stale ledger would reopen them to replays
+        manifest = dict(
+            target,
+            version=latest + 1,
+            op="restore",
+            epoch=None,
+            eff_epoch=None,
+            app_id=None,
+            restored_from=int(version),
+            epochs=_ledger(current),
+            max_epoch=_next_epoch(current) - 1,
+        )
         try:
             _commit(table_dir, latest + 1, manifest)
             return latest + 1
         except CommitConflict:
             latest = latest_version(table_dir)
-            manifest = dict(manifest, version=latest + 1)
+            current = read_manifest(table_dir, latest)
     raise CommitConflict("gave up restoring after 20 commit conflicts")
 
 
