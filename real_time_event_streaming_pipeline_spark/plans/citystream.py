@@ -460,9 +460,12 @@ def q_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents so no float crosses the verification boundary.
 
     Scale shape: each epoch rewrites only its keys' buckets; the
-    result is materialized and the scratch table deleted (the
-    q_corpus_ingest_epochs discipline — no leaked store per bench
-    invocation)."""
+    read-back is eagerly localCheckpoint()ed — materialized on the
+    executors' block managers with lineage truncated — so the scratch
+    table can be deleted before returning WITHOUT ever collecting the
+    table to the driver (the r5-flagged O(table) driver pattern), and
+    no store leaks per bench invocation (the q_corpus_ingest_epochs
+    discipline)."""
     import os
     import shutil
     import tempfile
@@ -487,20 +490,18 @@ def q_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = os.path.join(tdir, "t")
         for i, b in enumerate(epochs):
             tx_table.upsert(spark, t, b, ["k"], n_buckets=16, epoch_id=i)
-        rows = (
+        out = (
             tx_table.read_table(spark, t)
             .select(
                 F.col("k").alias("o_orderkey"),
                 F.col("_epoch").cast("long").alias("src_epoch"),
                 "val_cents",
             )
-            .collect()
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "o_orderkey long, src_epoch long, val_cents long"
-    )
+    return out
 
 
 _UPSERT_LWW_SQL = """

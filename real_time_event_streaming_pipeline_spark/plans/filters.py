@@ -629,8 +629,9 @@ def q_corpus_ingest_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The REAL streaming machinery runs inside this query (availableNow
     drain into a scratch chunk store) — it is the driver-checkable
-    face of the multi-epoch ingest path: file tiles are cut with
-    ntile(n) over doc_id and arrive in mtime order, so the oracle
+    face of the multi-epoch ingest path: file tiles are cut as
+    closed-form contiguous id ranges (doc_id * n // (max+1) — no
+    unpartitioned ntile window) and arrive in mtime order, so the oracle
     reconstructs epoch membership as pure SQL and every per-epoch
     count is value-checked, not just the union. The epoch column is
     the chunk store's partition-discovered lineage (each micro-batch
@@ -674,7 +675,8 @@ def q_corpus_ingest_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORPUS_INGEST_EPOCHS_SQL = f"""
 WITH ep AS (
-  SELECT doc_id, CAST(ntile(3) OVER (ORDER BY doc_id) - 1 AS BIGINT) AS epoch
+  SELECT doc_id,
+    CAST(doc_id * 3 // ((SELECT max(doc_id) + 1 FROM documents)) AS BIGINT) AS epoch
   FROM documents
 ),
 passing AS (SELECT doc_id FROM ({_GOPHER_RULES_SQL}) WHERE passes),

@@ -872,7 +872,15 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
     )
-    nd_docs = exact_docs.join(nd_dropped, "doc_id", "left_anti")
+    # nd_docs feeds BOTH the semantic-pair source and the final
+    # anti-join: without a checkpoint the gate→exact-dedup→ngram-pair
+    # subtree sits twice in the DAG (exchange reuse does not reliably
+    # catch it across the join boundary). localCheckpoint materializes
+    # it once on the executors and truncates the lineage — the same
+    # discipline connected_components applies to its edge set.
+    nd_docs = exact_docs.join(nd_dropped, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
 
     # 4 — semantic survivors over the remaining docs' embeddings
     sem_src = emb.join(

@@ -112,21 +112,26 @@ def stage_epoch_files(
     spark: SparkSession, sf_dir: str, dest: str, n_files: int = 3
 ) -> str:
     """Lay the documents table out as ``n_files`` parquet files whose
-    modification-time order matches doc_id order, one ntile of ids per
-    file — the deterministic multi-file arrival fixture: with
-    maxFilesPerTrigger=1 the file stream assigns epoch i to tile i, so
-    a SQL oracle can reconstruct epoch membership as
-    ``ntile(n) OVER (ORDER BY doc_id) - 1``."""
+    modification-time order matches doc_id order, one contiguous
+    id-range per file — the deterministic multi-file arrival fixture:
+    with maxFilesPerTrigger=1 the file stream assigns epoch i to tile
+    i, so a SQL oracle can reconstruct epoch membership as
+    ``doc_id * n // (max(doc_id) + 1)``. The closed-form range cut
+    replaces the previous ``ntile() OVER (ORDER BY doc_id)``: same
+    contiguity and arrival-order guarantee (streamed smaller-id-wins
+    dedup depends on ids arriving in order) but no unpartitioned
+    window — a single-partition global sort at scale — just one
+    metadata-cheap max() scan."""
     import glob
     import shutil
     import time
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    max_id = docs.agg(F.max("doc_id")).first()[0]
     tiled = docs.withColumn(
-        "_tile", F.ntile(n_files).over(Window.orderBy("doc_id")) - 1
+        "_tile", F.expr(f"doc_id * {int(n_files)} div {int(max_id) + 1}")
     )
     os.makedirs(dest, exist_ok=True)
     now = time.time() - 3600

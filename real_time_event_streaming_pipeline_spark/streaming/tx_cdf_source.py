@@ -107,7 +107,15 @@ def _load_entries(table_dir: str, entries: list[dict], field_names: list[str]):
     for c in field_names:
         if c not in df.columns:
             df[c] = None
-    return df[field_names]
+    df = df[field_names]
+    # NaN/NaT -> None in object dtype: the update_where/restore
+    # branches diff rows as Counter multisets of tuples, and NaN
+    # tuples never hash/compare equal (hash(nan) is identity-based on
+    # py3.10+), so null-bearing carried-verbatim rows (e.g. rows
+    # predating an additive schema evolution) would fail to cancel
+    # and surface as spurious update images. tx_table.read_changes
+    # uses Spark's null-safe exceptAll; this keeps the twin identical.
+    return df.astype(object).where(df.notna(), None)
 
 
 def _changes_for_version(table_dir: str, version: int, field_names: list[str]):
@@ -364,7 +372,11 @@ class _TxChangeFeedStreamReader(DataSourceStreamReader):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
-            fh.write(str(int(version)))
+            # persist the max()ed cursor, not the raw version: a
+            # smaller end (re-seeded latestOffset after cursor-file
+            # loss, or two queries sharing a stream_id) must never
+            # move the planning cursor backward and re-enlarge caps
+            fh.write(str(int(self._cursor)))
         os.replace(tmp, path)  # atomic: readers see old or new, never torn
 
     def initialOffset(self):

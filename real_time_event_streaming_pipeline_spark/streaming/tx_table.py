@@ -1107,6 +1107,7 @@ def merge(
         if isinstance(when_matched_delete, str)
         else when_matched_delete
     )
+    src_checked = False  # duplicate-key scan runs once, not per retry
     for _ in range(max_retries):
         snap = snapshot(table_dir)
         if snap is None:
@@ -1126,6 +1127,27 @@ def merge(
         missing = [k for k in key_cols if k not in source.columns]
         if missing:
             raise ValueError(f"merge source lacks key column(s) {missing}")
+        if not src_checked:
+            # Delta raises on multiple source rows matching one target
+            # row; without this guard the matched join fans out and
+            # silently breaks the one-row-per-key invariant (dv mode
+            # kills the old row once but appends two updated copies).
+            dup = (
+                source.groupBy(*[F.col(k) for k in key_cols])
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                d = dup[0]
+                raise ValueError(
+                    "merge source has duplicate key "
+                    f"{tuple(d[k] for k in key_cols)!r} ({d['count']} rows): "
+                    "a key may match at most one source row (Delta MERGE "
+                    "semantics); dedupe the source first"
+                )
+            src_checked = True
         eff_epoch = int(epoch_id) if epoch_id is not None else _next_epoch(old_manifest)
         kb = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast("int")
         src = source.withColumn("kb", kb).persist()
@@ -1458,9 +1480,17 @@ def restore(table_dir: str, version: int) -> int:
         f["path"] for f in target["files"]
         if not os.path.exists(os.path.join(_data_dir(table_dir), f["path"]))
     ]
+    # DV sidecars are vacuumed independently of their data files (a
+    # later commit may drop the DV while keeping the file): a target
+    # entry whose sidecar dir is gone would restore fine and then fail
+    # at read time, breaking the fail-loudly-here contract above.
+    missing += [
+        f["dv"] for f in target["files"]
+        if f.get("dv") and not os.path.isdir(os.path.join(_data_dir(table_dir), f["dv"]))
+    ]
     if missing:
         raise ValueError(
-            f"cannot restore to v{version}: {len(missing)} data file(s) were "
+            f"cannot restore to v{version}: {len(missing)} data/DV file(s) were "
             f"vacuumed (first: {missing[0]}); only versions inside the vacuum "
             "retention tail are restorable"
         )

@@ -28,7 +28,7 @@ THRESHOLD = 0.5
 def _id_ordered_files(spark, sf_dir, src, n_files=3):
     """Documents laid out as n_files id-ordered arrival files — the
     production fixture from streaming/corpus_ingest.stage_epoch_files
-    (one ntile of doc_ids per file, mtimes in id order)."""
+    (one contiguous id-range per file, mtimes in id order)."""
     from real_time_event_streaming_pipeline_spark.streaming.corpus_ingest import (
         stage_epoch_files,
     )

@@ -348,3 +348,69 @@ def test_cdf_stream_start_timestamp(spark, tmp_path):
         ).collect()
     }
     assert got == {("b", 2, "insert", 1)}  # v0 predates the mark
+
+
+def test_cdf_null_rows_cancel_in_tuple_diff(spark, tmp_path):
+    """Carried-verbatim rows containing NULL must cancel in the
+    update_where/restore tuple diffs: pandas reads them back as NaN,
+    and NaN tuples never hash/compare equal, so without object-dtype
+    normalization they surface as spurious update images. The Spark
+    read_changes path (null-safe exceptAll) is the contract."""
+    from real_time_event_streaming_pipeline_spark.streaming.tx_cdf_source import (
+        _changes_for_version,
+    )
+
+    tx = str(tmp_path / "tx")
+    rows = [("a", 1), ("n1", None), ("n2", None)]
+    tx_table.upsert(spark, tx, _batch(spark, rows), ["k"], n_buckets=1,
+                    order_col="k", epoch_id=0)
+    # n_buckets=1: the rewrite must carry the null rows verbatim
+    v = tx_table.update_where(spark, tx, F.col("v") >= 1, {"v": F.col("v") + 100})
+
+    want = {
+        (r.k, r.v, r._change_type)
+        for r in tx_table.read_changes(spark, tx, v)
+        .select("k", "v", "_change_type").collect()
+    }
+    assert want == {("a", 1, "update_preimage"), ("a", 101, "update_postimage")}
+    got_pd = _changes_for_version(tx, v, ["k", "v", "kb", "_epoch"])
+    got = {
+        (r["k"], None if r["v"] is None else int(r["v"]), r["_change_type"])
+        for _, r in got_pd.iterrows()
+    }
+    assert got == want  # no spurious images for the NULL rows
+
+    # restore branch: roll back past the update; null rows must cancel
+    # there too (restore CDF is also a tuple diff)
+    v_r = tx_table.restore(tx, v - 1)
+    want_r = {
+        (r.k, r.v, r._change_type)
+        for r in tx_table.read_changes(spark, tx, v_r)
+        .select("k", "v", "_change_type").collect()
+    }
+    got_r_pd = _changes_for_version(tx, v_r, ["k", "v", "kb", "_epoch"])
+    got_r = {
+        (r["k"], None if r["v"] is None else int(r["v"]), r["_change_type"])
+        for _, r in got_r_pd.iterrows()
+    }
+    assert got_r == want_r
+
+
+def test_cdf_cursor_file_never_moves_backward(tmp_path):
+    """_save_cursor persists the max()ed cursor, not the raw version:
+    a smaller end (re-seeded latestOffset after cursor-file loss, or
+    two queries sharing a stream_id) must not re-enlarge future caps."""
+    from real_time_event_streaming_pipeline_spark.streaming.tx_cdf_source import (
+        _TxChangeFeedStreamReader,
+    )
+
+    r = _TxChangeFeedStreamReader(
+        {"table_dir": str(tmp_path / "t"), "max_versions_per_trigger": "2",
+         "stream_id": "s1"},
+        fields=[("k", "string")],
+    )
+    r._save_cursor(5)
+    r._save_cursor(3)  # raw write would regress the file to 3
+    assert r._load_cursor() == 5
+    with open(r._cursor_path()) as fh:
+        assert fh.read().strip() == "5"

@@ -649,3 +649,56 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     assert tx_table.version_as_of(tx, marks[1]) == 1
     with pytest.raises(ValueError, match="not both"):
         tx_table.read_table(spark, tx, version=1, timestamp=marks[1])
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
+    """Delta MERGE semantics: two source rows for one key must raise,
+    not silently fan the matched join out (dv mode would kill the old
+    row once but append two updated copies, breaking the
+    one-row-per-key invariant). Both modes; table must be untouched."""
+    for mode in ("cow", "dv"):
+        tx = str(tmp_path / f"tx_{mode}")
+        _build(spark, tx)
+        before = _content(spark, tx)
+        v_before = tx_table.latest_version(tx)
+        dup = spark.createDataFrame(
+            [("a", 11), ("a", 12), ("x", 3)], "k string, v int"
+        )
+        with pytest.raises(ValueError, match="duplicate key"):
+            tx_table.merge(spark, tx, dup,
+                           when_matched_update={"v": F.col("_src_v")},
+                           mode=mode, epoch_id=50)
+        assert tx_table.latest_version(tx) == v_before  # no commit
+        assert _content(spark, tx) == before
+        # a deduped source (upsert's rule: keep max order_col) succeeds
+        deduped = spark.createDataFrame([("a", 12), ("x", 3)], "k string, v int")
+        v = tx_table.merge(spark, tx, deduped,
+                           when_matched_update={"v": F.col("_src_v")},
+                           mode=mode, epoch_id=50)
+        assert _content(spark, tx, v) == {
+            ("a", 12), ("b", 7), ("c", 3), ("d", 4), ("e", 5), ("x", 3)
+        }
+
+
+def test_restore_missing_dv_sidecar_fails_loudly(spark, tmp_path):
+    """restore()'s vacuumed-file guard must also cover DV sidecar dirs:
+    a target whose sidecar is gone (data file still present) would
+    otherwise restore fine and then fail at read time, contradicting
+    the fail-loudly-here contract."""
+    import os
+    import shutil
+
+    tx = str(tmp_path / "tx")
+    _build(spark, tx)
+    keys = spark.createDataFrame([("a",)], "k string")
+    v_dv = tx_table.delete(spark, tx, keys, epoch_id=10, mode="dv")
+    # a later cow commit drops the DV reference from the head
+    tx_table.upsert(spark, tx, _batch(spark, [("a", 20)]), ["k"], n_buckets=2,
+                    order_col="v", epoch_id=11)
+    target = tx_table.read_manifest(tx, v_dv)
+    dv_dirs = [f["dv"] for f in target["files"] if f.get("dv")]
+    assert dv_dirs, "delete(mode='dv') must record a sidecar"
+    for d in dv_dirs:
+        shutil.rmtree(os.path.join(tx, "data", d))
+    with pytest.raises(ValueError, match="vacuumed"):
+        tx_table.restore(tx, v_dv)
