@@ -38,6 +38,69 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def calibrate_null_threshold(
+    emb: DataFrame,
+    floor: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 512,
+    round_digits: int = 4,
+) -> float:
+    """Data-derived cosine operating point for the semantic-dedup
+    family: ``max(floor, round(μ + σ·√(2·ln(n(n−1)/2)), 4))`` where
+    (μ, σ) are the mean / population stddev of the null cosine
+    distribution, estimated from a deterministic seeded sample, and
+    the √(2·ln·pairs) factor is the expected maximum of that null over
+    ALL n(n−1)/2 pairs (Gaussian tail bound) — so the expected number
+    of random pairs crossing the threshold stays O(1) AS THE CORPUS
+    GROWS. A fixed threshold (the r5-flagged 0.45) is crossed by the
+    n²-growing random tail at ~10× scale, flooding connected
+    components with noise edges; this rule rises with ln(n) and keeps
+    the pair set signal-only at any n.
+
+    Determinism + oracle parity: the sample is the first
+    ``sample_size`` vectors ordered by (md5(vec_id), vec_id) — a
+    TakeOrdered, no global sort — and the null pairs are rank i
+    paired with rank i + S//2 (a fixed derangement; adjacent-rank
+    pairs of an md5 ordering are an unbiased random draw). The exact
+    same sample, pairing, and arithmetic are expressible in ANSI SQL
+    (see plans/llmdata._null_calib_ctes), and the final round-to-4
+    absorbs engine-level float-fold differences, so Spark and DuckDB
+    derive the IDENTICAL threshold. Cost: one count + one bounded
+    ``sample_size``-row collect — independent of corpus size.
+
+    On corpora whose embeddings carry real near-dup structure the
+    signal sits far above the null maximum and survives (pinned in
+    tests/test_llmdata.py on a planted-duplicate fixture); on pure
+    noise the calibrated pair set is empty — the honest answer."""
+    n = emb.count()
+    if n < 3:
+        return float(floor)
+    rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(int(sample_size))
+        .collect()
+    )
+    S = len(rows)
+    shift = S // 2
+    cos: list[float] = []
+    for i in range(S - shift):
+        a, b = rows[i]["_vec"], rows[i + shift]["_vec"]
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            d += x * y
+            na += x * x
+            nb += y * y
+        cos.append(d / (math.sqrt(na) * math.sqrt(nb)))
+    mu = sum(cos) / len(cos)
+    var = sum((c - mu) ** 2 for c in cos) / len(cos)  # population
+    k = math.sqrt(2.0 * math.log(n * (n - 1) / 2.0))
+    return max(float(floor), round(mu + k * math.sqrt(var), round_digits))
+
+
 def brute_force_topk_rowexpr(
     emb: DataFrame,
     queries: DataFrame,

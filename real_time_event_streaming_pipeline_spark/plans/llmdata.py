@@ -248,6 +248,35 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _null_calib_ctes(floor: float, sample_size: int = 512) -> str:
+    """SQL twin of operators/similarity.calibrate_null_threshold:
+    same md5-ordered sample, same rank-shift pairing, same
+    μ + σ·√(2·ln(n(n−1)/2)) rule rounded to 4 decimals and floored at
+    ``floor`` — referenced downstream as ``(SELECT t FROM _thr)``.
+    The round-to-4 absorbs engine-level float-fold differences so
+    both engines land on the identical threshold."""
+    return f"""
+_samp AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rk
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {int(sample_size)})
+),
+_null_cos AS (
+  SELECT {_cos_sql('a.embedding', 'b.embedding')} AS c
+  FROM _samp a JOIN _samp b
+    ON b.rk = a.rk + (SELECT count(*) // 2 FROM _samp)
+),
+_n AS (SELECT count(*) AS n FROM embeddings),
+_thr AS (
+  SELECT greatest({floor!r},
+    round(avg(c) + stddev_pop(c)
+            * sqrt(2 * ln((SELECT n FROM _n) * ((SELECT n FROM _n) - 1) / 2.0)),
+          4)) AS t
+  FROM _null_cos
+)"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
@@ -534,16 +563,32 @@ def q_semdedup(spark: SparkSession, sf_dir: str, pair_method: str = "ivf") -> Da
     - "exact": the blocked-GEMM all-pairs product — the test oracle
       and the small-corpus/exactness-mandatory spend.
 
+    The operating point is DERIVED FROM THE DATA, not hard-coded (the
+    r5-flagged fragility): ``calibrate_null_threshold`` estimates the
+    null cosine distribution from a seeded md5-ordered sample and sets
+    the threshold to the expected maximum of that null over all
+    n(n−1)/2 pairs, floored at 0.45 — so the pair set stays
+    signal-only as the corpus grows instead of flooding connected
+    components with the n²-growing random tail (the measured sf1 soak
+    failure). On this synthetic corpus the embeddings are isotropic
+    noise (null σ = 1/√64; the 0.45-crossing pair count matches the
+    null tail prediction), so the calibrated pair set is empty and
+    every vector is its own kept singleton — the honest answer; real
+    near-dup structure sits above the null maximum and survives
+    (planted-fixture pin in tests/test_llmdata.py).
+
     Oracle: the same recursive-CTE reachability as
-    _DEDUP_CLUSTERS_SQL, over the (exact) cosine pair set — identical
+    _DEDUP_CLUSTERS_SQL, over the (exact) cosine pair set at the
+    identically-derived threshold (_null_calib_ctes) — identical
     output because candidate recall is 1.0 here."""
     from ..operators.clustering import connected_components
 
     emb = load(spark, sf_dir, "embeddings")
+    thr = S.calibrate_null_threshold(emb, floor=0.45)
     if pair_method == "ivf":
-        pairs = S.neardup_pairs_ivf_candidates(emb, threshold=0.45)
+        pairs = S.neardup_pairs_ivf_candidates(emb, threshold=thr)
     else:
-        pairs = S.neardup_pairs(emb, threshold=0.45)
+        pairs = S.neardup_pairs(emb, threshold=thr)
     cc = connected_components(pairs)
     return (
         emb.select("vec_id")
@@ -557,11 +602,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str, pair_method: str = "ivf") -> Da
 
 
 _SEMDEDUP_SQL = f"""
-WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+WITH RECURSIVE {_null_calib_ctes(0.45)},
+e AS (SELECT vec_id, embedding FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
   FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= (SELECT t FROM _thr)
 ),
 edges AS (
   SELECT a_id AS u, b_id AS v FROM pairs
@@ -584,8 +630,10 @@ FROM embeddings LEFT JOIN cc ON vec_id = vertex
 def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The surviving-vector set of the semantic dedup under the
     smaller-id-wins rule: keep a vector iff no smaller-id vector is an
-    IVF-candidate near-duplicate at cos >= 0.45. This is the exact
-    semantics the persisted-cell-index incremental path
+    IVF-candidate near-duplicate at the null-calibrated operating
+    point (see q_semdedup — max(0.45, expected null maximum), derived
+    identically by both engines). This is the exact semantics the
+    persisted-cell-index incremental path
     (streaming/semdedup_index.py) reproduces micro-batch by
     micro-batch — the closure is pinned in tests/test_semdedup_index.py
     on margin-bearing data. Candidate recall vs the exact pair set is
@@ -594,15 +642,17 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.semdedup_index import batch_semdedup_survivors
 
     emb = load(spark, sf_dir, "embeddings")
-    return batch_semdedup_survivors(emb, threshold=0.45).select("vec_id")
+    thr = S.calibrate_null_threshold(emb, floor=0.45)
+    return batch_semdedup_survivors(emb, threshold=thr).select("vec_id")
 
 
 _SEMDEDUP_SURVIVORS_SQL = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings)
+WITH {_null_calib_ctes(0.45)},
+e AS (SELECT vec_id, embedding FROM embeddings)
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (
   SELECT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= (SELECT t FROM _thr)
 )
 """
 

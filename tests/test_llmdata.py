@@ -521,3 +521,83 @@ def test_corpus_build_macro_stages_consistent(spark, sf_small):
         assert r.pack_id == r.start_offset // 256
         assert r.pack_offset == r.start_offset % 256
         by_shard[r.shard] = expect + r.n_tokens
+
+
+def test_calibrated_threshold_engine_parity(spark, sf_small):
+    """calibrate_null_threshold and its SQL twin (_null_calib_ctes)
+    must derive the IDENTICAL operating point — the llm_semdedup
+    oracle contract (round-to-4 absorbs float-fold differences)."""
+    import duckdb
+
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        _null_calib_ctes,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    t_spark = S.calibrate_null_threshold(emb, floor=0.45)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_small}/embeddings.parquet'"
+    )
+    t_duck = con.execute(f"WITH {_null_calib_ctes(0.45)} SELECT t FROM _thr").fetchone()[0]
+    assert t_spark == t_duck
+    assert t_spark >= 0.45  # floored at the user parameter
+
+
+def test_calibrated_threshold_separates_signal_from_null(spark):
+    """The r5 soak failure in miniature, then the fix: on pure-noise
+    embeddings a FIXED 0.45 threshold admits an n²-growing random pair
+    tail, while the calibrated threshold keeps the expected noise-pair
+    count O(1) at any n — AND planted near-duplicates (real signal,
+    cos ≈ 0.98) stay above it and are still found."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, d = 1500, 64
+    X = rng.standard_normal((n, d))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    # plant 5 genuine near-duplicates: vector n+i ≈ vector i
+    planted = []
+    extra = []
+    for i in range(5):
+        v = X[i] + 0.1 * rng.standard_normal(d)
+        v /= np.linalg.norm(v)
+        extra.append(v)
+        planted.append((i, n + i))
+    X = np.vstack([X, np.array(extra)])
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+
+    thr = S.calibrate_null_threshold(emb, floor=0.45)
+    # fixed 0.45 floods: the random tail at n=1505 crosses it
+    fixed_pairs = S.neardup_pairs(emb, threshold=0.45).count()
+    planted_found = {
+        (r.a_id, r.b_id)
+        for r in S.neardup_pairs(emb, threshold=thr).collect()
+    }
+    assert 0.45 < thr < 0.9  # above the floor, below the signal
+    assert fixed_pairs > 10 * len(planted)  # the noise flood is real
+    assert planted_found == {(a, b) for a, b in planted}  # signal only
+
+
+def test_calibrated_threshold_rises_with_n(spark):
+    """The operating point must scale like the expected null maximum:
+    strictly higher at 4× the corpus size (same generator), which is
+    exactly what keeps the pair set signal-only as the corpus grows."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+
+    def mk(n):
+        X = rng.standard_normal((n, 64))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in X[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+
+    t_small = S.calibrate_null_threshold(mk(400), floor=0.0)
+    t_big = S.calibrate_null_threshold(mk(1600), floor=0.0)
+    assert t_big > t_small > 0.4  # ~mu + sqrt(2 ln pairs) * 0.125
