@@ -6,8 +6,9 @@ filters on both encode and decode, CRC-verified chunks.
 
 This replaces the decode STUB for PNG payloads in
 operators/multimodal.py: the Spark seam (mapInPandas over binary
-columns) was always real; now the bytes inside are too. JPEG/video
-stay stubbed (they need codec libraries this container lacks).
+columns) was always real; now the bytes inside are too. Baseline
+JPEG is real as well (operators/jpeg.py); MP3/H.264 stay stubbed
+(they need codec libraries this container lacks).
 
 Perf note: filters Sub/Average/Paeth decode byte-sequentially within
 a row (each byte's predictor uses the just-reconstructed left

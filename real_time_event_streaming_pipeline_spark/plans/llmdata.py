@@ -812,6 +812,39 @@ FROM documents
 """
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, oracle-verified end-to-end — the
+    lossy-codec sibling of q_multimodal_png, closing the r5 verdict's
+    highest-value remaining stub: per document a 16×16 greyscale image
+    of constant 8×8 blocks (block (bx,by) = (doc_id*11 + by*2 + bx) %
+    256) is encoded to genuine baseline JFIF bytes through the
+    pure-stdlib codec (operators/jpeg.py: FDCT → quantize → zigzag →
+    differential-DC Huffman with the T.81 Annex K standard tables →
+    byte-stuffed entropy segment), then DECODED back and reduced to
+    integer metrics. At IJG quality=100 the quantization table is all
+    ones and a constant block's DCT is exactly its integer DC
+    coefficient, so the normally-lossy pipeline is bit-exact on this
+    fixture — DuckDB cannot parse JPEG, but it can state the
+    closed-form pixels, so a green row proves marker framing, Huffman
+    coding, dequantize, IDCT, and level shift all composed exactly.
+    The AC / lossy / corruption surfaces are pytest-pinned with
+    spec-derived error bounds (tests/test_jpeg_codec.py). Scale
+    shape: one mapInPandas over doc ids — embarrassingly parallel,
+    no shuffle."""
+    return M.jpeg_decode_metrics(load(spark, sf_dir, "documents"))
+
+
+_MULTIMODAL_JPEG_SQL = """
+SELECT doc_id,
+  CAST(16 AS BIGINT) AS width,
+  CAST(16 AS BIGINT) AS height,
+  CAST((doc_id * 11) % 256 AS BIGINT) AS top_left,
+  CAST(list_sum([(i + 1) * ((doc_id * 11 + ((i // 16) // 8) * 2 + ((i % 16) // 8)) % 256)
+                 for i in generate_series(0, 255)]) AS BIGINT) AS weighted_sum
+FROM documents
+"""
+
+
 def q_multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode + frame sampling, oracle-verified end-to-end
     — the video sibling of q_multimodal_png/_wav: per document a
@@ -1035,6 +1068,7 @@ QUERIES = {
     "llm_multimodal_features": q_multimodal_features,
     "llm_multimodal_frames": q_multimodal_frames,
     "llm_multimodal_png": q_multimodal_png,
+    "llm_multimodal_jpeg": q_multimodal_jpeg,
     "llm_multimodal_wav": q_multimodal_wav,
     "llm_multimodal_avi": q_multimodal_avi,
 }
@@ -1060,6 +1094,7 @@ ORACLE = {
     "llm_multimodal_meta": _MULTIMODAL_META_SQL,
     "llm_multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "llm_multimodal_png": _MULTIMODAL_PNG_SQL,
+    "llm_multimodal_jpeg": _MULTIMODAL_JPEG_SQL,
     "llm_multimodal_wav": _MULTIMODAL_WAV_SQL,
     "llm_multimodal_avi": _MULTIMODAL_AVI_SQL,
 }
