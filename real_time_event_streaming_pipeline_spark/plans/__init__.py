@@ -27,16 +27,79 @@ def _modules():
 
 
 # The verify driver checks only the FIRST 50 registry entries against
-# the DuckDB oracle each round. Round 5 completes the rotation the r4
-# verdict ordered: all 46 queries whose latest driver verdict is r2 or
-# older (the rel_* analytics second wave, fn_conditional/fn_try_arith,
-# the three sketch queries that never sat in a window, the r2-era
-# multimodal/recursive/window batch) plus the 4 queries that are new
-# or whose code changed this round (llm_corpus_build; cs_upsert_lww on
-# the app-scoped ledger; llm_semdedup/_survivors on the distributed
-# centroid training). After this window lands, every registered
-# query's external verdict is from r3 or later — the staleness
-# invariant tools/rotation_check.py enforces.
+# the DuckDB oracle each round. Round 6 per the r5 verdict: the 2
+# queries new this round (the baseline-JPEG decode face and the
+# tx-table DML-lifecycle face), the 3 whose RESULTS changed this round
+# (llm_semdedup/_survivors on the null-calibrated operating point;
+# cs_upsert_lww on the de-collected localCheckpoint read-back), and
+# all 45 queries whose latest driver verdict is r3 — exactly 50.
+# (llm_corpus_build and llm_corpus_ingest_epochs also changed in r6
+# but only in plan shape — checkpointed diamond, closed-form epoch
+# tiles — with bitwise-identical results, re-verified locally; they
+# hold r5/r4 verdicts and rotate in r7.) Registry-capacity note: the
+# steady-state ceiling is WINDOW × MAX_STALENESS = 150 registered
+# queries; at 144 every new registration must earn its slot.
+_PRIORITY_R6 = (
+    # new in round 6 — no driver verdict yet (rotation_check enforces
+    # window membership for these)
+    "llm_multimodal_jpeg",
+    "cs_tx_dml_lifecycle",
+    # results changed in round 6
+    "llm_semdedup",
+    "llm_semdedup_survivors",
+    "cs_upsert_lww",
+    # last driver verdict r3: llm text/emb/corpus family
+    "llm_text_stats",
+    "llm_lang_id",
+    "llm_fingerprint",
+    "llm_quality",
+    "llm_dedup_exact",
+    "llm_dedup_exact_hash",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash_pairs",
+    "llm_emb_cosine_topk",
+    "llm_emb_neardup",
+    "llm_emb_ann_lsh",
+    "llm_emb_ann_ivf",
+    "llm_emb_ann_pq",
+    "llm_emb_quantize",
+    "llm_knn_classify",
+    "llm_corpus_pipeline",
+    "llm_token_rarity",
+    "llm_seq_packing",
+    "llm_dup_span_removal",
+    "llm_length_outliers",
+    "llm_pack_materialize",
+    "llm_char_entropy",
+    "llm_doc_chunking",
+    "llm_corpus_stats_cube",
+    "llm_dsir_weights",
+    "llm_bigram_logprob",
+    # last driver verdict r3: windowing-analytics wave
+    "rel_event_transitions",
+    "rel_funnel_conversion",
+    "rel_value_outliers",
+    "rel_cep_pattern",
+    "rel_ts_similarity",
+    "rel_retention_cohorts",
+    # last driver verdict r3: fn_* scalar batch
+    "fn_variant",
+    "fn_percentiles",
+    "fn_unpivot",
+    "fn_array",
+    "fn_posexplode",
+    "fn_url",
+    # last driver verdict r3: subqueries / lateral / citystream / TPC-H
+    "rel_sql_subqueries",
+    "rel_lateral_topk",
+    "cs_kafka_producer_frame",
+    "cs_producer_metrics",
+    "cs_alert_followups",
+    "rel_large_volume_customer",
+    "rel_dominant_part_suppliers",
+)
+
+# Round 5's window, kept for the record (see git history for r1-r3).
 _PRIORITY_R5 = (
     # new / changed in round 5 — verdicts must reflect current code
     "llm_corpus_build",
@@ -94,7 +157,6 @@ _PRIORITY_R5 = (
     "rel_supplier_part_cnt",
 )
 
-# Round 4's window, kept for the record (see git history for r1-r3).
 _PRIORITY_R4 = (
     # new in round 4 — no driver verdict yet
     "llm_dedup_ngram_survivors",
@@ -161,7 +223,7 @@ _PRIORITY_R4 = (
 
 
 def _reorder(merged: dict) -> dict:
-    out = {k: merged[k] for k in _PRIORITY_R5 if k in merged}
+    out = {k: merged[k] for k in _PRIORITY_R6 if k in merged}
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out
 

@@ -504,6 +504,99 @@ def q_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_tx_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r5 DML surface as ONE oracle-checked lifecycle — the
+    driver-checkable face of UPDATE WHERE, MERGE INTO (all three
+    clauses), DELETE WHERE, and RESTORE TO VERSION composing on the
+    transactional table (streaming/tx_table.py), each previously
+    pytest-only:
+
+      v0  upsert the orders slice (o_orderkey % 4 == 2, integer cents)
+      v1  UPDATE WHERE val % 10 < 3 SET val += 100   (merge-on-read DV)
+      v2  MERGE source = (matched keys %6==0 -> val+7; matched %5==0
+          -> DELETE; unmatched keys k+10^8 for k%9==0 -> INSERT 42)
+          in DV mode — updates via sidecar kill + append
+      v3  DELETE WHERE k % 11 == 0                   (copy-on-write)
+      v4  RESTORE TO v2 — O(metadata) rollback undoing v3
+
+    The final read equals the v2 state, so DuckDB states the whole
+    composition in closed form; n_versions pins that exactly five
+    commits happened (no silent retries/extra commits). The read-back
+    is localCheckpoint()ed so the scratch table dies with the query
+    and nothing is ever collected to the driver."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import tx_table
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 2)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = orders.select(F.col("o_orderkey").alias("k"), cents.alias("val_cents"))
+    tdir = tempfile.mkdtemp(prefix="tx_dml_")
+    try:
+        t = os.path.join(tdir, "t")
+        tx_table.upsert(spark, t, base, ["k"], n_buckets=16, epoch_id=0)
+        tx_table.update_where(
+            spark, t, F.col("val_cents") % 10 < 3,
+            {"val_cents": F.col("val_cents") + 100}, mode="dv",
+        )
+        matched = (
+            tx_table.read_table(spark, t)
+            .filter(F.col("k") % 6 == 0)
+            .select("k", (F.col("val_cents") + 7).alias("mv"))
+        )
+        inserts = base.filter(F.col("k") % 9 == 0).select(
+            (F.col("k") + 100_000_000).alias("k"),
+            F.lit(42).cast("long").alias("val_cents"),
+            F.lit(None).cast("long").alias("mv"),
+        )
+        src = matched.withColumn("val_cents", F.lit(None).cast("long")).select(
+            "k", "val_cents", "mv"
+        ).unionByName(inserts)
+        v2 = tx_table.merge(
+            spark, t, src,
+            when_matched_update={"val_cents": F.col("_src_mv")},
+            when_matched_delete=F.col("k") % 5 == 0,
+            mode="dv",
+        )
+        tx_table.delete_where(spark, t, F.col("k") % 11 == 0)
+        v4 = tx_table.restore(t, v2)
+        out = (
+            tx_table.read_table(spark, t)
+            .select(
+                F.col("k").alias("o_orderkey"),
+                "val_cents",
+                F.lit(v4 + 1).cast("long").alias("n_versions"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return out
+
+
+_TX_DML_LIFECYCLE_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders WHERE o_orderkey % 4 = 2
+),
+u AS (  -- v1: UPDATE WHERE v % 10 < 3 SET v += 100
+  SELECT k, CASE WHEN v % 10 < 3 THEN v + 100 ELSE v END AS v FROM base
+),
+m AS (  -- v2: MERGE (matched %5==0 delete, matched %6==0 update, inserts)
+  SELECT k, CASE WHEN k % 6 = 0 THEN v + 7 ELSE v END AS v
+  FROM u WHERE NOT (k % 6 = 0 AND k % 5 = 0)
+  UNION ALL
+  SELECT k + 100000000 AS k, CAST(42 AS BIGINT) AS v
+  FROM base WHERE k % 9 = 0
+)
+SELECT k AS o_orderkey, v AS val_cents, CAST(5 AS BIGINT) AS n_versions
+FROM m  -- v3 DELETE WHERE is undone by the v4 RESTORE
+"""
+
+
 _UPSERT_LWW_SQL = """
 SELECT o_orderkey,
   CAST(CASE WHEN o_orderkey % 7 = 0 THEN 2
@@ -532,6 +625,7 @@ QUERIES = {
     "cs_raw_with_ttl": q_raw_with_ttl,
     "cs_alert_followups": q_alert_followups,
     "cs_upsert_lww": q_upsert_lww,
+    "cs_tx_dml_lifecycle": q_tx_dml_lifecycle,
 }
 
 ORACLE = {
@@ -548,4 +642,5 @@ ORACLE = {
     "cs_raw_with_ttl": _RAW_WITH_TTL_SQL,
     "cs_alert_followups": _ALERT_FOLLOWUPS_SQL,
     "cs_upsert_lww": _UPSERT_LWW_SQL,
+    "cs_tx_dml_lifecycle": _TX_DML_LIFECYCLE_SQL,
 }
