@@ -702,3 +702,129 @@ def test_restore_missing_dv_sidecar_fails_loudly(spark, tmp_path):
         shutil.rmtree(os.path.join(tx, "data", d))
     with pytest.raises(ValueError, match="vacuumed"):
         tx_table.restore(tx, v_dv)
+
+
+def test_concurrent_dv_merge_writers_with_readers_and_cdf_tail(spark, tmp_path):
+    """The r5 DML surface under TRUE concurrency (VERDICT r5 #8): one
+    thread fires DV deletes + upserts, another fires dv-mode MERGEs
+    (update+delete+insert clauses), while a reader thread time-travels
+    pinned snapshots throughout. Invariants:
+      - no torn reads: every pinned-version read succeeds and holds
+        the one-row-per-key invariant;
+      - the version log is gapless and every commit's change feed
+        REPLAYS: content(v) == content(v-1) ± read_changes(v) for all
+        v (the strongest no-torn-commit check available without an
+        interleaving model);
+      - the txcdf streaming tail replays the same history as the
+        batch read_changes path, version by version."""
+    import threading
+
+    from real_time_event_streaming_pipeline_spark.streaming.tx_cdf_source import (
+        TxChangeFeedDataSource,
+    )
+
+    tx = str(tmp_path / "tx")
+    base = [(f"k{i}", i) for i in range(10)]
+    tx_table.upsert(spark, tx, _batch(spark, base), ["k"], n_buckets=4,
+                    order_col="v", epoch_id=0)
+    errors: list = []
+    stop = threading.Event()
+
+    def writer_a():
+        try:
+            for i in range(3):
+                tx_table.delete(
+                    spark, tx,
+                    spark.createDataFrame([(f"k{(3 * i) % 10}",)], "k string"),
+                    epoch_id=100 + i, mode="dv",
+                )
+                tx_table.upsert(
+                    spark, tx,
+                    _batch(spark, [(f"k{(3 * i) % 10}", 1000 + i), (f"a{i}", i)]),
+                    ["k"], n_buckets=4, order_col="v", epoch_id=110 + i,
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(("A", e))
+
+    def writer_b():
+        try:
+            for i in range(3):
+                src = spark.createDataFrame(
+                    [(f"k{(2 * i) % 10}", None, 2000 + i),
+                     (f"k{(2 * i + 5) % 10}", None, 2500 + i),
+                     (f"b{i}", 3000 + i, None)],
+                    "k string, v int, mv int",
+                )
+                tx_table.merge(
+                    spark, tx, src,
+                    when_matched_update={"v": F.col("_src_mv")},
+                    when_matched_delete=F.col("v") % 2 == 1,
+                    epoch_id=200 + i, mode="dv",
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(("B", e))
+
+    def reader():
+        try:
+            while not stop.is_set():
+                v = tx_table.latest_version(tx)
+                rows = tx_table.read_table(spark, tx, version=v).select("k", "v").collect()
+                keys = [r.k for r in rows]
+                assert len(keys) == len(set(keys)), f"duplicate keys at v{v}: {sorted(keys)}"
+        except Exception as e:  # pragma: no cover
+            errors.append(("R", e))
+
+    ta = threading.Thread(target=writer_a)
+    tb = threading.Thread(target=writer_b)
+    tr = threading.Thread(target=reader)
+    tr.start(); ta.start(); tb.start()
+    ta.join(300); tb.join(300)
+    stop.set(); tr.join(60)
+    assert not errors, errors
+
+    hist = tx_table.history(tx)
+    latest = tx_table.latest_version(tx)
+    assert [h["version"] for h in hist] == list(range(latest + 1))  # gapless
+
+    # change-feed replay reconstructs every snapshot
+    def content_at(v):
+        return sorted(
+            (r.k, r.v)
+            for r in tx_table.read_table(spark, tx, version=v).select("k", "v").collect()
+        )
+
+    state: list = content_at(0)
+    for v in range(1, latest + 1):
+        ch = tx_table.read_changes(spark, tx, v)
+        if ch is not None:
+            for r in ch.select("k", "v", "_change_type").collect():
+                if r._change_type in ("delete", "update_preimage"):
+                    state.remove((r.k, r.v))
+                else:
+                    state.append((r.k, r.v))
+        assert sorted(state) == content_at(v), f"replay diverged at v{v}"
+
+    # txcdf tail sees the identical history
+    spark.dataSource.register(TxChangeFeedDataSource)
+    name = "cdf_conc_tail"
+    q = (
+        spark.readStream.format("txcdf").option("table_dir", tx).load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.sql(
+            f"SELECT k, v, _change_type, _commit_version FROM {name}"
+        ).collect()
+    }
+    want = set()
+    for v in range(latest + 1):
+        df = tx_table.read_changes(spark, tx, v)
+        if df is None:
+            continue
+        want |= {(r.k, r.v, r._change_type, v)
+                 for r in df.select("k", "v", "_change_type").collect()}
+    assert got == want
