@@ -423,7 +423,7 @@ def neardup_pairs_ivf_candidates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 64,
+    n_centroids: int | None = None,
     n_probe: int = 10,
     cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
@@ -465,8 +465,20 @@ def neardup_pairs_ivf_candidates(
 
     Compare ``neardup_pairs``: exact O(n²) FLOPs as a blocked GEMM —
     the right spend when exactness over an unstructured corpus is
-    mandatory; this path wins when the data has margin."""
+    mandatory; this path wins when the data has margin.
+
+    ``n_centroids=None`` (default) scales the cell count with the
+    corpus — min(1024, max(64, n // 256)) — holding target cell
+    occupancy ~constant. A FIXED cell count is a scale trap the sf3
+    soak measured directly: per-cell population grows linearly with
+    n, the per-cell GEMM quadratically, and the whole candidate
+    stage goes ~n² (exponent 2.5 at 3×). With occupancy pinned the
+    verify work is ~n · cell_size · n_probe — linear. The 1024 cap
+    bounds the literal-folded centroid assignment expression; past
+    it, raise n_probe-side pruning or shard the index."""
     if cents is None:
+        if n_centroids is None:
+            n_centroids = int(min(1024, max(64, emb.count() // 256)))
         cents = sample_centroids(emb, n_centroids, id_col, vec_col)
     tagged = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")).withColumn(
         "cell", F.explode(nearest_cells(F.col("_vec"), cents, n_probe)["cell"])

@@ -90,12 +90,15 @@ def batch_semdedup_survivors(
     emb: DataFrame,
     threshold: float = 0.9,
     cents: list[tuple[int, list[float]]] | None = None,
-    n_centroids: int = 64,
+    n_centroids: int | None = None,
     n_probe: int = 10,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """The batch twin: vectors with no smaller-id IVF-candidate match
-    in the whole input — one anti-join off the candidate pair set."""
+    in the whole input — one anti-join off the candidate pair set.
+    ``n_centroids=None`` inherits the corpus-scaled cell count
+    (constant occupancy — see neardup_pairs_ivf_candidates); the
+    streaming index keeps its explicit frozen-centroid contract."""
     dropped = (
         neardup_pairs_ivf_candidates(
             emb, threshold, id_col=id_col, n_centroids=n_centroids,
