@@ -615,17 +615,31 @@ def _exact_median(df: DataFrame, col: str) -> float:
     buffer would not. Returns (v_k1 + v_k2) / 2 — identical (IEEE
     exact on integers/half-integers) to quantile_cont(0.5).
 
-    The two scalar lookups are driver-side actions on 1-row aggregates
-    (bounded collect, same pattern as IVF centroid sampling)."""
-    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("_cum", F.sum("_c").over(w))
-    tot = df.count()
+    The histogram is a BOUNDED artifact (one row per distinct value),
+    so the cumulative walk runs driver-side over the collected
+    histogram — the same bounded-collect contract as IVF centroid
+    sampling. One distributed job total (the groupBy), no window at
+    all (the previous unpartitioned cumulative window was correct and
+    bounded, but emitted 24 WindowExec warnings per run into the
+    bench tail, and Catalyst folds any constant partition key back
+    to an empty spec)."""
+    hist = sorted(
+        (r[0], r[1])
+        for r in df.groupBy(col).agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    tot = sum(c for _, c in hist)
     if tot == 0:
         raise ValueError("median of empty input")
     k1, k2 = (tot + 1) // 2, (tot + 2) // 2
-    v1 = cum.filter(F.col("_cum") >= k1).agg(F.min(col)).first()[0]
-    v2 = cum.filter(F.col("_cum") >= k2).agg(F.min(col)).first()[0]
+    v1 = v2 = None
+    cum = 0
+    for v, c in hist:
+        cum += c
+        if v1 is None and cum >= k1:
+            v1 = v
+        if cum >= k2:
+            v2 = v
+            break
     return (float(v1) + float(v2)) / 2.0
 
 
