@@ -480,8 +480,14 @@ def neardup_pairs_ivf_candidates(
         if n_centroids is None:
             n_centroids = int(min(1024, max(64, emb.count() // 256)))
         cents = sample_centroids(emb, n_centroids, id_col, vec_col)
-    tagged = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")).withColumn(
-        "cell", F.explode(nearest_cells(F.col("_vec"), cents, n_probe)["cell"])
+    # assignment via the Arrow kernel (bit-identical to the
+    # nearest_cells expression — parity pinned in tests): O(n·k) as
+    # one numpy accumulation per batch instead of k interpreter folds
+    # per row, which matters once k scales with the corpus
+    tagged = assign_cells_kernel(
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        cents,
+        n_probe,
     )
     return pairs_from_cell_rows(tagged, threshold)
 
@@ -657,6 +663,66 @@ def sample_centroids(
     finally:
         samp.unpersist()
     return cents
+
+
+def assign_cells_kernel(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    n_probe: int,
+    id_col: str = "_id",
+    vec_col: str = "_vec",
+) -> DataFrame:
+    """(id, vec) -> exploded (cell, id, vec) rows for each of the
+    ``n_probe`` nearest cells — the Arrow-batched numpy twin of
+    ``nearest_cells(...)`` + explode, BIT-IDENTICAL by construction:
+    dots accumulate dimension-at-a-time in float64 (the same
+    left-to-right fold as the zip_with/aggregate expression — the
+    _block_cos argument), and ties rank by (−dot, cell id) exactly
+    like the expression's struct array_sort.
+
+    Why it exists: the literal-folded expression evaluates k centroid
+    folds per row in the interpreter/codegen — O(n·k) JVM expression
+    work, and with the corpus-scaled cell count k ~ n/256 that is the
+    residual superlinear term the sf3 soak isolated after the
+    occupancy fix (exp ~1.3-1.5). Here the same arithmetic is one
+    n×k float64 accumulation per Arrow batch. The assignment parity
+    is pinned in tests/test_llmdata.py against the expression path
+    on both real testdata and random vectors."""
+    import numpy as np  # noqa: F401 (kernel body imports on executors)
+
+    cell_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cvec for _, cvec in cents], dtype=np.float64)
+    n_probe = int(n_probe)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = np.zeros((len(X), len(C)))
+            for d in range(X.shape[1]):
+                dots += X[:, d : d + 1] * C[None, :, d]
+            # rank by (negdot asc, cell id asc) — lexsort's last key is
+            # primary, matching array_sort over (negdot, cell) structs
+            order = np.lexsort(
+                (np.broadcast_to(cell_ids, dots.shape), -dots), axis=1
+            )[:, :n_probe]
+            reps = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "cell": cell_ids[order].reshape(-1).astype(np.int32),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), reps),
+                    vec_col: [v for v in pdf[vec_col] for _ in range(reps)],
+                }
+            )
+
+    vec_type = dict(zip(df.columns, (f.dataType.simpleString() for f in df.schema)))
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        run, f"cell int, {id_col} long, {vec_col} {vec_type[vec_col]}"
+    )
 
 
 def nearest_cells(vec, cents: list[tuple[int, list[float]]], n: int) -> Column:

@@ -601,3 +601,49 @@ def test_calibrated_threshold_rises_with_n(spark):
     t_small = S.calibrate_null_threshold(mk(400), floor=0.0)
     t_big = S.calibrate_null_threshold(mk(1600), floor=0.0)
     assert t_big > t_small > 0.4  # ~mu + sqrt(2 ln pairs) * 0.125
+
+
+def test_assign_cells_kernel_bitwise_parity_with_expression(spark, sf_small):
+    """The Arrow assignment kernel must produce EXACTLY the
+    (id, cell, rank-order) rows of the nearest_cells expression path
+    — same dimension-at-a-time float64 fold, same (−dot, cell id)
+    tie rule — on real testdata AND adversarial random vectors
+    (including exact duplicate vectors, which force dot ties)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from real_time_event_streaming_pipeline_spark.operators.similarity import (
+        assign_cells_kernel,
+        nearest_cells,
+        sample_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((300, 64))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X[50] = X[10]  # exact duplicates: identical dots to every centroid
+    X[51] = X[10]
+    dup_emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    for emb in (load(spark, sf_small, "embeddings"), dup_emb):
+        for k, n_probe in ((16, 4), (64, 10)):
+            cents = sample_centroids(emb, k)
+            src = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_vec"))
+            expr = src.select(
+                "_id",
+                F.posexplode(nearest_cells(F.col("_vec"), cents, n_probe)["cell"])
+                .alias("rk", "cell"),
+            )
+            kern = assign_cells_kernel(src, cents, n_probe)
+            want = {(r._id, r.rk, r.cell) for r in expr.collect()}
+            got_rows = kern.collect()
+            # reconstruct rank from emission order per id
+            got = set()
+            seen: dict = {}
+            for r in got_rows:
+                rk = seen.get(r._id, 0)
+                seen[r._id] = rk + 1
+                got.add((r._id, rk, r.cell))
+            assert got == want
