@@ -7,25 +7,38 @@ Scale design:
 - N-gram Jaccard prunes with a document-frequency cap on shingles
   before the candidate self-join (the classic "stop-shingle" guard):
   without it one common shingle in every doc makes the join quadratic.
-- MinHash/LSH: signatures via xxhash64 (JVM-side, deterministic) with
-  (a·h+b mod p) permutations; banding turns near-dup search into an
-  equi-join on (band, band_hash) — linear shuffle, no pairwise scan.
+- MinHash/LSH: signatures via an md5-derived 60-bit hash (JVM-side,
+  deterministic) with (a·h+b mod p) permutations; banding turns
+  near-dup search into an equi-join on (band, band_hash) — linear
+  shuffle, no pairwise scan.
 - SimHash: explode tokens → per-bit ±1 sums → reassemble a 32-bit
   signature; hamming-adjacent buckets give candidates.
 
-MinHash/SimHash signatures depend on Spark's xxhash64, which DuckDB
-cannot reproduce — those queries are rows-only for the driver and are
-instead validated in tests/ against exact-Jaccard ground truth.
+Base hash choice: the first 15 hex digits of md5, parsed as a 60-bit
+integer (`_h60`). md5 is engine-portable — DuckDB computes the
+identical digits — so every signature, band key, and candidate pair
+here is bitwise reproducible by the ANSI-SQL oracle twins, unlike
+xxhash64 which exists only in Spark. Throughput cost vs xxhash64 is
+one digest per shingle/token (both stay inside whole-stage codegen);
+signature quality is equivalent (md5 mixes at least as well).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: universal-hashing modulus kept at 31 bits so
 # a·h never exceeds 2^62 (Spark 4 runs ANSI mode — long overflow throws).
 _MERSENNE = (1 << 31) - 1
+
+
+def _h60(col: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex digits of md5 as a
+    long. DuckDB twin: CAST(('0x' || substr(md5(x),1,15)) AS BIGINT).
+    Non-negative by construction (no abs needed), so `% _MERSENNE`
+    agrees between Java and SQL remainder semantics."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 # Deterministic permutation parameters (golden-ratio LCG constants).
 _PERM_A = 0x9E3779B97F4A7C15
 _PERM_B = 0xC2B2AE3D27D4EB4F
@@ -208,9 +221,10 @@ def minhash_signatures(
     df: DataFrame, k: int = 3, num_hashes: int = 32, id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, sig array<long>): sig[i] = min over shingles of
-    (a_i * xxhash64(shingle) + b_i) mod 2^61-1."""
+    (a_i * h60(shingle) + b_i) mod 2^31-1, h60 reduced mod the same
+    prime first so a·h stays under 2^62."""
     sh = doc_shingles(df, k, id_col).withColumn(
-        "h", F.abs(F.xxhash64("shingle")) % _MERSENNE
+        "h", _h60(F.col("shingle")) % _MERSENNE
     )
     mins = sh.groupBy(id_col).agg(
         *[
@@ -267,8 +281,14 @@ def minhash_band_rows(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        _h60(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("bhash"),
                     )
                     for b in range(bands)
@@ -365,13 +385,13 @@ def pairs_from_band_rows(
 
 
 def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over word tokens: per-bit ±1 vote sums from
-    xxhash64(token), reassembled into one long. One explode + one
-    groupBy; all expression-level."""
+    """32-bit SimHash over word tokens: per-bit ±1 vote sums from the
+    low 32 bits of h60(token), reassembled into one long. One explode
+    + one groupBy; all expression-level."""
     tok = (
         _spread(df.select(F.col(id_col), F.array_distinct(F.split("text", " ")).alias("_toks")))
         .select(F.col(id_col), F.explode("_toks").alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", _h60(F.col("tok")))
     )
     votes = tok.groupBy(id_col).agg(
         *[

@@ -3,11 +3,17 @@ dedup, similarity search, text analysis, multimodal columns — exposed
 through the driver contract with DuckDB oracles wherever the
 semantics are SQL-expressible.
 
-Rows-only (deliberately no oracle — they hinge on Spark's xxhash64 or
-seeded hyperplanes DuckDB can't reproduce; validated against exact
+Rows-only (deliberately no oracle — they hinge on seeded hyperplanes
+/ trained centroids DuckDB can't reproduce; validated against exact
 ground truth in tests/test_llmdata.py instead):
-  llm_dedup_minhash_lsh, llm_dedup_simhash_pairs, llm_emb_ann_lsh,
+  llm_emb_ann_lsh, llm_emb_ann_ivf, llm_emb_ann_pq,
   llm_multimodal_features.
+
+The MinHash/SimHash family is fully oracle-checked: signatures use the
+md5-derived 60-bit hash (`operators/dedup._h60`), which DuckDB
+reproduces digit-for-digit, so the oracle rebuilds the identical
+signatures, band keys, capped buckets, and candidate pairs in ANSI
+SQL (`_minhash_lsh_sql` / `_simhash_pairs_sql`).
 """
 
 from __future__ import annotations
@@ -180,13 +186,16 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.5
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: xxhash64-based signatures (not SQL-reproducible);
-    recall vs exact Jaccard asserted in tests/test_llmdata.py."""
+    """Bitwise oracle-checked: md5-derived signatures are rebuilt
+    identically in SQL (`_minhash_lsh_sql`); recall vs exact Jaccard
+    additionally asserted in tests/test_llmdata.py."""
     return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only, same reason as minhash."""
+    """Bitwise oracle-checked (`_simhash_pairs_sql`): per-bit vote
+    sums, block keys, capped buckets, and hamming filter all rebuilt
+    from the same md5-60bit token hash in SQL."""
     return D.simhash_neardup_pairs(load(spark, sf_dir, "documents"))
 
 
@@ -197,11 +206,11 @@ def q_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     which have no signature — see batch_minhash_survivors). This is
     the exact semantics the persisted-band-index incremental path
     (streaming/dedup_index.py) reproduces micro-batch by micro-batch —
-    the closure is pinned in tests/test_dedup_index.py. Rows-only for
-    the driver (xxhash64 signatures); llm_dedup_ngram_survivors is the
-    oracle-able ANALOGUE on the exact n-gram pair set, not a value
-    twin: it shares the smaller-id-wins rule but has neither the
-    signature estimate nor the short-doc exact clause."""
+    the closure is pinned in tests/test_dedup_index.py. Bitwise
+    oracle-checked: the SQL twin (`_minhash_survivors_sql`) rebuilds
+    the md5-60bit signatures, takes the b_id side of the est>=0.5
+    pairs plus the non-minimum ids per content md5, and anti-joins —
+    the same two dropped sets."""
     from ..streaming.dedup_index import batch_minhash_survivors
 
     return batch_minhash_survivors(
@@ -229,6 +238,150 @@ def q_ngram_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_SURVIVORS_SQL = f"""
 SELECT doc_id, md5(text) AS content_md5 FROM documents
 WHERE doc_id NOT IN (SELECT b_id FROM ({_NGRAM_JACCARD_SQL}))
+"""
+
+# md5-hex (first 15 digits) parsed as a 60-bit integer — the DuckDB
+# twin of operators/dedup._h60. Signature arithmetic below mirrors
+# minhash_signatures / minhash_band_rows / simhash constant-for-
+# constant; the permutation (a_i, b_i) literals are the same _perm(i)
+# values the Spark plan folds in.
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_cte_sql(num_hashes: int = 32, bands: int = 8, max_bucket: int = 256) -> str:
+    """Shared CTE chain `tok → sh → hh → msig → band → mok → mcand`
+    rebuilding the MinHash/LSH candidate pipeline in ANSI SQL:
+    identical shingles (the ngram oracle's list comprehension),
+    identical 60-bit hash reduced mod 2^31-1, the 32 affine-permuted
+    min-aggregates, per-band md5 keys over the comma-joined signature
+    slice, the >=2 / <=max_bucket bucket gate, and distinct a<b pairs."""
+    rpb = num_hashes // bands
+    perms = [D._perm(i) for i in range(num_hashes)]
+    mins = ",\n    ".join(
+        f"min((h * {a} + {b}) % {D._MERSENNE}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {h} AS bhash FROM msig".format(
+            b=b,
+            h=_H60.format(
+                x="concat_ws(',', " + ", ".join(f"m{b * rpb + r}" for r in range(rpb)) + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(
+      CASE WHEN len(toks) < 3 THEN []
+           ELSE [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+      END)) AS shingle
+  FROM tok
+),
+hh AS (SELECT doc_id, {_H60.format(x='shingle')} % {D._MERSENNE} AS h FROM sh),
+msig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hh GROUP BY doc_id
+),
+band AS (
+  {band_selects}
+),
+mok AS (
+  SELECT band, bhash FROM band GROUP BY band, bhash
+  HAVING count(*) BETWEEN 2 AND {max_bucket}
+),
+mcand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM band a
+  JOIN mok USING (band, bhash)
+  JOIN band b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_lsh_sql(num_hashes: int = 32) -> str:
+    est = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(num_hashes))
+    return f"""
+WITH {_minhash_cte_sql()}
+SELECT a_id, b_id, round(({est}) / {num_hashes}.0, 4) AS est_jaccard
+FROM mcand
+JOIN msig sa ON sa.doc_id = a_id
+JOIN msig sb ON sb.doc_id = b_id
+"""
+
+
+def _minhash_survivors_sql(num_hashes: int = 32, threshold: float = 0.5) -> str:
+    """Survivors = documents minus (b_id of est>=threshold pairs UNION
+    non-minimum ids per content md5 over non-NULL text). The est
+    filter uses the UNROUNDED k/num_hashes ratio like the Spark face
+    (k/32 is an exact binary fraction, so >= compares identically)."""
+    est = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(num_hashes))
+    return f"""
+WITH {_minhash_cte_sql()},
+near_dropped AS (
+  SELECT DISTINCT a_id, b_id FROM mcand
+  JOIN msig sa ON sa.doc_id = a_id
+  JOIN msig sb ON sb.doc_id = b_id
+  WHERE ({est}) / {num_hashes}.0 >= {threshold}
+),
+exact_dropped AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE doc_id <> mn
+),
+dropped AS (SELECT b_id AS doc_id FROM near_dropped UNION SELECT doc_id FROM exact_dropped)
+SELECT doc_id, md5(text) AS content_md5 FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+def _simhash_pairs_sql(
+    bits: int = 32, max_hamming: int = 3, max_bucket: int = 256
+) -> str:
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"(b{i} > 0)::BIGINT * {1 << i}" for i in range(bits))
+    block_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {b} AS blk, (simhash >> {b * block_bits}) & {mask} AS key FROM ssig"
+        for b in range(n_blocks)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+hh AS (SELECT doc_id, {_H60.format(x='tok')} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hh GROUP BY doc_id
+),
+ssig AS (SELECT doc_id, {sig} AS simhash FROM votes),
+blocked AS (
+  {block_selects}
+),
+sok AS (
+  SELECT blk, key FROM blocked GROUP BY blk, key
+  HAVING count(*) BETWEEN 2 AND {max_bucket}
+),
+scand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM blocked a
+  JOIN sok USING (blk, key)
+  JOIN blocked b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+FROM scand
+JOIN ssig sa ON sa.doc_id = a_id
+JOIN ssig sb ON sb.doc_id = b_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
 """
 
 
@@ -1082,6 +1235,9 @@ ORACLE = {
     "llm_dedup_exact_hash": _DEDUP_EXACT_HASH_SQL,
     "llm_dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "llm_dedup_ngram_survivors": _NGRAM_SURVIVORS_SQL,
+    "llm_dedup_minhash_lsh": _minhash_lsh_sql(),
+    "llm_dedup_minhash_survivors": _minhash_survivors_sql(),
+    "llm_dedup_simhash_pairs": _simhash_pairs_sql(),
     "llm_emb_cosine_topk": _COSINE_TOPK_SQL,
     "llm_emb_neardup": _EMB_NEARDUP_SQL,
     "llm_emb_quantize": _EMB_QUANTIZE_SQL,

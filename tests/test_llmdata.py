@@ -73,7 +73,11 @@ def test_minhash_est_jaccard_tracks_exact(spark, sf_small):
 
 def test_simhash_close_for_neardups(spark, sf_small):
     """Planted near-dups (exact jaccard ≥ 0.8) should collide to nearby
-    simhashes (hamming ≤ 6 of 32 bits)."""
+    simhashes. For jaccard 0.8 the set-cosine is ~0.89, so the per-bit
+    flip probability is θ/π ≈ 0.15 → E[hamming] ≈ 4.8, σ ≈ 2 over 32
+    bits; a single pair at 8–9 bits is an expected tail draw, so pin
+    the DISTRIBUTION, not the max: mean well under half the 16-bit
+    random-pair expectation, and no pair anywhere near random."""
     docs = load(spark, sf_small, "documents")
     near = D.ngram_jaccard_pairs(docs, threshold=0.8).select("a_id", "b_id")
     sig = D.simhash(docs)
@@ -84,7 +88,9 @@ def test_simhash_close_for_neardups(spark, sf_small):
     )
     rows = joined.collect()
     assert rows
-    assert all(r.ham <= 6 for r in rows)
+    hams = [r.ham for r in rows]
+    assert sum(hams) / len(hams) <= 7
+    assert max(hams) <= 12
 
 
 def test_ann_beats_random(spark, sf_small):
