@@ -91,7 +91,13 @@ def extract_features(df_docs: DataFrame, fake: bool = False) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [f["n_bytes"] for f in feats],
-                    "mean_byte": [round(f["mean_byte"], 4) for f in feats],
+                    # raw double, no display rounding: sum/len of exact
+                    # integers is correctly-rounded IEEE division, so the
+                    # SQL oracle reproduces it bit-for-bit (a round(4)
+                    # here hits 5th-decimal-half ties — len = 2^a·5^b
+                    # gives finite decimals — where Python half-even and
+                    # SQL half-away disagree)
+                    "mean_byte": [f["mean_byte"] for f in feats],
                     "content_md5": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
                 }
             )

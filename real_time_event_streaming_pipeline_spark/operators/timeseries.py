@@ -3,7 +3,10 @@ case: an EWMA's output depends on the previous *output*, which no
 composition of built-in window/agg expressions can express (windows
 combine inputs, not running results). Everything else in this engine
 stays JVM-side; this is the documented escape hatch (Arrow-batched,
-one group per user, deterministic float recurrence).
+one group per user, deterministic float recurrence). Deterministic
+enough, in fact, to be bitwise oracle-checked: the DuckDB twin
+replays the same IEEE fold per ordered prefix via list_reduce
+(plans/windowing._REL_EWMA_SQL).
 
 Scale shape: one shuffle on the group key; per-group state is the
 single running value, memory O(group rows) only within the Arrow

@@ -50,11 +50,14 @@ _PRIORITY_R6 = (
     "cs_upsert_lww",
     # results changed in round 6: minhash/simhash moved to the
     # engine-portable md5-60bit hash and gained bitwise oracles
-    # (simhash_pairs is below in the r3-era block). To make room,
-    # fn_posexplode and fn_url (last verdict r3 → age 3 after this
-    # round, still within MAX_STALENESS) wait for the r7 window.
+    # (simhash_pairs is below in the r3-era block), and
+    # llm_multimodal_features dropped its display round to compare raw
+    # doubles bitwise. To make room, fn_posexplode, fn_url, and
+    # fn_array (last verdict r3 → age 3 after this round, still within
+    # MAX_STALENESS) wait for the r7 window.
     "llm_dedup_minhash_lsh",
     "llm_dedup_minhash_survivors",
+    "llm_multimodal_features",
     # last driver verdict r3: llm text/emb/corpus family
     "llm_text_stats",
     "llm_lang_id",
@@ -93,7 +96,6 @@ _PRIORITY_R6 = (
     "fn_variant",
     "fn_percentiles",
     "fn_unpivot",
-    "fn_array",
     # last driver verdict r3: subqueries / lateral / citystream / TPC-H
     "rel_sql_subqueries",
     "rel_lateral_topk",

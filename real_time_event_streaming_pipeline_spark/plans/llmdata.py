@@ -6,8 +6,7 @@ semantics are SQL-expressible.
 Rows-only (deliberately no oracle — they hinge on seeded hyperplanes
 / trained centroids DuckDB can't reproduce; validated against exact
 ground truth in tests/test_llmdata.py instead):
-  llm_emb_ann_lsh, llm_emb_ann_ivf, llm_emb_ann_pq,
-  llm_multimodal_features.
+  llm_emb_ann_lsh, llm_emb_ann_ivf, llm_emb_ann_pq.
 
 The MinHash/SimHash family is fully oracle-checked: signatures use the
 md5-derived 60-bit hash (`operators/dedup._h60`), which DuckDB
@@ -911,9 +910,26 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: Arrow-batched mapInPandas decode path with the
-    deterministic fake decoder (real decode is stubbed per brief)."""
+    """Arrow-batched mapInPandas decode path with the deterministic
+    fake decoder (real decode is stubbed per brief). Bitwise
+    oracle-checked since r6: the fake's features (byte length, mean
+    byte value, content md5 of the utf-8 payload) are closed-form, so
+    the SQL twin recomputes them from hex pairs of the encoded text —
+    a green row proves the mapInPandas seam (schema, batching, Arrow
+    round-trip) delivers exactly the decoder's output."""
     return M.extract_features(load(spark, sf_dir, "documents"), fake=True)
+
+
+_MULTIMODAL_FEATURES_SQL = """
+WITH b AS (SELECT doc_id, encode(text) AS payload, text FROM documents)
+SELECT doc_id,
+  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+  CAST(list_sum(list_transform(generate_series(1, octet_length(payload)),
+      i -> CAST(('0x' || substr(hex(payload), 2*i-1, 2)) AS BIGINT))) AS DOUBLE)
+    / greatest(octet_length(payload), 1) AS mean_byte,
+  md5(text) AS content_md5
+FROM b
+"""
 
 
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,6 +1264,7 @@ ORACLE = {
     "llm_corpus_pipeline": _CORPUS_PIPELINE_SQL,
     "llm_corpus_build": _corpus_build_sql(),
     "llm_multimodal_meta": _MULTIMODAL_META_SQL,
+    "llm_multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "llm_multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "llm_multimodal_png": _MULTIMODAL_PNG_SQL,
     "llm_multimodal_jpeg": _MULTIMODAL_JPEG_SQL,

@@ -275,12 +275,34 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event value — a sequential recurrence no
     built-in window/agg can express (output depends on previous
     OUTPUT), hence the one applyInPandas batch operator in the
-    engine (operators/timeseries.py). Rows-only for the driver
-    (non-SQL-expressible); the recurrence is pinned bitwise against
-    a hand-rolled reference in tests/test_operators.py."""
+    engine (operators/timeseries.py). Bitwise oracle-checked since
+    r6: pandas ewm(adjust=False) is the pure double fold
+    y = 0.8·y + 0.2·x (pinned against the hand-rolled reference in
+    tests/test_operators.py), which the SQL twin replays with a
+    list_reduce over each ordered prefix — identical IEEE ops in
+    identical order, so the 6-decimal rounds agree."""
     from ..operators.timeseries import ewma_by_key
 
     return ewma_by_key(load(spark, sf_dir, "events"), alpha=0.2)
+
+
+# The oracle's prefix fold is O(rows²/users) — fine at oracle SF; the
+# Spark face is the O(n) single-pass recurrence (the production path).
+_REL_EWMA_SQL = """
+WITH lists AS (
+  SELECT user_id,
+    list(value ORDER BY ts, event_id) AS vs,
+    list(event_id ORDER BY ts, event_id) AS ids
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  unnest(ids) AS event_id,
+  unnest(vs) AS value,
+  unnest(list_transform(generate_series(1, len(vs)),
+    i -> round(list_reduce(vs[1:i],
+      (acc, x) -> (1.0::DOUBLE - 0.2::DOUBLE) * acc + 0.2::DOUBLE * x), 6))) AS ewma
+FROM lists
+"""
 
 
 def q_recursive_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,6 +766,7 @@ ORACLE = {
     "rel_recursive_sessions": _RECURSIVE_SESSIONS_SQL,
     "fn_window_analytic": _FN_WINDOW_ANALYTIC_SQL,
     "rel_window_frames": _REL_WINDOW_FRAMES_SQL,
+    "rel_ewma_user_value": _REL_EWMA_SQL,
     "fn_bitwise": _FN_BITWISE_SQL,
     "rel_session_window_native": _SESSION_WINDOW_NATIVE_SQL,
     "fn_map": _FN_MAP_SQL,

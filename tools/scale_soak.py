@@ -226,6 +226,7 @@ def generate() -> None:
 
 
 SF3_DIR = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/spark_graft_sf3")
+SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
 
 # the dedup/ANN/corpus family measured at the extra sf3 point
 # (VERDICT r5 #7). Documents+embeddings only — these queries read no
@@ -242,23 +243,25 @@ FAMILY_SF3 = [
 ]
 
 
-def generate_sf3(mult: int = 3) -> None:
+def generate_sf3(mult: int = 3, out_dir: str | None = None) -> None:
     """documents + embeddings at ``mult``× the sf1 row counts — same
     generator recurrences (planted exact/near dups every 17th/10th
     doc, planted cos~0.8 embedding pairs every 8th vector), fresh
     seed stream so content differs from sf1 but the statistical shape
-    is identical."""
+    is identical. ``mult=10`` (--generate-sf10) gives the fourth soak
+    point — 100x the driver's sf0.1 on the scale-family tables."""
     import numpy as np
     import pyarrow as pa
 
+    out_dir = out_dir or SF3_DIR
     rng = np.random.default_rng(SEED + mult)
     t0 = time.time()
-    os.makedirs(SF3_DIR, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
 
     def write(table, tbl):
         import pyarrow.parquet as pq
 
-        pq.write_table(tbl, os.path.join(SF3_DIR, f"{table}.parquet"))
+        pq.write_table(tbl, os.path.join(out_dir, f"{table}.parquet"))
         print(f"  {table}: {tbl.num_rows} rows")
 
     n = N["documents"] * mult
@@ -302,7 +305,7 @@ def generate_sf3(mult: int = 3) -> None:
                               pa.list_(pa.float32())),
         "label": pa.array(rng.integers(0, 10, n), pa.int32()),
     }))
-    print(f"generated sf{mult} family tables at {SF3_DIR} in {time.time() - t0:.1f}s")
+    print(f"generated sf{mult} family tables at {out_dir} in {time.time() - t0:.1f}s")
 
 
 def run_family() -> None:
@@ -318,6 +321,8 @@ def run_family() -> None:
     spark = get_spark("scale_soak_sf3")
     queries = all_queries()
     dirs = {"sf0.1": "/root/testdata/sf0.1", "sf1": SF1_DIR, "sf3": SF3_DIR}
+    if os.path.isdir(SF10_DIR):  # fourth point, present when generated
+        dirs["sf10"] = SF10_DIR
     queries["llm_dedup_exact_hash"](spark, dirs["sf0.1"]).collect()  # warm-up
 
     results: dict = {}
@@ -336,17 +341,23 @@ def run_family() -> None:
             results[name][label] = best
             print(f"  {name} @ {label}: {best}", flush=True)
 
-    print("\n| query | sf0.1 (s) | sf1 (s) | sf3 (s) | exp 0.1→1 | exp 1→3 |")
-    print("|---|---|---|---|---|---|")
+    labels = list(dirs)
+    ratios = {"sf1": ("sf0.1", 10.0), "sf3": ("sf1", 3.0), "sf10": ("sf3", 10.0 / 3.0)}
+    hdr = " | ".join(f"{l} (s)" for l in labels)
+    exps = [l for l in labels[1:]]
+    print("\n| query | " + hdr + " | " + " | ".join(f"exp →{l}" for l in exps) + " |")
+    print("|---|" + "---|" * (len(labels) + len(exps)))
     for name, r in results.items():
-        a, b, c = r.get("sf0.1"), r.get("sf1"), r.get("sf3")
-        ok = all(isinstance(x, (int, float)) and x > 0 for x in (a, b, c))
-        if not ok:
-            print(f"| {name} | {a} | {b} | {c} | — | — |")
-            continue
-        e1 = math.log10(b / a)
-        e2 = math.log(c / b) / math.log(3.0)
-        print(f"| {name} | {a} | {b} | {c} | {e1:.2f} | {e2:.2f} |")
+        vals = [r.get(l) for l in labels]
+        cells = [str(v) for v in vals]
+        for l in exps:
+            prev_l, fold = ratios[l]
+            a, b = r.get(prev_l), r.get(l)
+            if all(isinstance(x, (int, float)) and x > 0 for x in (a, b)):
+                cells.append(f"{math.log(b / a) / math.log(fold):.2f}")
+            else:
+                cells.append("—")
+        print(f"| {name} | " + " | ".join(cells) + " |")
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SOAK_sf1.json"
@@ -468,6 +479,8 @@ def main() -> None:
         generate()
     if "--generate-sf3" in sys.argv:
         generate_sf3()
+    if "--generate-sf10" in sys.argv:
+        generate_sf3(mult=10, out_dir=SF10_DIR)
     if "--run" in sys.argv:
         run()
     if "--run-sf3" in sys.argv:
