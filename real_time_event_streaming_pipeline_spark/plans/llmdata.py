@@ -464,10 +464,60 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
 
 
 def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: seeded hyperplanes; recall vs brute force asserted in
-    tests/test_llmdata.py."""
+    """Bitwise oracle-checked since r6: the hyperplanes are seeded and
+    data-independent, so the SQL twin inlines them as list literals and
+    rebuilds the sign-bit buckets, the 22 multiprobe XOR targets, the
+    deduped candidate set, and the (cos desc, n_id) ranking — the
+    per-bucket-top-k ∪ global-rank decomposition equals a global rank
+    over the deduped candidates. Recall vs brute force additionally
+    asserted in tests/test_llmdata.py."""
     emb = load(spark, sf_dir, "embeddings")
     return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def _emb_ann_lsh_sql(k: int = 5, n_planes: int = 6, multiprobe: int = 2) -> str:
+    """ANSI-SQL twin of lsh_ann_topk: plane literals from the same
+    seeded generator the Spark plan folds in; dot products use the
+    proven left-to-right list_sum fold (bitwise equal to both the
+    zip_with/aggregate expression and the kernel's dimension-at-a-time
+    GEMM accumulation)."""
+    planes = S._hyperplanes(64, n_planes)
+    lits = ["[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes]
+    bucket = " + ".join(
+        f"({_COS_DOT.format(a='embedding', b=lits[i])} > 0)::BIGINT * {1 << i}"
+        for i in range(n_planes)
+    )
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket AS sig FROM sigs WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q_id, c.vec_id AS n_id
+  FROM q, (SELECT unnest({masks}) AS m) t
+  JOIN sigs c ON c.bucket = xor(q.sig, t.m)
+  WHERE c.vec_id != q_id
+),
+scored AS (
+  SELECT q_id, n_id, {_cos_sql('qe.embedding', 'ne.embedding')} AS cos
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = q_id
+  JOIN embeddings ne ON ne.vec_id = n_id
+)
+SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
 
 
 def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1256,6 +1306,7 @@ ORACLE = {
     "llm_dedup_simhash_pairs": _simhash_pairs_sql(),
     "llm_emb_cosine_topk": _COSINE_TOPK_SQL,
     "llm_emb_neardup": _EMB_NEARDUP_SQL,
+    "llm_emb_ann_lsh": _emb_ann_lsh_sql(),
     "llm_emb_quantize": _EMB_QUANTIZE_SQL,
     "llm_knn_classify": _KNN_CLASSIFY_SQL,
     "llm_dedup_clusters": _DEDUP_CLUSTERS_SQL,

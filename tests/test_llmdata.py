@@ -653,3 +653,25 @@ def test_assign_cells_kernel_bitwise_parity_with_expression(spark, sf_small):
                 seen[r._id] = rk + 1
                 got.add((r._id, rk, r.cell))
             assert got == want
+
+
+def test_h60_hash_is_engine_portable(spark):
+    """The md5-60bit base hash (`dedup._h60`) underpins every bitwise
+    minhash/simhash oracle: pin that Spark and DuckDB produce the
+    IDENTICAL integer for the same input, including edge inputs (empty
+    string, unicode, long text). A drift here would silently turn the
+    whole LSH oracle family red."""
+    import duckdb
+
+    samples = ["", "a", "the quick brown", "naïve café ünïcode", "x" * 10_000]
+    got = (
+        spark.createDataFrame([(s,) for s in samples], "s string")
+        .select(D._h60(F.col("s")).alias("h"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for s, row in zip(samples, got):
+        want = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [s]
+        ).fetchone()[0]
+        assert row.h == want, s
