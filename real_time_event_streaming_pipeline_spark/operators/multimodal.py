@@ -374,13 +374,16 @@ def jpeg_transcode_to_png(df_docs: DataFrame, side: int = JPEG_SIDE) -> DataFram
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [encode_png(decode_jpeg(bytes(p))) for p in pdf["payload"]]
+            decoded = [decode_jpeg(bytes(p)) for p in pdf["payload"]]
+            out = [encode_png(px) for px in decoded]
+            # dims come from the DECODED array, not the module default —
+            # a non-default `side` must be reported faithfully
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": out,
-                    "width": JPEG_SIDE,
-                    "height": JPEG_SIDE,
+                    "width": [len(px[0]) for px in decoded],
+                    "height": [len(px) for px in decoded],
                     "n_bytes": [len(p) for p in out],
                 }
             )

@@ -45,6 +45,7 @@ def calibrate_null_threshold(
     vec_col: str = "embedding",
     sample_size: int = 512,
     round_digits: int = 4,
+    n_rows: int | None = None,
 ) -> float:
     """Data-derived cosine operating point for the semantic-dedup
     family: ``max(floor, round(μ + σ·√(2·ln(n(n−1)/2)), 4))`` where
@@ -73,7 +74,7 @@ def calibrate_null_threshold(
     signal sits far above the null maximum and survives (pinned in
     tests/test_llmdata.py on a planted-duplicate fixture); on pure
     noise the calibrated pair set is empty — the honest answer."""
-    n = emb.count()
+    n = emb.count() if n_rows is None else int(n_rows)
     if n < 3:
         return float(floor)
     rows = (
@@ -88,13 +89,23 @@ def calibrate_null_threshold(
     cos: list[float] = []
     for i in range(S - shift):
         a, b = rows[i]["_vec"], rows[i + shift]["_vec"]
+        # dirty-input rule, shared verbatim with the SQL twin: a pair
+        # contributes only if BOTH vectors are non-null with positive
+        # norm — a zero/NULL vector must not crash the calibration
+        # here while the oracle silently computes a different answer
+        if a is None or b is None:
+            continue
         d = na = nb = 0.0
         for x, y in zip(a, b):
             x, y = float(x), float(y)
             d += x * y
             na += x * x
             nb += y * y
+        if na == 0.0 or nb == 0.0:
+            continue
         cos.append(d / (math.sqrt(na) * math.sqrt(nb)))
+    if not cos:
+        return float(floor)
     mu = sum(cos) / len(cos)
     var = sum((c - mu) ** 2 for c in cos) / len(cos)  # population
     k = math.sqrt(2.0 * math.log(n * (n - 1) / 2.0))
@@ -426,6 +437,7 @@ def neardup_pairs_ivf_candidates(
     n_centroids: int | None = None,
     n_probe: int = 10,
     cents: list[tuple[int, list[float]]] | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — CANDIDATE-based scale
     path: multi-probe IVF cell assignment generates candidates, exact
@@ -478,7 +490,10 @@ def neardup_pairs_ivf_candidates(
     it, raise n_probe-side pruning or shard the index."""
     if cents is None:
         if n_centroids is None:
-            n_centroids = int(min(1024, max(64, emb.count() // 256)))
+            # callers that already counted the corpus (the calibrated
+            # semdedup queries) pass n_rows to avoid a second full scan
+            n = emb.count() if n_rows is None else int(n_rows)
+            n_centroids = int(min(1024, max(64, n // 256)))
         cents = sample_centroids(emb, n_centroids, id_col, vec_col)
     # assignment via the Arrow kernel (bit-identical to the
     # nearest_cells expression — parity pinned in tests): O(n·k) as
@@ -719,9 +734,12 @@ def assign_cells_kernel(
                 }
             )
 
-    vec_type = dict(zip(df.columns, (f.dataType.simpleString() for f in df.schema)))
+    # id/vec types are carried over from the input schema — the kernel
+    # replaces the expression path for ANY id type (string doc ids
+    # included), so nothing here may assume `long`
+    col_type = dict(zip(df.columns, (f.dataType.simpleString() for f in df.schema)))
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        run, f"cell int, {id_col} long, {vec_col} {vec_type[vec_col]}"
+        run, f"cell int, {id_col} {col_type[id_col]}, {vec_col} {col_type[vec_col]}"
     )
 
 

@@ -623,9 +623,14 @@ def _exact_median(df: DataFrame, col: str) -> float:
     bounded, but emitted 24 WindowExec warnings per run into the
     bench tail, and Catalyst folds any constant partition key back
     to an empty spec)."""
+    # NULL values are excluded BEFORE the sort — Python's sorted()
+    # would raise on a (None, count) tuple, and the DuckDB oracle's
+    # quantile_cont ignores NULLs, so dropping them keeps both the
+    # walk alive and the cross-engine contract on dirty input
     hist = sorted(
         (r[0], r[1])
         for r in df.groupBy(col).agg(F.count(F.lit(1)).alias("_c")).collect()
+        if r[0] is not None
     )
     tot = sum(c for _, c in hist)
     if tot == 0:

@@ -302,7 +302,7 @@ mcand AS (
 def _minhash_lsh_sql(num_hashes: int = 32) -> str:
     est = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(num_hashes))
     return f"""
-WITH {_minhash_cte_sql()}
+WITH {_minhash_cte_sql(num_hashes=num_hashes)}
 SELECT a_id, b_id, round(({est}) / {num_hashes}.0, 4) AS est_jaccard
 FROM mcand
 JOIN msig sa ON sa.doc_id = a_id
@@ -317,7 +317,7 @@ def _minhash_survivors_sql(num_hashes: int = 32, threshold: float = 0.5) -> str:
     (k/32 is an exact binary fraction, so >= compares identically)."""
     est = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(num_hashes))
     return f"""
-WITH {_minhash_cte_sql()},
+WITH {_minhash_cte_sql(num_hashes=num_hashes)},
 near_dropped AS (
   SELECT DISTINCT a_id, b_id FROM mcand
   JOIN msig sa ON sa.doc_id = a_id
@@ -418,13 +418,21 @@ _null_cos AS (
   SELECT {_cos_sql('a.embedding', 'b.embedding')} AS c
   FROM _samp a JOIN _samp b
     ON b.rk = a.rk + (SELECT count(*) // 2 FROM _samp)
+  -- dirty-input rule shared verbatim with the Python face: a pair
+  -- contributes only if both vectors are non-NULL with positive norm
+  -- (NULL embedding makes the norm NULL, and NULL > 0 filters it)
+  WHERE {_COS_DOT.format(a='a.embedding', b='a.embedding')} > 0
+    AND {_COS_DOT.format(a='b.embedding', b='b.embedding')} > 0
 ),
 _n AS (SELECT count(*) AS n FROM embeddings),
 _thr AS (
-  SELECT greatest({floor!r},
-    round(avg(c) + stddev_pop(c)
-            * sqrt(2 * ln((SELECT n FROM _n) * ((SELECT n FROM _n) - 1) / 2.0)),
-          4)) AS t
+  -- n < 3 and the no-valid-pairs case both fall back to the floor,
+  -- exactly like the Python face's early returns
+  SELECT CASE WHEN (SELECT n FROM _n) < 3 THEN {floor!r}
+         ELSE greatest({floor!r},
+           coalesce(round(avg(c) + stddev_pop(c)
+             * sqrt(2 * ln((SELECT n FROM _n) * ((SELECT n FROM _n) - 1) / 2.0)),
+           4), {floor!r})) END AS t
   FROM _null_cos
 )"""
 
@@ -786,9 +794,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str, pair_method: str = "ivf") -> Da
     from ..operators.clustering import connected_components
 
     emb = load(spark, sf_dir, "embeddings")
-    thr = S.calibrate_null_threshold(emb, floor=0.45)
+    n = emb.count()  # one scan feeds calibration AND centroid sizing
+    thr = S.calibrate_null_threshold(emb, floor=0.45, n_rows=n)
     if pair_method == "ivf":
-        pairs = S.neardup_pairs_ivf_candidates(emb, threshold=thr)
+        pairs = S.neardup_pairs_ivf_candidates(emb, threshold=thr, n_rows=n)
     else:
         pairs = S.neardup_pairs(emb, threshold=thr)
     cc = connected_components(pairs)
@@ -844,8 +853,9 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.semdedup_index import batch_semdedup_survivors
 
     emb = load(spark, sf_dir, "embeddings")
-    thr = S.calibrate_null_threshold(emb, floor=0.45)
-    return batch_semdedup_survivors(emb, threshold=thr).select("vec_id")
+    n = emb.count()  # one scan feeds calibration AND centroid sizing
+    thr = S.calibrate_null_threshold(emb, floor=0.45, n_rows=n)
+    return batch_semdedup_survivors(emb, threshold=thr, n_rows=n).select("vec_id")
 
 
 _SEMDEDUP_SURVIVORS_SQL = f"""
@@ -974,8 +984,8 @@ _MULTIMODAL_FEATURES_SQL = """
 WITH b AS (SELECT doc_id, encode(text) AS payload, text FROM documents)
 SELECT doc_id,
   CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-  CAST(list_sum(list_transform(generate_series(1, octet_length(payload)),
-      i -> CAST(('0x' || substr(hex(payload), 2*i-1, 2)) AS BIGINT))) AS DOUBLE)
+  CAST(COALESCE(list_sum(list_transform(generate_series(1, octet_length(payload)),
+      i -> CAST(('0x' || substr(hex(payload), 2*i-1, 2)) AS BIGINT))), 0) AS DOUBLE)
     / greatest(octet_length(payload), 1) AS mean_byte,
   md5(text) AS content_md5
 FROM b

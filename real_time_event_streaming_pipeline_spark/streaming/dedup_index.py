@@ -59,6 +59,46 @@ from pyspark.sql import functions as F
 from ..operators.dedup import est_jaccard, minhash_band_rows, pairs_from_band_rows
 
 
+# Band-hash compatibility tag. bhash values are only comparable when
+# the base hash function AND the banding parameters match — the r6
+# xxhash64→md5-60bit swap is exactly the kind of change that would
+# otherwise let every near-dup of a pre-swap document silently survive
+# (new bhashes never equal indexed ones; no error, no schema change).
+# The tag is stamped on first commit and checked on every ingest.
+_INDEX_FORMAT = "minhash-md5h60-v1"
+
+
+def _format_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_FORMAT")
+
+
+def _check_or_stamp_format(
+    index_dir: str, k: int, num_hashes: int, bands: int
+) -> None:
+    tag = f"{_INDEX_FORMAT};k={k};num_hashes={num_hashes};bands={bands}"
+    p = _format_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as fh:
+            found = fh.read().strip()
+        if found != tag:
+            raise ValueError(
+                f"dedup index at {index_dir} was built as '{found}' but this "
+                f"engine writes '{tag}': band hashes are not comparable "
+                "across hash functions or banding parameters — rebuild the "
+                "index from the corpus instead of mixing formats"
+            )
+        return
+    if os.path.isdir(_bands_dir(index_dir)):
+        raise ValueError(
+            f"dedup index at {index_dir} has band rows but no _FORMAT "
+            "marker (built by a pre-versioning engine, possibly with a "
+            "different base hash) — rebuild the index from the corpus"
+        )
+    os.makedirs(index_dir, exist_ok=True)
+    with open(p, "w") as fh:
+        fh.write(tag)
+
+
 def _bands_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "bands")
 
@@ -168,6 +208,7 @@ def ingest_batch(
     the returned stats surface the condition instead of hiding it.
 
     Returns {"n_dropped": ..., "n_overfull_buckets": ...}."""
+    _check_or_stamp_format(index_dir, k, num_hashes, bands)
     spark = batch.sparkSession
     # one signature pass serves the index lookup, the within-batch
     # pairing, and the index append — localCheckpoint so the shingle

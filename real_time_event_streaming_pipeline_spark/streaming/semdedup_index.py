@@ -93,6 +93,7 @@ def batch_semdedup_survivors(
     n_centroids: int | None = None,
     n_probe: int = 10,
     id_col: str = "vec_id",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The batch twin: vectors with no smaller-id IVF-candidate match
     in the whole input — one anti-join off the candidate pair set.
@@ -102,7 +103,7 @@ def batch_semdedup_survivors(
     dropped = (
         neardup_pairs_ivf_candidates(
             emb, threshold, id_col=id_col, n_centroids=n_centroids,
-            n_probe=n_probe, cents=cents,
+            n_probe=n_probe, cents=cents, n_rows=n_rows,
         )
         .select(F.col("b_id").alias(id_col))
         .distinct()

@@ -1077,7 +1077,10 @@ def merge(
     carry the full table schema). ``upsert`` is the special case
     update=whole-row-replace + insert; ``merge`` generalizes it to
     conditional column-level updates and matched deletes without
-    extra commits.
+    extra commits. The source must carry at most ONE row per key —
+    stricter than Delta (which rejects only matched duplicates and
+    inserts not-matched ones): this table maintains one row per key,
+    so duplicate inserts would corrupt it just like matched fan-out.
 
     ``mode="cow"`` rewrites the affected buckets (the source's key
     hashes) — one manifest commit. ``mode="dv"`` is merge-on-read:
@@ -1127,31 +1130,39 @@ def merge(
         missing = [k for k in key_cols if k not in source.columns]
         if missing:
             raise ValueError(f"merge source lacks key column(s) {missing}")
-        if not src_checked:
-            # Delta raises on multiple source rows matching one target
-            # row; without this guard the matched join fans out and
-            # silently breaks the one-row-per-key invariant (dv mode
-            # kills the old row once but appends two updated copies).
-            dup = (
-                source.groupBy(*[F.col(k) for k in key_cols])
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                d = dup[0]
-                raise ValueError(
-                    "merge source has duplicate key "
-                    f"{tuple(d[k] for k in key_cols)!r} ({d['count']} rows): "
-                    "a key may match at most one source row (Delta MERGE "
-                    "semantics); dedupe the source first"
-                )
-            src_checked = True
         eff_epoch = int(epoch_id) if epoch_id is not None else _next_epoch(old_manifest)
         kb = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast("int")
         src = source.withColumn("kb", kb).persist()
         try:
+            if not src_checked:
+                # One key, one source row — DELIBERATELY stricter than
+                # Delta, which raises only when multiple source rows
+                # match one TARGET row and lets duplicate not-matched
+                # rows all insert. This table carries a one-row-per-key
+                # invariant (upsert's row_number dedup; CDF classifies
+                # by key), so duplicate inserts are as corrupting as
+                # matched fan-out (dv mode would kill the old row once
+                # but append two updated copies). Source-only, hence
+                # target-independent: one scan per merge call, off the
+                # persisted src, not per retry.
+                dup = (
+                    src.groupBy(*[F.col(k) for k in key_cols])
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    d = dup[0]
+                    raise ValueError(
+                        "merge source has duplicate key "
+                        f"{tuple(d[k] for k in key_cols)!r} ({d['count']} rows): "
+                        "this table keeps one row per key, so a key may "
+                        "appear in at most one source row (stricter than "
+                        "Delta, which allows duplicate not-matched rows); "
+                        "dedupe the source first"
+                    )
+                src_checked = True
             affected = sorted(r.kb for r in src.select("kb").distinct().collect())
             if not affected:
                 return old_version

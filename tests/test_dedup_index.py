@@ -337,3 +337,31 @@ def test_epoch_compaction_heals_post_rename_crash(spark, sf_small, tmp_path):
     res2 = compact_epochs(spark, bands_dir, upto_epoch=10**6)
     assert res2["epochs_merged"] == 2
     assert sorted(map(key, spark.read.parquet(bands_dir).collect())) == want
+
+
+def test_index_format_marker_guards_incompatible_index(spark, sf_small, tmp_path):
+    """Band hashes are only comparable when the base hash and banding
+    parameters match (the r6 xxhash64->md5 swap would otherwise let
+    every near-dup of a pre-swap document silently survive): the index
+    is stamped with a format tag on first commit, a mismatched tag
+    refuses ingest loudly, and an unstamped-but-populated index (built
+    by a pre-versioning engine) is equally refused."""
+    import pytest
+
+    docs = load(spark, sf_small, "documents").limit(20)
+    index_dir = str(tmp_path / "idx")
+    ingest_batch(docs, 0, index_dir, threshold=THRESHOLD)
+    marker = os.path.join(index_dir, "_FORMAT")
+    assert os.path.exists(marker)
+
+    # same parameters: re-ingest accepted (replay path unchanged)
+    ingest_batch(docs, 1, index_dir, threshold=THRESHOLD)
+
+    # different banding parameters -> different bhash space: refused
+    with pytest.raises(ValueError, match="not comparable"):
+        ingest_batch(docs, 2, index_dir, threshold=THRESHOLD, bands=4)
+
+    # a pre-versioning index (band rows, no marker): refused
+    os.remove(marker)
+    with pytest.raises(ValueError, match="_FORMAT"):
+        ingest_batch(docs, 3, index_dir, threshold=THRESHOLD)

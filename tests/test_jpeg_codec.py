@@ -207,3 +207,16 @@ def test_jpeg_to_png_transcode_roundtrip(spark, sf_small):
                 want = (d * 11 + by * 2 + bx) % 256
                 block = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 assert (block == want).all()
+
+
+def test_transcode_reports_decoded_dims(spark, sf_small):
+    """A non-default `side` must flow through to the reported
+    width/height — the metadata comes from the DECODED pixel array,
+    not the module default (a consumer trusting the schema would
+    otherwise act on 16x16 for an 8x8 payload)."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.operators import multimodal as M
+
+    docs = load(spark, sf_small, "documents").limit(4)
+    rows = M.jpeg_transcode_to_png(docs, side=8).collect()
+    assert rows and all(r.width == 8 and r.height == 8 for r in rows)

@@ -675,3 +675,89 @@ def test_h60_hash_is_engine_portable(spark):
             "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [s]
         ).fetchone()[0]
         assert row.h == want, s
+
+
+def test_assign_cells_kernel_carries_id_type(spark):
+    """The kernel's output schema must carry the INPUT id type — it
+    replaced an expression path that worked for any id, so a string
+    doc_id (the documents-table convention elsewhere) must survive the
+    Arrow round-trip instead of crashing on a hardcoded `long`."""
+    vecs = [("doc-%02d" % i, [float((i * 7 + j) % 5) - 2.0 for j in range(4)])
+            for i in range(12)]
+    df = spark.createDataFrame(vecs, "_id string, _vec array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+             (2, [0.0, 0.0, 1.0, 0.0])]
+    out = S.assign_cells_kernel(df, cents, n_probe=2)
+    assert dict(out.dtypes)["_id"] == "string"
+    rows = out.collect()
+    assert len(rows) == 12 * 2
+    # parity with the expression path on the same string-id input
+    expr = df.select(
+        F.col("_id"),
+        S.nearest_cells(F.col("_vec"), cents, 2).alias("nc"),
+    ).select("_id", F.explode(F.col("nc.cell")).alias("cell"))
+    assert {(r._id, r.cell) for r in rows} == {
+        (r._id, r.cell) for r in expr.collect()
+    }
+
+
+def test_calibration_tolerates_dirty_vectors(spark, tmp_path):
+    """A NULL or all-zeros embedding in the calibration sample must
+    not crash the Python face (ZeroDivisionError/TypeError) NOR move
+    it off the SQL twin — both engines skip exactly the pairs where
+    either side is null/zero-norm, and both fall back to the floor
+    when no valid pair remains."""
+    import duckdb
+    import numpy as np
+
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        _null_calib_ctes,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        if i == 3:
+            v = None  # null embedding
+        elif i == 5:
+            v = [0.0] * 64  # zero-norm embedding
+        else:
+            x = rng.normal(size=64)
+            v = [float(a) for a in x / np.linalg.norm(x)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pq = str(tmp_path / "emb.parquet")
+    df.write.mode("overwrite").parquet(pq)
+
+    t_spark = S.calibrate_null_threshold(df, floor=0.45)
+    assert t_spark >= 0.45
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{pq}/*.parquet'")
+    t_duck = con.execute(
+        f"WITH {_null_calib_ctes(0.45)} SELECT t FROM _thr"
+    ).fetchone()[0]
+    assert t_spark == t_duck
+
+    # tiny corpus (n < 3): both faces return the floor
+    tiny = df.filter(F.col("vec_id") < 2)
+    tiny.write.mode("overwrite").parquet(str(tmp_path / "tiny.parquet"))
+    assert S.calibrate_null_threshold(tiny, floor=0.45) == 0.45
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/tiny.parquet/*.parquet'"
+    )
+    assert con2.execute(
+        f"WITH {_null_calib_ctes(0.45)} SELECT t FROM _thr"
+    ).fetchone()[0] == 0.45
+
+
+def test_exact_median_ignores_nulls(spark):
+    """NULL values drop out of the histogram walk (Python sorted()
+    would raise on None) — matching the DuckDB oracle's quantile_cont,
+    which ignores NULLs."""
+    from real_time_event_streaming_pipeline_spark.plans.curation import _exact_median
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (None,), (4,)], "v int"
+    )
+    assert _exact_median(df, "v") == 2.5
