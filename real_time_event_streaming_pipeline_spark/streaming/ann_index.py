@@ -131,9 +131,22 @@ def search(
         .select("q_id", "q_vec", F.explode(F.col("cells")["cell"]).alias("cell"))
     )
     probed = [r.cell for r in q.select("cell").distinct().collect()]
-    scored = (
+    # cross-epoch redelivery guard: a vec_id re-sent (or updated) in a
+    # later epoch exists under BOTH epoch=N partitions — without this
+    # dedup the same n_id occupies two adjacent ranks and pushes a real
+    # neighbor out of the top k. Latest epoch wins among the PROBED
+    # rows; an updated vector that moved to an unprobed cell is only
+    # healed by compaction (rewrite old epochs), the documented
+    # maintenance pass for mutable corpora.
+    wv = Window.partitionBy("n_id").orderBy(F.desc("epoch"))
+    visible = (
         cell_tbl.filter(F.col("cell").isin(probed))
-        .join(F.broadcast(q), "cell")
+        .withColumn("_v", F.row_number().over(wv))
+        .filter(F.col("_v") == 1)
+        .drop("_v")
+    )
+    scored = (
+        visible.join(F.broadcast(q), "cell")
         .filter(F.col("n_id") != F.col("q_id"))
         .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
     )

@@ -68,7 +68,9 @@ def purchases_after_views(
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
         how,
     ).select(
-        F.col("p_user").alias("user_id"),
+        # coalesce: under full_outer an unmatched VIEW row has p_user
+        # NULL but v_user known — the user must not be dropped
+        F.coalesce(F.col("p_user"), F.col("v_user")).alias("user_id"),
         "purchase_id",
         "view_id",
         (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts"))
@@ -84,10 +86,14 @@ def alert_followups_stream(
 ) -> DataFrame:
     """Stream-stream interval self-join: alerts (high/critical) matched
     to events of the same city arriving within the horizon after them.
-    Same columns and semantics as the batch
-    `plans.citystream.alert_followup_pairs`; inner join, so append mode
-    emits each pair exactly once as soon as both sides have arrived —
-    the watermark only bounds state, never results. (The batch twin
+    Same columns as the batch `plans.citystream.alert_followup_pairs`;
+    inner join, so append mode emits each pair exactly once as soon as
+    both sides have arrived. The watermark bounds state AND results:
+    a row arriving more than `watermark` late in event time is dropped
+    before it can join, so pairs involving it are lost relative to the
+    batch twin — the inherent stream-stream trade (streamed == batch
+    only for input within the lateness bound; size `watermark` to the
+    source's real disorder). (The batch twin
     buckets the equi key by time for shuffle parallelism; here Spark's
     stream-stream join keeps per-key state bounded by watermark +
     horizon instead — the state analogue of the same bound.)"""

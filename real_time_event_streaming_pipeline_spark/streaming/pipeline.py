@@ -32,6 +32,26 @@ from .sinks import append_parquet, upsert_parquet, upsert_parquet_bucketed
 from .tx_table import upsert_tx
 
 
+def _checkpoint_app_id(ckpt_dir: str) -> str:
+    """Stable identity for a (query, checkpoint) pair: a uuid stamped
+    into the checkpoint dir on first use. Fresh checkpoint → fresh app
+    id, so the tx ledger never mistakes a restarted-from-scratch
+    query's epochs 0..N for replays of the previous run; same
+    checkpoint → same id, preserving exactly-once across restarts
+    (the Delta txnAppId discipline)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    p = os.path.join(ckpt_dir, "_app_id")
+    if not os.path.exists(p):
+        import uuid
+
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(uuid.uuid4().hex)
+        os.replace(tmp, p)  # atomic: a concurrent stamp wins whole
+    with open(p) as fh:
+        return fh.read().strip()
+
+
 @dataclass
 class PipelineConfig:
     out_dir: str
@@ -72,6 +92,13 @@ class PipelineConfig:
                 n_buckets=self.upsert_buckets or 64,
                 order_col=order_col,
                 stats_cols=stats,
+                # ledger scope rides the CHECKPOINT's identity: a query
+                # restarted from a fresh checkpoint restarts epoch ids
+                # at 0, and without a fresh app id the exactly-once
+                # ledger would swallow every one of them as a replay of
+                # the previous run — silent data loss upsert_tx's own
+                # docstring warns about but this caller never guarded
+                app_id=_checkpoint_app_id(self.checkpoint(name.replace("_", "-"))),
             )
         if self.upsert_buckets > 0:
             return upsert_parquet_bucketed(
@@ -210,7 +237,14 @@ def run_retention(spark: SparkSession, cfg: PipelineConfig, now_epoch: int) -> d
         before = _count_at(v_new - 1)
         return {"expired_rows": before - after, "rows_after": after}
     return compact_parquet(
-        spark, cfg.path("raw_events"), ttl_col="ttl", now_epoch=now_epoch
+        spark,
+        cfg.path("raw_events"),
+        ttl_col="ttl",
+        now_epoch=now_epoch,
+        # a bucketed table's kb=N layout must survive the rewrite —
+        # flattening it would leave stale flat files the next bucketed
+        # upsert epoch cannot overwrite (duplicate keys)
+        partition_by=["kb"] if cfg.upsert_buckets > 0 else None,
     )
 
 

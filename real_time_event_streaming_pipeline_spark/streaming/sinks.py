@@ -48,10 +48,15 @@ def upsert_parquet(
         # holds the full pre-swap table
         if not os.path.exists(out_dir) and os.path.exists(bak):
             os.rename(bak, out_dir)
+        if os.path.exists(out_dir) and batch.isEmpty():
+            return  # idle trigger: don't rewrite the whole table for 0 rows
         incoming = batch.withColumn("_epoch", F.lit(int(epoch_id)))
         if os.path.exists(out_dir):
             existing = spark.read.parquet(out_dir)
-            merged = existing.unionByName(incoming)
+            # allowMissingColumns: a restart that ADDS a column (e.g.
+            # enabling TTL on an existing table) rolls forward with
+            # NULLs for legacy rows instead of failing every epoch
+            merged = existing.unionByName(incoming, allowMissingColumns=True)
         else:
             merged = incoming
         order = [F.desc("_epoch")] + ([F.desc(order_col)] if order_col else [])
@@ -216,9 +221,31 @@ def read_row_upserts(out_dir: str) -> dict[tuple, dict]:
 
 def append_parquet(out_dir: str) -> Callable[[DataFrame, int], None]:
     """foreachBatch append sink (raw events / alerts, output mode
-    append — reference Q1/Q3)."""
+    append — reference Q1/Q3).
+
+    Replay-idempotent, like every other sink here: foreachBatch is
+    at-least-once, so a crash between the write and the checkpoint
+    commit replays the epoch — a bare mode("append") would then
+    double every row. Each epoch stages through a dot-prefixed dir
+    (invisible to parquet readers) and lands as epoch-tagged files;
+    a replay first removes its own (possibly partial) files. At
+    cluster scale the same discipline runs through a manifest commit
+    (the tx table) — this is the plain-directory analogue."""
 
     def write(batch: DataFrame, epoch_id: int) -> None:
-        batch.write.mode("append").parquet(out_dir)
+        import glob
+        import shutil
+
+        os.makedirs(out_dir, exist_ok=True)
+        tag = f"ep{int(epoch_id):010d}"
+        for f in glob.glob(os.path.join(out_dir, f"{tag}-*.parquet")):
+            os.remove(f)
+        tmp = os.path.join(out_dir, f"._{tag}_staging")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        batch.write.mode("overwrite").parquet(tmp)
+        for i, src in enumerate(sorted(glob.glob(os.path.join(tmp, "*.parquet")))):
+            os.rename(src, os.path.join(out_dir, f"{tag}-{i:05d}.parquet"))
+        shutil.rmtree(tmp)
 
     return write

@@ -18,21 +18,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_event_type string"
-STATE_SCHEMA = "n long, total double, last string"
+STATE_SCHEMA = "n long, total double, last string, last_ts long, last_eid string"
 
 
 def _update_user_profile(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total, last = state.get if state.exists else (0, 0.0, None)
+    if state.exists:
+        n, total, last, last_ts, last_eid = state.get
+    else:
+        n, total, last, last_ts, last_eid = 0, 0.0, None, None, None
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        total += float(pdf["value"].sum())  # pandas sum skips NaN like F.sum
         if len(pdf):
-            last = str(pdf["event_type"].iloc[-1])
-    state.update((n, round(total, 4), last))
+            # "last" is EVENT-TIME last, totally ordered by
+            # (ts, event_id). The winner is tracked in state across
+            # BOTH pandas chunks (one group spans several chunks when
+            # it crosses Arrow batch boundaries — a per-chunk
+            # sort alone would report the last chunk's max) and
+            # micro-batches (late data must not overwrite a newer
+            # profile entry).
+            top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            cand = (int(pd.Timestamp(top["ts"]).value // 1000), str(top["event_id"]))
+            if last_ts is None or cand >= (last_ts, last_eid or ""):
+                last_ts, last_eid = cand
+                last = str(top["event_type"])
+    state.update((n, round(total, 4), last, last_ts, last_eid))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
@@ -59,7 +72,12 @@ class _UserCounterProcessor:
         n, total_e2 = self._st.get() if self._st.exists() else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            total_e2 += int(np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum())
+            # dropna BEFORE the int cast: floor(NaN).astype(int64) is
+            # undefined garbage (INT64_MIN), not an error — the batch
+            # twin (_exact_sum) skips nulls via F.floor->NULL->F.sum,
+            # so the streamed total must skip them too
+            vals = pdf["value"].dropna()
+            total_e2 += int(np.floor(vals * 100 + 0.5).astype("int64").sum())
         self._st.update((n, total_e2))
         yield pd.DataFrame(
             {

@@ -162,3 +162,38 @@ def test_cell_table_epoch_compaction_preserves_search(spark, sf_small, tmp_path)
     res_df = search(spark, live_dir, queries.limit(1), k=3, n_probe=2)
     plan = res_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_search_dedupes_cross_epoch_redelivery(spark, sf_small, tmp_path):
+    """A vec_id re-delivered in a later epoch exists under TWO epoch=N
+    partitions; search must rank it once (latest epoch wins), not let
+    the duplicate push a real neighbor out of the top k."""
+    emb = load(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < N_BASE)
+    live_dir = str(tmp_path / "idx")
+    build_ivf_index(base, live_dir, n_centroids=16)
+
+    # redeliver an already-indexed slice as a streamed epoch
+    redelivered = base.filter(F.col("vec_id") % 5 == 0)
+    staging = str(tmp_path / "staging")
+    redelivered.coalesce(1).write.parquet(staging)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 10)
+        .parquet(staging)
+    )
+    q = start_index_refresh(stream, live_dir, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    queries = base.filter(F.col("vec_id") % 7 == 3)
+    got = search(spark, live_dir, queries, k=5, n_probe=4).collect()
+    pairs = [(r.q_id, r.n_id) for r in got]
+    assert len(pairs) == len(set(pairs)), "duplicate neighbor in top-k"
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    for q_id, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id

@@ -250,3 +250,96 @@ def test_statestore_reader_exposes_windowed_agg_state(spark, sf_small, tmp_path)
         # above the watermark (max event time - 10 minutes)
         assert r.w_end_us > max_ts_us - 600_000_000
         assert (r.window_start, r.city, r.event_type) in want_keys
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def test_profile_last_event_is_event_time_max_across_chunks(spark):
+    """applyInPandasWithState delivers one group as SEVERAL pandas
+    chunks when it spans Arrow batches: last_event_type must be the
+    (ts, event_id)-max of the WHOLE group (and of prior batches),
+    not of whichever chunk happened to arrive last."""
+    import pandas as pd
+
+    from real_time_event_streaming_pipeline_spark.streaming.stateful import (
+        _update_user_profile,
+    )
+
+    chunk1 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 10:00:05", "2024-01-01 10:00:09"]),
+            "event_id": ["e1", "e9"],  # the true max lives in chunk 1
+            "event_type": ["view", "purchase"],
+            "value": [1.0, 2.0],
+        }
+    )
+    chunk2 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 10:00:07"]),
+            "event_id": ["e7"],
+            "event_type": ["click"],
+            "value": [3.0],
+        }
+    )
+    state = _FakeGroupState()
+    (out,) = _update_user_profile((42,), [chunk1, chunk2], state)
+    assert out["last_event_type"].iloc[0] == "purchase"
+    assert out["n_events"].iloc[0] == 3
+
+    # a LATER micro-batch carrying only older (late) events must not
+    # overwrite the newer profile entry
+    late = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 09:59:00"]),
+            "event_id": ["e0"],
+            "event_type": ["view"],
+            "value": [4.0],
+        }
+    )
+    (out2,) = _update_user_profile((42,), [late], state)
+    assert out2["last_event_type"].iloc[0] == "purchase"
+    assert out2["n_events"].iloc[0] == 4
+
+
+def test_tws_counter_skips_null_values(spark):
+    """A NULL value row must be SKIPPED by the cent accumulator, like
+    the batch _exact_sum (F.floor(NULL) -> NULL -> F.sum skips) —
+    floor(NaN).astype(int64) would otherwise inject INT64_MIN garbage
+    into the running total with no error."""
+    import pandas as pd
+
+    from real_time_event_streaming_pipeline_spark.streaming.stateful import (
+        _UserCounterProcessor,
+    )
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    proc = _UserCounterProcessor()
+    proc._st = _FakeValueState()
+    pdf = pd.DataFrame({"value": [1.25, None, 2.5]})
+    (out,) = proc.handleInputRows((7,), [pdf], None)
+    assert out["n_events"].iloc[0] == 3  # count(*) counts the null row
+    assert out["total_value"].iloc[0] == 3.75  # sum skips it

@@ -218,3 +218,8 @@ def test_stream_stream_full_outer_join(spark, sf_small, tmp_path):
     assert got_viewless <= want_viewless
     assert got_purchaseless <= want_purchaseless
     assert got_viewless and got_purchaseless  # both outer sides emitted
+    # the user is known on BOTH outer sides (p_user coalesces with
+    # v_user): full_outer must never emit user_id NULL
+    assert spark.sql(
+        "SELECT count(*) c FROM pv_full WHERE user_id IS NULL"
+    ).first().c == 0
