@@ -19,17 +19,29 @@ def _modules():
         llmdata,
         relational,
         scalar,
+        tokenize,
         tpch_extra,
         windowing,
     )
 
-    return [llmdata, curation, filters, windowing, scalar, citystream, relational, tpch_extra]
+    return [
+        llmdata,
+        tokenize,
+        curation,
+        filters,
+        windowing,
+        scalar,
+        citystream,
+        relational,
+        tpch_extra,
+    ]
 
 
 # The verify driver checks only the FIRST 50 registry entries against
-# the DuckDB oracle each round. Round 6 per the r5 verdict: the 2
-# queries new this round (the baseline-JPEG decode face and the
-# tx-table DML-lifecycle face), the 3 whose RESULTS changed this round
+# the DuckDB oracle each round. Round 6 per the r5 verdict: the 4
+# queries new this round (the baseline-JPEG decode face, the tx-table
+# DML-lifecycle face, and the two BPE tokenizer faces — train +
+# encode), the 3 whose RESULTS changed this round
 # (llm_semdedup/_survivors on the null-calibrated operating point;
 # cs_upsert_lww on the de-collected localCheckpoint read-back), and
 # all 45 queries whose latest driver verdict is r3 — exactly 50.
@@ -44,6 +56,8 @@ _PRIORITY_R6 = (
     # window membership for these)
     "llm_multimodal_jpeg",
     "cs_tx_dml_lifecycle",
+    "llm_bpe_train",
+    "llm_bpe_encode",
     # results changed in round 6
     "llm_semdedup",
     "llm_semdedup_survivors",
@@ -102,8 +116,10 @@ _PRIORITY_R6 = (
     "cs_kafka_producer_frame",
     "cs_producer_metrics",
     "cs_alert_followups",
-    "rel_large_volume_customer",
-    "rel_dominant_part_suppliers",
+    # rel_large_volume_customer and rel_dominant_part_suppliers
+    # (last verdict r3, code untouched since) yield their slots to the
+    # two new BPE queries and join fn_posexplode/fn_url/fn_array in
+    # the r7 window at age 3 — still within MAX_STALENESS.
 )
 
 # Round 5's window, kept for the record (see git history for r1-r3).

@@ -240,6 +240,9 @@ FAMILY_SF3 = [
     "llm_semdedup", "llm_semdedup_survivors", "llm_emb_cosine_topk",
     "llm_emb_ann_lsh", "llm_emb_ann_ivf", "llm_emb_ann_pq",
     "llm_corpus_pipeline",
+    # BPE tokenizer (r6): training cost ~ word-TYPE table (Heaps-law,
+    # heavily sub-linear on this closed vocabulary), encode ~ corpus
+    "llm_bpe_train", "llm_bpe_encode",
 ]
 
 
