@@ -58,6 +58,7 @@ _PRIORITY_R6 = (
     "cs_tx_dml_lifecycle",
     "llm_bpe_train",
     "llm_bpe_encode",
+    "llm_multimodal_gif",
     # results changed in round 6
     "llm_semdedup",
     "llm_semdedup_survivors",
@@ -111,7 +112,8 @@ _PRIORITY_R6 = (
     "fn_percentiles",
     "fn_unpivot",
     # last driver verdict r3: subqueries / lateral / citystream / TPC-H
-    "rel_sql_subqueries",
+    # (rel_sql_subqueries yields its slot to llm_multimodal_gif and
+    # joins the r7 window at age 3)
     "rel_lateral_topk",
     "cs_kafka_producer_frame",
     "cs_producer_metrics",

@@ -1101,6 +1101,39 @@ FROM documents, (SELECT unnest(range(0, 12, 3)) AS f) f
 """
 
 
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed animated-image decode + frame sampling,
+    oracle-verified end-to-end — the palette-codec sibling of
+    q_multimodal_png/_jpeg and the second multi-frame container after
+    AVI: per document a 6-frame 8×8 animated GIF (pixel i of frame f =
+    (doc_id*9 + f*17 + i*5) % 256) is encoded through the pure-stdlib
+    codec (operators/gif.py: variable-width LZW with the full 9→12-bit
+    dictionary growth cycle, data sub-block framing, GIF89a graphic
+    control + NETSCAPE loop extensions, 4-pass interlace live on odd
+    doc ids), then DECODED back and every 2nd frame reduced to integer
+    metrics. LZW is lossless, so unlike JPEG no special operating
+    point is needed: DuckDB states the closed-form pixels and a green
+    row proves header/extension walking, LZW (incl. the KwKwK case and
+    width growth), sub-block reassembly, and de-interlacing all
+    composed exactly. Scale shape: embarrassingly parallel mapInPandas
+    over doc ids, no shuffle."""
+    return M.gif_frame_metrics(load(spark, sf_dir, "documents"))
+
+
+_MULTIMODAL_GIF_SQL = """
+SELECT doc_id,
+  f.f AS frame_idx,
+  CAST(8 AS BIGINT) AS width,
+  CAST(8 AS BIGINT) AS height,
+  CAST(6 AS BIGINT) AS n_frames,
+  CAST(4 AS BIGINT) AS delay_cs,
+  CAST((doc_id * 9 + f.f * 17) % 256 AS BIGINT) AS first_px,
+  CAST(list_sum([(i + 1) * ((doc_id * 9 + f.f * 17 + i * 5) % 256)
+                 for i in generate_series(0, 63)]) AS BIGINT) AS weighted_sum
+FROM documents, (SELECT unnest(range(0, 6, 2)) AS f) f
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (video-pipeline shape): one doc fans out to many
     frame rows via mapInPandas. The deterministic fake decoder chunks
@@ -1298,6 +1331,7 @@ QUERIES = {
     "llm_multimodal_frames": q_multimodal_frames,
     "llm_multimodal_png": q_multimodal_png,
     "llm_multimodal_jpeg": q_multimodal_jpeg,
+    "llm_multimodal_gif": q_multimodal_gif,
     "llm_multimodal_wav": q_multimodal_wav,
     "llm_multimodal_avi": q_multimodal_avi,
 }
@@ -1329,6 +1363,7 @@ ORACLE = {
     "llm_multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "llm_multimodal_png": _MULTIMODAL_PNG_SQL,
     "llm_multimodal_jpeg": _MULTIMODAL_JPEG_SQL,
+    "llm_multimodal_gif": _MULTIMODAL_GIF_SQL,
     "llm_multimodal_wav": _MULTIMODAL_WAV_SQL,
     "llm_multimodal_avi": _MULTIMODAL_AVI_SQL,
 }

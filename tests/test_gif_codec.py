@@ -1,0 +1,181 @@
+"""Pure-stdlib GIF codec (operators/gif.py) and the real animated
+decode path built on it: byte-exact LZW round-trips across width
+boundaries and the 12-bit dictionary reset, the engineered tail case
+where the decoder's final table append grows the width EOI is read at,
+interlace, animation framing, sub-block reassembly, loud failure on
+corruption, and the registered query's closed-form contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from real_time_event_streaming_pipeline_spark.operators.gif import (
+    decode_gif,
+    encode_gif,
+    grayscale_palette,
+    interlace_order,
+    lzw_decode,
+    lzw_encode,
+)
+
+# ---------------------------------------------------------------------------
+# raw LZW
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("alpha", [2, 16, 256])
+def test_lzw_roundtrip_random(alpha):
+    rng = np.random.default_rng(alpha)
+    for n in [0, 1, 2, 3, 17, 255, 256, 257, 511, 513, 5000, 20000]:
+        data = rng.integers(0, alpha, n).astype(np.uint8).tobytes()
+        assert lzw_decode(lzw_encode(data), 8) == data
+
+
+def test_lzw_tail_width_boundary():
+    """The classic LZW tail desync: with a single repeated byte,
+    emission K leaves the decoder's table at 257+K entries, so picking
+    K around a power of two lands the FINAL data code's table append
+    exactly on a width boundary — the decoder then reads EOI one bit
+    wider than a naive encoder writes it. The mirror-model encoder
+    must round-trip every length through the boundary."""
+    for base in (512, 1024):
+        K = base - 258
+        L = K * (K + 1) // 2  # 1+2+...+K repeated-byte phrase lengths
+        for n in range(L - 12, L + 13):
+            data = b"a" * n
+            assert lzw_decode(lzw_encode(data), 8) == data, n
+
+
+def test_lzw_dictionary_cap_reset():
+    """High-entropy stream long enough to fill all 4096 codes: the
+    encoder must emit CLEAR and restart, the decoder must follow."""
+    rng = np.random.default_rng(42)
+    data = rng.integers(0, 256, 60000).astype(np.uint8).tobytes()
+    assert lzw_decode(lzw_encode(data), 8) == data
+
+
+def test_lzw_kwkwk_case():
+    # constant input produces the code-not-yet-in-table pattern
+    # immediately (aa -> code referencing the entry being defined)
+    for n in (2, 3, 4, 100):
+        data = b"\x09" * n
+        assert lzw_decode(lzw_encode(data), 8) == data
+
+
+def test_lzw_truncation_detected():
+    enc = lzw_encode(b"abcabcabc" * 30)
+    with pytest.raises(ValueError):
+        lzw_decode(enc[: len(enc) // 2], 8, expected=270)
+
+
+# ---------------------------------------------------------------------------
+# GIF container
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("shape,nframes", [((16, 16), 1), ((5, 7), 4), ((23, 9), 6), ((1, 1), 1), ((64, 64), 3)])
+def test_gif_roundtrip(shape, nframes, interlace):
+    h, w = shape
+    frames = [
+        ((i * 31 + np.arange(h * w) * 5) % 256).astype(np.uint8).reshape(h, w)
+        for i in range(nframes)
+    ]
+    dec = decode_gif(encode_gif(frames, interlace=interlace, delay_cs=7))
+    assert (dec["width"], dec["height"]) == (w, h)
+    assert dec["version"] == ("89a" if nframes > 1 else "87a")
+    assert len(dec["frames"]) == nframes
+    for got, exp in zip(dec["frames"], frames):
+        assert (got == exp).all()
+    if nframes > 1:
+        assert dec["delays_cs"] == [7] * nframes
+    assert (dec["palette"] == grayscale_palette()).all()
+
+
+def test_gif_subblock_boundaries():
+    # payload long enough to span several 255-byte sub-blocks
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    blob = encode_gif([frame])
+    assert len(blob) > 2 * 255
+    assert (decode_gif(blob)["frames"][0] == frame).all()
+
+
+def test_interlace_order_is_the_spec_permutation():
+    order = interlace_order(10)
+    assert order.tolist() == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    # a permutation for any height
+    for h in (1, 2, 7, 16, 33):
+        assert sorted(interlace_order(h).tolist()) == list(range(h))
+
+
+def test_gif_corruption_detected():
+    frame = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = encode_gif([frame])
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + blob[7:])
+    with pytest.raises(ValueError):
+        decode_gif(blob[:-1])  # missing trailer
+    with pytest.raises(ValueError):
+        decode_gif(blob[:20])  # truncated mid-palette/descriptor
+
+
+def test_gif_unknown_extension_skipped():
+    """Decoder must sub-block-walk extensions it does not know (a
+    comment extension here) rather than desyncing."""
+    frame = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = bytearray(encode_gif([frame]))
+    # splice a comment extension right before the image separator
+    img_at = blob.index(0x2C, 13 + 768)
+    comment = bytes([0x21, 0xFE, 5]) + b"hello" + bytes([0])
+    patched = bytes(blob[:img_at]) + comment + bytes(blob[img_at:])
+    assert (decode_gif(patched)["frames"][0] == frame).all()
+
+
+def test_gif_index_outside_palette_detected():
+    """A frame referencing palette slots beyond the table size must
+    raise: build a 4-entry-GCT stream by hand around a valid LZW
+    payload with an out-of-range index."""
+    # min code size 3 makes literal 7 a VALID LZW code while the
+    # global color table only holds 4 entries
+    payload = lzw_encode(bytes([0, 1, 2, 7]), 3)
+    blob = bytearray(b"GIF87a")
+    blob.extend(struct.pack("<HHBBB", 2, 2, 0x81, 0, 0))  # GCT size 2 -> 4 entries
+    blob.extend(bytes(12))  # 4 x RGB
+    blob.append(0x2C)
+    blob.extend(struct.pack("<HHHHB", 0, 0, 2, 2, 0))
+    blob.append(3)  # min code size
+    blob.append(len(payload))
+    blob.extend(payload)
+    blob.append(0)
+    blob.append(0x3B)
+    with pytest.raises(ValueError, match="outside color table"):
+        decode_gif(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# the registered query's closed-form contract, locally
+# ---------------------------------------------------------------------------
+
+
+def test_gif_frame_metrics_matches_formula(spark, sf_small):
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.operators.multimodal import (
+        GIF_FRAMES,
+        GIF_SIDE,
+        gif_frame_metrics,
+    )
+
+    docs = load(spark, sf_small, "documents").limit(50)
+    rows = gif_frame_metrics(docs).collect()
+    assert len(rows) == 50 * 3  # every 2nd of 6 frames
+    i = np.arange(GIF_SIDE * GIF_SIDE, dtype=np.int64)
+    for r in rows:
+        pix = (r.doc_id * 9 + r.frame_idx * 17 + i * 5) % 256
+        assert (r.width, r.height, r.n_frames) == (GIF_SIDE, GIF_SIDE, GIF_FRAMES)
+        assert r.delay_cs == 4
+        assert r.first_px == int(pix[0])
+        assert r.weighted_sum == int(((i + 1) * pix).sum())
