@@ -173,7 +173,11 @@ def train(docs: DataFrame, num_merges: int, text_col: str = "text") -> list[tupl
 
 def encode_expr(text: Column, merges: list[tuple]) -> Column:
     """Representation string of `text` after replaying all merges in
-    rank order — one chained-fold Catalyst expression."""
+    rank order — one chained-fold Catalyst expression. The reference
+    semantics (and the DuckDB twin's statement of them); the string
+    accumulator makes each pass O(stream²) in characters, so `encode`
+    below only points this at BOUNDED strings (single words, 12-word
+    heads), never whole documents."""
     rep = doc_repr(text)
     for _rank, lhs, rhs, _cnt in merges:
         rep = merge_pass(rep, F.lit(lhs), F.lit(rhs))
@@ -189,13 +193,46 @@ def encode(docs: DataFrame, merges: list[tuple], text_col: str = "text",
            head: int = 12) -> DataFrame:
     """Per-document token accounting under a trained merge table:
     doc_id, n_words, n_bpe_tokens, head_tokens (first `head` tokens,
-    display form, space-joined). Single projection over the scan."""
-    toks = _symbols(encode_expr(F.col(text_col), merges))
-    return docs.select(
+    display form, space-joined).
+
+    Scale shape — the same Heaps-law trick training uses: the fold
+    chain runs once per DISTINCT word (bounded-length strings, so the
+    fold's quadratic constant is capped at word length), and per-doc
+    token counts come back through an equi-join + re-aggregation.
+    Folding whole documents instead measures ~25× slower at sf1 (the
+    string accumulator is O(doc²) per pass) while computing the same
+    thing — pinned equal in tests/test_bpe.py. head_tokens still
+    folds directly, but only over the first `head` words: every word
+    contributes ≥1 token, so the prefix encode's first `head` tokens
+    equal the full document's (cross-word merges are impossible —
+    see module docstring)."""
+    words = F.split(F.col(text_col), " ")
+    exploded = docs.select("doc_id", F.explode(words).alias("word"))
+    word_toks = (
+        exploded.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.size(_symbols(encode_expr(F.col("word"), merges))).cast("long").alias("n_toks"),
+        )
+    )
+    per_doc = (
+        exploded.join(word_toks, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("word") != "", 1).otherwise(0)).cast("long").alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+        )
+    )
+    head_toks = _symbols(
+        encode_expr(F.array_join(F.slice(words, 1, head), " "), merges)
+    )
+    heads = docs.select(
         "doc_id",
-        F.size(F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))).cast(
-            "long"
-        ).alias("n_words"),
-        F.size(toks).cast("long").alias("n_bpe_tokens"),
-        display(F.array_join(F.slice(toks, F.lit(1), F.lit(head)), " ")).alias("head_tokens"),
+        display(F.array_join(F.slice(head_toks, F.lit(1), F.lit(head)), " ")).alias(
+            "head_tokens"
+        ),
+    )
+    return heads.join(per_doc, "doc_id").select(
+        "doc_id", "n_words", "n_bpe_tokens", "head_tokens"
     )

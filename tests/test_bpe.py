@@ -189,3 +189,101 @@ def test_empty_and_degenerate_words(spark):
     for i, t in [(0, "a"), (1, "aaaa"), (2, "a a a a")]:
         toks = _ref_encode_doc(t, merges)
         assert enc[i].n_bpe_tokens == len(toks)
+
+
+# ---------------------------------------------------------------------------
+# property test: trainer vs the tuple reference on hypothesis corpora
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORD = st.text(alphabet="abc", min_size=1, max_size=6)
+
+
+@given(
+    texts=st.lists(
+        st.lists(_WORD, min_size=1, max_size=8).map(" ".join), min_size=1, max_size=12
+    ),
+    k=st.integers(1, 5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_train_and_encode_property(spark, texts, k):
+    """Tiny 'abc' corpora maximize merge collisions and tie-breaks —
+    the adversarial regime for the fold/argmax machinery."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    merges = B.train(docs, k)
+    assert merges == _ref_train(texts, k)
+    enc = {r.doc_id: r for r in B.encode(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        toks = _ref_encode_doc(t, merges)
+        assert enc[i].n_bpe_tokens == len(toks)
+        assert enc[i].head_tokens == " ".join(toks[:12]).replace(B.EOW, B.EOW_DISPLAY)
+
+
+# ---------------------------------------------------------------------------
+# plan-shape guards (scale properties SCALING.md documents)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_partial_aggregate(spark):
+    """Each training round's pair count must map-side combine: two
+    HashAggregates around a single Exchange, so the per-round shuffle
+    carries (pair, partial-count) states, not raw pair rows."""
+    docs = spark.createDataFrame(
+        [(0, "er er row"), (1, "row er")], "doc_id: long, text: string"
+    )
+    pc = B.pair_counts(B.word_types(docs))
+    plan = pc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2  # word groupBy + pair groupBy
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_bpe_argmax_is_bounded_collect(spark):
+    """The per-round argmax must reach the driver as a 1-row
+    TakeOrdered (per-partition heap + merge), never a global sort."""
+    docs = spark.createDataFrame(
+        [(0, "er er row"), (1, "row er")], "doc_id: long, text: string"
+    )
+    from pyspark.sql import functions as SF
+
+    top = (
+        B.pair_counts(B.word_types(docs))
+        .orderBy(SF.col("cnt").desc(), SF.col("lhs").asc(), SF.col("rhs").asc())
+        .limit(1)
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_wordmap_encode_equals_doc_fold(spark):
+    """The scale-shaped encode (fold per distinct word + join) must
+    equal folding the whole document stream — the semantics the DuckDB
+    twin states. Includes double-space/empty-word and empty-doc
+    edges."""
+    texts = ["er er row brow", "row  row", "", "a", "brow er a a er row"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    merges = B.train(docs, 5)
+    got = {r.doc_id: r for r in B.encode(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        doc_toks = [
+            s
+            for s in docs.filter(F.col("doc_id") == i)
+            .select(B.encode_expr(F.col("text"), merges).alias("r"))
+            .first()
+            .r.split(B.SEP)
+            if s
+        ]
+        assert got[i].n_bpe_tokens == len(doc_toks)
+        assert got[i].head_tokens == " ".join(doc_toks[:12]).replace(
+            B.EOW, B.EOW_DISPLAY
+        )

@@ -179,3 +179,35 @@ def test_gif_frame_metrics_matches_formula(spark, sf_small):
         assert r.delay_cs == 4
         assert r.first_px == int(pix[0])
         assert r.weighted_sum == int(((i + 1) * pix).sum())
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure-Python, no Spark) — these use many more examples
+# than the Spark-backed hypothesis suite because each case is cheap
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(data=st.binary(min_size=0, max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_property(data):
+    assert lzw_decode(lzw_encode(data), 8) == data
+
+
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    nf=st.integers(1, 4),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_property(h, w, nf, interlace, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(nf)]
+    dec = decode_gif(encode_gif(frames, interlace=interlace))
+    assert len(dec["frames"]) == nf
+    for got, exp in zip(dec["frames"], frames):
+        assert (got == exp).all()

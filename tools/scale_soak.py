@@ -328,8 +328,12 @@ def run_family() -> None:
         dirs["sf10"] = SF10_DIR
     queries["llm_dedup_exact_hash"](spark, dirs["sf0.1"]).collect()  # warm-up
 
+    only = [
+        n for a in sys.argv if a.startswith("--only=") for n in a.split("=", 1)[1].split(",")
+    ]
+    family = [n for n in FAMILY_SF3 if not only or n in only]
     results: dict = {}
-    for name in FAMILY_SF3:
+    for name in family:
         results[name] = {}
         for label, d in dirs.items():
             best: float | str = float("inf")
@@ -370,7 +374,11 @@ def run_family() -> None:
             existing = json.load(fh)
     except (FileNotFoundError, ValueError):
         existing = {}
-    existing["family_sf3"] = results
+    # merge per-query so a subset re-run (--only=a,b) refreshes just
+    # those rows instead of clobbering the family table
+    fam = existing.get("family_sf3", {})
+    fam.update(results)
+    existing["family_sf3"] = fam
     with open(path, "w") as fh:
         json.dump(existing, fh, indent=1, sort_keys=True)
     print("\nwrote family_sf3 into SOAK_sf1.json (exponents: 1.0 = linear)")
