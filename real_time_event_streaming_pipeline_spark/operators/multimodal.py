@@ -623,3 +623,73 @@ def gif_frame_metrics(df_docs: DataFrame, every_n: int = GIF_EVERY) -> DataFrame
             yield pd.DataFrame(rows)
 
     return clips.mapInPandas(run, GIF_METRICS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-audio decode: pure-stdlib FLAC codec (operators/flac.py)
+# ---------------------------------------------------------------------------
+
+FLAC_SAMPLES = 512
+FLAC_RATE = 16000
+FLAC_BLOCK = 200  # forces 3 frames per clip: multi-frame path live
+
+
+def synth_flac_audio(df_docs: DataFrame, n_samples: int = FLAC_SAMPLES) -> DataFrame:
+    """Deterministic synthetic audio table with REAL FLAC payloads:
+    per document a ramp waveform sample[i] = (doc_id*29 + i*7) % 4000
+    - 2000 (order-1-predictor-friendly, so the Rice residual path
+    carries real small residuals rather than raw literals), encoded
+    through the full codec in 200-sample frames — closed-form content
+    so a SQL oracle can verify the decode without parsing FLAC."""
+    from .flac import encode_flac
+
+    base = df_docs.select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            i = np.arange(n_samples, dtype=np.int64)
+            for d in pdf["doc_id"]:
+                wave = (int(d) * 29 + i * 7) % 4000 - 2000
+                payloads.append(encode_flac(wave, FLAC_RATE, 16, block_size=FLAC_BLOCK))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(run, "doc_id long, payload binary")
+
+
+FLAC_METRICS_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, bits_per_sample long, "
+    "first_sample long, abs_sum long"
+)
+
+
+def flac_decode_metrics(df_docs: DataFrame, n_samples: int = FLAC_SAMPLES) -> DataFrame:
+    """REAL compressed-audio decode path: FLAC bytes -> decode_flac
+    (fixed-predictor reconstruction, Rice decoding, CRC checks) ->
+    integer metrics. Any predictor, zigzag, unary, partition, or CRC
+    bug shifts the absolute sum. Same embarrassingly-parallel
+    mapInPandas shape as the WAV path."""
+    from .flac import decode_flac
+
+    audio = synth_flac_audio(df_docs, n_samples)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = ("doc_id", "n_samples", "sample_rate", "bits_per_sample",
+                "first_sample", "abs_sum")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate, bps = decode_flac(bytes(p))
+                rows["doc_id"].append(d)
+                rows["n_samples"].append(len(samples))
+                rows["sample_rate"].append(rate)
+                rows["bits_per_sample"].append(bps)
+                rows["first_sample"].append(int(samples[0]))
+                rows["abs_sum"].append(int(np.abs(samples.astype(np.int64)).sum()))
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(run, FLAC_METRICS_SCHEMA)

@@ -59,6 +59,7 @@ _PRIORITY_R6 = (
     "llm_bpe_train",
     "llm_bpe_encode",
     "llm_multimodal_gif",
+    "llm_multimodal_flac",
     # results changed in round 6
     "llm_semdedup",
     "llm_semdedup_survivors",
@@ -101,12 +102,13 @@ _PRIORITY_R6 = (
     "llm_dsir_weights",
     "llm_bigram_logprob",
     # last driver verdict r3: windowing-analytics wave
+    # (rel_retention_cohorts yields its slot to llm_multimodal_flac
+    # and joins the r7 window at age 3)
     "rel_event_transitions",
     "rel_funnel_conversion",
     "rel_value_outliers",
     "rel_cep_pattern",
     "rel_ts_similarity",
-    "rel_retention_cohorts",
     # last driver verdict r3: fn_* scalar batch
     "fn_variant",
     "fn_percentiles",

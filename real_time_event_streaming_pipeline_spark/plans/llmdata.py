@@ -1074,6 +1074,37 @@ FROM documents
 """
 
 
+def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode, oracle-verified end-to-end — the
+    lossless-compression audio sibling of q_multimodal_wav and the
+    audio counterpart of the GIF/LZW path: per document a 512-sample
+    ramp waveform (sample[i] = (doc_id*29 + i*7) % 4000 - 2000) is
+    encoded to genuine FLAC (operators/flac.py: fixed-order linear
+    predictors chosen per subframe, Rice/Golomb residual coding,
+    CRC-8/CRC-16 framing) in 200-sample frames — multi-frame,
+    predictor and Rice paths all live — then DECODED back and reduced
+    to integer metrics. FLAC is lossless, so DuckDB states the
+    closed-form samples and a green row proves predictor
+    reconstruction, zigzag/unary decoding, partitioning, and both
+    CRCs composed exactly. MP3 stays a sanctioned stub (spec tables
+    not reproducible from memory); FLAC is the honestly-buildable
+    compressed-audio format. Scale shape: embarrassingly parallel
+    mapInPandas over doc ids, no shuffle."""
+    return M.flac_decode_metrics(load(spark, sf_dir, "documents"))
+
+
+_MULTIMODAL_FLAC_SQL = """
+SELECT doc_id,
+  CAST(512 AS BIGINT) AS n_samples,
+  CAST(16000 AS BIGINT) AS sample_rate,
+  CAST(16 AS BIGINT) AS bits_per_sample,
+  CAST((doc_id * 29) % 4000 - 2000 AS BIGINT) AS first_sample,
+  CAST(list_sum([abs((doc_id * 29 + i * 7) % 4000 - 2000)
+                 for i in generate_series(0, 511)]) AS BIGINT) AS abs_sum
+FROM documents
+"""
+
+
 def q_multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode + frame sampling, oracle-verified end-to-end
     — the video sibling of q_multimodal_png/_wav: per document a
@@ -1333,6 +1364,7 @@ QUERIES = {
     "llm_multimodal_jpeg": q_multimodal_jpeg,
     "llm_multimodal_gif": q_multimodal_gif,
     "llm_multimodal_wav": q_multimodal_wav,
+    "llm_multimodal_flac": q_multimodal_flac,
     "llm_multimodal_avi": q_multimodal_avi,
 }
 
@@ -1365,5 +1397,6 @@ ORACLE = {
     "llm_multimodal_jpeg": _MULTIMODAL_JPEG_SQL,
     "llm_multimodal_gif": _MULTIMODAL_GIF_SQL,
     "llm_multimodal_wav": _MULTIMODAL_WAV_SQL,
+    "llm_multimodal_flac": _MULTIMODAL_FLAC_SQL,
     "llm_multimodal_avi": _MULTIMODAL_AVI_SQL,
 }

@@ -26,6 +26,7 @@ SHAPES = [
     "llm_tfidf",
     "llm_semdedup",
     "llm_dup_span_removal",
+    "llm_bpe_encode",
 ]
 
 
