@@ -45,6 +45,27 @@ class CorpusEngine:
         quality score, fingerprint) — one scan, no shuffle."""
         return T.with_text_features(self._docs())
 
+    def train_tokenizer(self, num_merges: int = 8) -> list[tuple]:
+        """Learn a BPE merge table on this corpus (operators/bpe.py:
+        word-type-table training, 1-row argmax per round). Returns
+        [(rank, lhs, rhs, pair_count)] — small enough to hold, pass
+        to tokenize()."""
+        from .operators import bpe as B
+
+        return B.train(self._docs(), num_merges)
+
+    def tokenize(self, merges: list[tuple] | None = None,
+                 num_merges: int = 8) -> DataFrame:
+        """Per-document BPE token accounting (doc_id, n_words,
+        n_bpe_tokens, head_tokens) under `merges` — or a table
+        trained on this corpus when omitted. Fold-per-distinct-word
+        + count join; linear in documents."""
+        from .operators import bpe as B
+
+        if merges is None:
+            merges = B.train(self._docs(), num_merges)
+        return B.encode(self._docs(), merges)
+
     def scrub_pii(self) -> DataFrame:
         """The corpus with PII redacted in place (typed placeholder
         tokens) + per-class match counts — scan-side projection, no

@@ -168,3 +168,23 @@ def test_corpus_engine_filter_wave_surface(spark, sf_small):
 
     with pytest.raises(ValueError):
         corp.lm_score(order=3)
+
+
+def test_corpus_engine_tokenizer_surface(spark, sf_small):
+    """Round-6 CorpusEngine tokenizer methods: training returns a
+    ranked merge table; tokenize under an explicit table matches
+    tokenize under the self-trained default; token counts bound words
+    (every word is >= 1 token, + its end-of-word marker)."""
+    from real_time_event_streaming_pipeline_spark.corpus import CorpusEngine
+
+    corp = CorpusEngine(spark, sf_small)
+    merges = corp.train_tokenizer(num_merges=4)
+    assert [m[0] for m in merges] == [1, 2, 3, 4]
+    assert all(m[3] > 0 for m in merges)
+    enc = corp.tokenize(merges).orderBy("doc_id")
+    enc_default = corp.tokenize(num_merges=4).orderBy("doc_id")
+    rows, rows_d = enc.collect(), enc_default.collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows_d]
+    for r in rows:
+        assert r.n_bpe_tokens >= r.n_words  # >= one token per word
+        assert r.head_tokens
