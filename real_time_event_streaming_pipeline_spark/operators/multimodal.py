@@ -693,3 +693,89 @@ def flac_decode_metrics(df_docs: DataFrame, n_samples: int = FLAC_SAMPLES) -> Da
             yield pd.DataFrame(rows)
 
     return audio.mapInPandas(run, FLAC_METRICS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup: average-hash over REALLY decoded PNGs
+# ---------------------------------------------------------------------------
+
+AHASH_SIDE = 32          # 32x32 px, 8x8 grid of 4x4 cells
+AHASH_BITS = 60          # cells 0..59 carry bits; 60..63 pinned dark
+AHASH_GROUP = 5          # docs per planted near-dup group
+AHASH_BRIGHT, AHASH_DARK = 200, 50
+
+
+def _ahash_bits_py(doc_id: int) -> int:
+    """The planted 60-bit pattern for a document — the Python mirror
+    of the SQL twin's md5 closed form (operators/dedup._h60 digits):
+    group base bits from md5 of the group id, then doc_id%5 bit flips
+    at md5-derived positions, so docs within a group sit at hamming
+    distance <= 8 and cross-group pairs at ~30."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    g = doc_id - (doc_id % AHASH_GROUP)
+    bits = h60(str(g)) & ((1 << AHASH_BITS) - 1)
+    for j in range(doc_id % AHASH_GROUP):
+        bits ^= 1 << (h60(f"{doc_id}#{j}") % AHASH_BITS)
+    return bits
+
+
+def synth_phash_images(df_docs: DataFrame) -> DataFrame:
+    """Deterministic image table with REAL PNG payloads drawn from the
+    planted bit patterns: cell k of the 8x8 grid is bright iff bit k
+    is set (cells 60-63 always dark, so the global mean strictly
+    separates bright from dark)."""
+    from .png import encode_png
+
+    base = df_docs.select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                bits = _ahash_bits_py(int(d))
+                cells = np.full(64, AHASH_DARK, dtype=np.uint8)
+                for k in range(AHASH_BITS):
+                    if (bits >> k) & 1:
+                        cells[k] = AHASH_BRIGHT
+                img = np.repeat(np.repeat(cells.reshape(8, 8), 4, 0), 4, 1)
+                payloads.append(encode_png(img, int(d) % 5))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(run, "doc_id long, payload binary")
+
+
+def image_ahash(df_docs: DataFrame) -> DataFrame:
+    """(doc_id, ahash): average-hash of each REALLY decoded image —
+    decode the PNG, mean each 4x4 cell, threshold against the global
+    mean, pack cells 0..59 into a long. The hash is reconstructed
+    from PIXELS; the SQL twin derives the same value from the md5
+    closed form, so a bitwise match proves decode + cell pooling +
+    thresholding end-to-end. Embarrassingly parallel mapInPandas."""
+    from .png import decode_png
+
+    imgs = synth_phash_images(df_docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_png(bytes(p)).astype(np.float64)
+                cells = arr.reshape(8, 4, 8, 4).mean(axis=(1, 3)).reshape(-1)
+                bright = cells > cells.mean()
+                h = 0
+                for k in range(AHASH_BITS):
+                    if bright[k]:
+                        h |= 1 << k
+                ids.append(d)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return imgs.mapInPandas(run, "doc_id long, ahash long")

@@ -60,6 +60,7 @@ _PRIORITY_R6 = (
     "llm_bpe_encode",
     "llm_multimodal_gif",
     "llm_multimodal_flac",
+    "llm_image_dedup_pairs",
     # results changed in round 6
     "llm_semdedup",
     "llm_semdedup_survivors",
@@ -110,9 +111,10 @@ _PRIORITY_R6 = (
     "rel_cep_pattern",
     "rel_ts_similarity",
     # last driver verdict r3: fn_* scalar batch
+    # (fn_unpivot yields its slot to llm_image_dedup_pairs and joins
+    # the r7 window at age 3)
     "fn_variant",
     "fn_percentiles",
-    "fn_unpivot",
     # last driver verdict r3: subqueries / lateral / citystream / TPC-H
     # (rel_sql_subqueries yields its slot to llm_multimodal_gif and
     # joins the r7 window at age 3)

@@ -1205,6 +1205,86 @@ _BUILD_PACK_TARGET = 256
 _BUILD_PACK_SHARDS = 16
 
 
+def q_image_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs — the multimodal and
+    dedup families composed: every document's REAL PNG (planted
+    60-bit patterns, 5 docs per group at hamming <= 8, cross-group
+    ~30) is DECODED and average-hashed from pixels
+    (operators/multimodal.image_ahash), then pairs come from the
+    SimHash-style banded equi-join: 10 bands x 6 bits, candidates
+    where any band matches, exact bit_count(xor) <= 8 verdict. The
+    pigeonhole guarantee: distance <= 8 differing bits occupy <= 8 of
+    10 bands, so every true pair shares >= 2 clean bands — banding
+    loses nothing. The SQL twin derives the hashes from the md5
+    closed form instead of pixels, so a green row proves PNG decode +
+    cell pooling + thresholding reproduced every planted bit. Scale
+    shape: decode is embarrassingly parallel; candidate generation is
+    an equi-join on (band, key) — never all-pairs."""
+    hashes = M.image_ahash(load(spark, sf_dir, "documents"))
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright("ahash", 6 * j).bitwiseAND(F.lit(63)).alias("key"),
+                )
+                for j in range(10)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "ahash", "b.band", "b.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))).cast("long").alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 8)
+
+
+_IMAGE_DEDUP_PAIRS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id - doc_id % 5 AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+         doc_id % 5 AS f
+  FROM documents
+),
+hashes AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(h, list_transform(
+             generate_series(0, f - 1),
+             j -> (CAST(1 AS BIGINT) << CAST(
+                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 60
+                  AS INTEGER))
+           )),
+           (acc, m) -> xor(acc, m)
+         ) AS ahash
+  FROM base
+),
+bands AS (
+  SELECT doc_id, ahash, t.j AS band, (ahash >> CAST(6 * t.j AS INTEGER)) & 63 AS key
+  FROM hashes, range(0, 10) t(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         bit_count(xor(a.ahash, b.ahash)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 8
+"""
+
+
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star composition as ONE registered query: quality
     gate → exact dedup → near-dup survivors → semantic survivors →
@@ -1353,6 +1433,7 @@ QUERIES = {
     "llm_emb_quantize": q_emb_quantize,
     "llm_knn_classify": q_knn_classify,
     "llm_dedup_clusters": q_dedup_clusters,
+    "llm_image_dedup_pairs": q_image_dedup_pairs,
     "llm_semdedup": q_semdedup,
     "llm_semdedup_survivors": q_semdedup_survivors,
     "llm_corpus_pipeline": q_corpus_pipeline,
@@ -1386,6 +1467,7 @@ ORACLE = {
     "llm_emb_quantize": _EMB_QUANTIZE_SQL,
     "llm_knn_classify": _KNN_CLASSIFY_SQL,
     "llm_dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "llm_image_dedup_pairs": _IMAGE_DEDUP_PAIRS_SQL,
     "llm_semdedup": _SEMDEDUP_SQL,
     "llm_semdedup_survivors": _SEMDEDUP_SURVIVORS_SQL,
     "llm_corpus_pipeline": _CORPUS_PIPELINE_SQL,

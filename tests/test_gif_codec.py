@@ -211,3 +211,38 @@ def test_gif_roundtrip_property(h, w, nf, interlace, seed):
     assert len(dec["frames"]) == nf
     for got, exp in zip(dec["frames"], frames):
         assert (got == exp).all()
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (aHash over decoded PNGs + banded join)
+# ---------------------------------------------------------------------------
+
+
+def test_image_ahash_from_pixels_matches_planted_bits(spark, sf_small):
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.operators.multimodal import (
+        _ahash_bits_py,
+        image_ahash,
+    )
+
+    docs = load(spark, sf_small, "documents").limit(40)
+    got = {r.doc_id: r.ahash for r in image_ahash(docs).collect()}
+    assert len(got) == 40
+    for d, h in got.items():
+        assert h == _ahash_bits_py(d)  # pixels -> cells -> threshold == md5 plan
+
+
+def test_image_dedup_pairs_exactly_the_planted_groups(spark, sf_small):
+    """Banding must find every within-group pair (pigeonhole: <= 8
+    differing bits across 10 bands) and the hamming filter must kill
+    every cross-group candidate."""
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        q_image_dedup_pairs,
+    )
+
+    rows = q_image_dedup_pairs(spark, sf_small).collect()
+    n_docs = 500
+    assert len(rows) == (n_docs // 5) * 10  # C(5,2) per planted group
+    for r in rows:
+        assert r.a_id // 5 == r.b_id // 5  # same group only
+        assert 0 <= r.hamming <= 8  # 0 possible: a doc's flips may collide and cancel
