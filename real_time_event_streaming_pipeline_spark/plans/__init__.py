@@ -38,7 +38,79 @@ def _modules():
 
 
 # The verify driver checks only the FIRST 50 registry entries against
-# the DuckDB oracle each round. Round 6 per the r5 verdict: the 4
+# the DuckDB oracle each round. Round 7 (per the r6 verdict #1/#3/#4):
+# the 7 r3-era verdicts at age 3 (MUST rotate or the staleness
+# invariant breaks — fn_posexplode retired instead, folded into
+# fn_array), the r6-era rows whose oracles convert to bitwise this
+# round (IVF/PQ ANN) or whose decode path changes (image aHash
+# caching: llm_image_dedup_pairs, llm_multimodal_features), the
+# r5-era conversions (rel_ewma_user_value bitwise since r6, the
+# sketch family's exact-surface oracles, rel_grouping_sets' extended
+# lattice, llm_corpus_build's r6 plan-shape change, the two r5-era
+# image queries touched by the caching), and 30 r4-era rotations —
+# exactly 50. The 13 deferred r4-era rows (the cs_* reference family
+# + cs_sliding_agg + fn_window_analytic, untouched since r4) sit at
+# age 3 after r7 and are the committed core of the r8 window: with
+# the five r7 retirements the registry is 144, so r8's forced set is
+# 49 of 50 — one slot spare, ceiling slack 6.
+_PRIORITY_R7 = (
+    # r3-era — age 3, staleness-forced
+    "fn_url",
+    "fn_array",
+    "fn_unpivot",
+    "rel_large_volume_customer",
+    "rel_dominant_part_suppliers",
+    "rel_sql_subqueries",
+    "rel_retention_cohorts",
+    # r6-era — oracle converts (IVF/PQ) or code changed (aHash cache)
+    "llm_emb_ann_ivf",
+    "llm_emb_ann_pq",
+    "llm_image_dedup_pairs",
+    "llm_multimodal_features",
+    # r5-era — conversions and r7 code changes
+    "rel_ewma_user_value",
+    "rel_grouping_sets",
+    "fn_hll_mergeable",
+    "fn_kll_quantiles",
+    "fn_sketch_set_algebra",
+    "rel_approx_distinct_users",
+    "llm_corpus_build",
+    "llm_multimodal_meta",
+    "llm_multimodal_frames",
+    # r4-era rotation (otherwise forced into r8)
+    "llm_corpus_ingest_epochs",
+    "llm_multimodal_png",
+    "fn_math",
+    "llm_dedup_clusters",
+    "llm_multimodal_wav",
+    "llm_multimodal_avi",
+    "llm_normalize",
+    "llm_token_freq",
+    "llm_doc_repetition",
+    "llm_contamination",
+    "llm_stratified_sample",
+    "llm_per_source_cap",
+    "llm_tfidf",
+    "llm_pii_redact",
+    "llm_source_mixture",
+    "llm_dup_chunk_fraction",
+    "llm_unigram_logprob",
+    "llm_gopher_rules",
+    "llm_fuzzy_linkage",
+    "fn_map",
+    "fn_json",
+    "fn_higher_order",
+    "fn_string",
+    "fn_datetime",
+    "rel_pricing_summary",
+    "rel_shipping_priority",
+    "rel_local_supplier_volume",
+    "rel_customer_order_counts",
+    "rel_customers_with_urgent_orders",
+    "rel_nation_profit",
+)
+
+# Round 6's window, kept for the record. Round 6 per the r5 verdict: the 4
 # queries new this round (the baseline-JPEG decode face, the tx-table
 # DML-lifecycle face, and the two BPE tokenizer faces — train +
 # encode), the 3 whose RESULTS changed this round
@@ -252,7 +324,7 @@ _PRIORITY_R4 = (
 
 
 def _reorder(merged: dict) -> dict:
-    out = {k: merged[k] for k in _PRIORITY_R6 if k in merged}
+    out = {k: merged[k] for k in _PRIORITY_R7 if k in merged}
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out
 

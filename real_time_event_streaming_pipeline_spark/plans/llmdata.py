@@ -135,6 +135,12 @@ FROM documents GROUP BY text
 
 
 def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retired from the registry in r7 (capacity consolidation): the
+    row was the same group-by-content semantics as llm_dedup_exact
+    with the columns reordered — the hash-groupBy operator itself
+    (exact_dedup_by_hash, the 100 TB path where the group key is 16
+    bytes instead of the payload) stays pinned by
+    tests/test_llmdata.py equivalence against exact_dedup."""
     return D.exact_dedup_by_hash(load(spark, sf_dir, "documents"))
 
 
@@ -222,7 +228,13 @@ def q_ngram_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic across engines, so fully oracle-checked): documents
     minus the b_id side of the pair table — pairs carry a_id < b_id,
     so dropping b_ids is precisely 'drop docs with a smaller-id
-    match'. One anti-join off the one-shuffle pair pipeline."""
+    match'. One anti-join off the one-shuffle pair pipeline.
+
+    Retired from the registry in r7 (capacity consolidation): the row
+    is a one-line anti-join MODE of llm_dedup_ngram_jaccard (which
+    stays registered and bitwise), so the external slot bought no new
+    semantics. The survivor derivation itself stays oracle-pinned by
+    tests/test_llmdata.py (this function vs the same DuckDB twin)."""
     docs = load(spark, sf_dir, "documents")
     dropped = (
         D.ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_doc_freq=100)
@@ -1419,12 +1431,10 @@ QUERIES = {
     "llm_fingerprint": q_fingerprint,
     "llm_quality": q_quality,
     "llm_dedup_exact": q_dedup_exact,
-    "llm_dedup_exact_hash": q_dedup_exact_hash,
     "llm_dedup_ngram_jaccard": q_ngram_jaccard,
     "llm_dedup_minhash_lsh": q_minhash_lsh,
     "llm_dedup_simhash_pairs": q_simhash_pairs,
     "llm_dedup_minhash_survivors": q_minhash_survivors,
-    "llm_dedup_ngram_survivors": q_ngram_survivors,
     "llm_emb_cosine_topk": q_cosine_topk,
     "llm_emb_neardup": q_emb_neardup,
     "llm_emb_ann_lsh": q_emb_ann_lsh,
@@ -1455,9 +1465,7 @@ ORACLE = {
     "llm_fingerprint": _FINGERPRINT_SQL,
     "llm_quality": _QUALITY_SQL,
     "llm_dedup_exact": _DEDUP_EXACT_SQL,
-    "llm_dedup_exact_hash": _DEDUP_EXACT_HASH_SQL,
     "llm_dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
-    "llm_dedup_ngram_survivors": _NGRAM_SURVIVORS_SQL,
     "llm_dedup_minhash_lsh": _minhash_lsh_sql(),
     "llm_dedup_minhash_survivors": _minhash_survivors_sql(),
     "llm_dedup_simhash_pairs": _simhash_pairs_sql(),

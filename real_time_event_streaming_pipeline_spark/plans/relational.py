@@ -398,7 +398,15 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus): per-pair, per-flag, grand
-    total — multi-level aggregation in one shuffle pass."""
+    total — multi-level aggregation in one shuffle pass.
+
+    Retired from the registry in r7 (capacity consolidation): its
+    lattice {(f,s),(f),()} is a strict subset of the extended
+    rel_grouping_sets lattice {(f,s),(f),(s),()} over the same table
+    with the same aggregates, so the external row carried no semantics
+    the grouping-sets row doesn't. The .rollup() API face stays pinned
+    by tests/test_relational_extra.py (rollup ≡ its GROUPING SETS
+    expansion)."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -410,17 +418,6 @@ def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-
-
-_ROLLUP_RETURNS_SQL = """
-SELECT
-  coalesce(l_returnflag, '(all)') AS l_returnflag,
-  coalesce(l_linestatus, '(all)') AS l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  count(*) AS n
-FROM lineitem
-GROUP BY ROLLUP(l_returnflag, l_linestatus)
-"""
 
 
 def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,9 +618,13 @@ GROUP BY a.user_id
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary GROUPING SETS (beyond rollup/cube): totals by
-    (flag, status), by flag alone, and by status alone — but NOT the
-    grand total (which cube would add)."""
+    """Arbitrary GROUPING SETS — since r7 the full 2-key lattice
+    {(flag,status), (flag), (status), ()} with the same aggregates the
+    retired rel_rollup_returns carried: ROLLUP's lattice
+    {(f,s),(f),()} is a strict subset, so this one row now pins the
+    rollup semantics too (registry consolidation; the .rollup() API
+    itself stays pinned by tests/test_relational_extra.py). One
+    shuffle pass via Expand, exactly as rollup/cube compile."""
     li = load(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(
@@ -631,9 +632,10 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
           coalesce(l_returnflag, '(all)') AS l_returnflag,
           coalesce(l_linestatus, '(all)') AS l_linestatus,
+          round(sum(l_quantity), 2) AS sum_qty,
           count(*) AS n
         FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
         """
     )
 
@@ -642,9 +644,10 @@ _GROUPING_SETS_SQL = """
 SELECT
   coalesce(l_returnflag, '(all)') AS l_returnflag,
   coalesce(l_linestatus, '(all)') AS l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
   count(*) AS n
 FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
 """
 
 
@@ -1373,7 +1376,6 @@ QUERIES = {
     "rel_top_orders_per_customer": q_top_orders_per_customer,
     "rel_running_revenue_by_supplier": q_running_revenue_by_supplier,
     "rel_user_event_gaps": q_user_event_gaps,
-    "rel_rollup_returns": q_rollup_returns,
     "rel_cube_events": q_cube_events,
     "rel_distinct_parts_per_flag": q_distinct_parts_per_flag,
     "rel_approx_distinct_users": q_approx_distinct_users,
@@ -1410,7 +1412,6 @@ ORACLE = {
     "rel_top_orders_per_customer": _TOP_ORDERS_PER_CUSTOMER_SQL,
     "rel_running_revenue_by_supplier": _RUNNING_REVENUE_SQL,
     "rel_user_event_gaps": _USER_EVENT_GAPS_SQL,
-    "rel_rollup_returns": _ROLLUP_RETURNS_SQL,
     "rel_cube_events": _CUBE_EVENTS_SQL,
     "rel_distinct_parts_per_flag": _DISTINCT_PARTS_SQL,
     # rel_approx_distinct_users: deliberately no oracle (sketch-based)

@@ -23,7 +23,13 @@ from .citystream import CITY_EVENTS_CTE, city_events
 
 
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric scalar battery. Since r7 this also carries the bitwise
+    family (and/or/xor/not, shifts, popcount) over the BIGINT keys —
+    the former fn_bitwise query folded in (registry consolidation: one
+    scan, one battery, same per-row-projection shape)."""
     li = load(spark, sf_dir, "lineitem")
+    ok = F.col("l_orderkey")
+    pk = F.col("l_partkey")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -35,6 +41,13 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
         F.floor(F.col("l_tax") * 100).cast("long").alias("tax_pct_floor"),
         (F.col("l_quantity") % 7).alias("qty_mod7"),
+        ok.bitwiseAND(F.lit(255)).alias("b_and"),
+        ok.bitwiseOR(F.lit(4096)).alias("b_or"),
+        ok.bitwiseXOR(pk).alias("b_xor"),
+        F.bitwise_not(ok).alias("b_not"),
+        F.shiftleft(ok, 3).alias("shl3"),
+        F.shiftright(pk, 2).alias("shr2"),
+        F.bit_count(ok).cast("long").alias("popcount"),
     )
 
 
@@ -48,7 +61,14 @@ SELECT
   abs(l_quantity - 25) AS abs_dev,
   CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
   CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
-  l_quantity % 7 AS qty_mod7
+  l_quantity % 7 AS qty_mod7,
+  l_orderkey & 255 AS b_and,
+  l_orderkey | 4096 AS b_or,
+  xor(l_orderkey, l_partkey) AS b_xor,
+  ~l_orderkey AS b_not,
+  l_orderkey << 3 AS shl3,
+  l_partkey >> 2 AS shr2,
+  CAST(bit_count(l_orderkey) AS BIGINT) AS popcount
 FROM lineitem
 """
 
@@ -282,11 +302,19 @@ FROM windowed
 
 
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-function family over the token arrays."""
-    docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    return docs.select(
+    """Array-function family + lateral posexplode in ONE face (r7
+    registry consolidation: the former fn_posexplode row folded in).
+    The generator and the array scalars share a single staged split —
+    per-token rows carry position plus the array-level columns, so the
+    tokenize → per-token-row shape AND the array battery are both
+    pinned by one oracle. doc_id < 100 keeps the exploded row count at
+    oracle scale (the shape is identical at any SF)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toked = docs.select("doc_id", F.split("text", " ").alias("_toks"))
+    toks = F.col("_toks")
+    return toked.select(
         "doc_id",
+        F.posexplode(toks).alias("pos", "tok"),
         F.size(toks).cast("long").alias("n"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.element_at(toks, 1).alias("first_tok"),
@@ -295,36 +323,33 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect(F.array_distinct(toks), F.array(F.lit("join"), F.lit("scan"), F.lit("sort"))))
         .cast("long")
         .alias("n_ops_words"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "tok",
+        "n",
+        "has_spark",
+        "first_tok",
+        "last_tok",
+        "head3",
+        "n_ops_words",
     )
 
 
 _FN_ARRAY_SQL = """
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100),
+pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM tok)
 SELECT
   doc_id,
+  i - 1 AS pos,
+  toks[i] AS tok,
   len(toks) AS n,
   list_contains(toks, 'spark') AS has_spark,
   toks[1] AS first_tok,
   toks[-1] AS last_tok,
   array_to_string(toks[1:3], ' ') AS head3,
   len(list_intersect(list_distinct(toks), ['join', 'scan', 'sort'])) AS n_ops_words
-FROM tok
-"""
-
-
-def q_fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lateral explode with position (the tokenize → per-token-row
-    shape every text pipeline needs)."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")).select(
-        "doc_id", F.col("pos").cast("long").alias("pos"), "tok"
-    )
-
-
-_FN_POSEXPLODE_SQL = """
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100),
-pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM tok)
-SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM pos
+FROM pos
 """
 
 
@@ -730,7 +755,6 @@ QUERIES = {
     "fn_percentiles": q_fn_percentiles,
     "fn_unpivot": q_fn_unpivot,
     "fn_array": q_fn_array,
-    "fn_posexplode": q_fn_posexplode,
     "rel_sql_subqueries": q_sql_subqueries,
     "rel_lateral_topk": q_lateral_topk,
     "fn_url": q_fn_url,
@@ -756,7 +780,6 @@ ORACLE = {
     "fn_percentiles": _FN_PERCENTILES_SQL,
     "fn_unpivot": _FN_UNPIVOT_SQL,
     "fn_array": _FN_ARRAY_SQL,
-    "fn_posexplode": _FN_POSEXPLODE_SQL,
     "rel_sql_subqueries": _SQL_SUBQUERIES_SQL,
     "rel_lateral_topk": _LATERAL_TOPK_SQL,
     "fn_url": _FN_URL_SQL,

@@ -242,7 +242,14 @@ WINDOW
 
 def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise scalar family (and/or/xor/not, shifts, popcount) —
-    long-typed on both engines."""
+    long-typed on both engines.
+
+    Retired from the registry in r7 (capacity consolidation): the
+    same seven bitwise surfaces now ride the fn_math battery over the
+    lineitem BIGINT keys (plans/scalar.py), so this row duplicated a
+    registered, oracle-checked face. The events-side expressions stay
+    pinned by tests/test_relational_extra.py against the DuckDB twin
+    kept below."""
     ev = load(spark, sf_dir, "events")
     uid = F.col("user_id")
     eid = F.col("event_id")
@@ -750,7 +757,6 @@ QUERIES = {
     "rel_ewma_user_value": q_ewma_user_value,
     "fn_window_analytic": q_fn_window_analytic,
     "rel_window_frames": q_rel_window_frames,
-    "fn_bitwise": q_fn_bitwise,
     "rel_session_window_native": q_session_window_native,
     "fn_map": q_fn_map,
     "rel_event_transitions": q_event_transitions,
@@ -767,7 +773,6 @@ ORACLE = {
     "fn_window_analytic": _FN_WINDOW_ANALYTIC_SQL,
     "rel_window_frames": _REL_WINDOW_FRAMES_SQL,
     "rel_ewma_user_value": _REL_EWMA_SQL,
-    "fn_bitwise": _FN_BITWISE_SQL,
     "rel_session_window_native": _SESSION_WINDOW_NATIVE_SQL,
     "fn_map": _FN_MAP_SQL,
     "rel_event_transitions": _EVENT_TRANSITIONS_SQL,

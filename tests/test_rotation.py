@@ -22,16 +22,16 @@ def test_rotation_invariant_holds():
 
 def test_priority_window_is_the_registry_prefix():
     from real_time_event_streaming_pipeline_spark.plans import (
-        _PRIORITY_R6,
+        _PRIORITY_R7,
         all_queries,
         all_oracles,
     )
 
     registry = list(all_queries())
-    assert list(_PRIORITY_R6) == registry[: rotation_len()]
+    assert list(_PRIORITY_R7) == registry[: rotation_len()]
     # every window entry resolves (a dangling name would silently
     # shrink the checked set)
-    assert all(q in registry for q in _PRIORITY_R6)
+    assert all(q in registry for q in _PRIORITY_R7)
     # oracles stay aligned with queries
     assert set(all_oracles()) <= set(registry)
 

@@ -60,11 +60,11 @@ SOAK_QUERIES = [
     "cs_windowed_agg", "cs_sliding_agg", "cs_cities", "cs_stats",
     "rel_pricing_summary", "rel_shipping_priority", "rel_local_supplier_volume",
     "rel_nation_profit", "rel_top_orders_per_customer", "rel_user_sessions",
-    "rel_asof_purchase_view", "llm_text_stats", "llm_dedup_exact_hash",
+    "rel_asof_purchase_view", "llm_text_stats", "llm_dedup_exact",
     "llm_dedup_ngram_jaccard", "llm_contamination", "llm_dedup_minhash_lsh",
     "llm_emb_cosine_topk", "llm_dedup_clusters", "llm_corpus_pipeline",
     # dedup / ANN / corpus families
-    "llm_dedup_ngram_survivors", "llm_semdedup", "llm_semdedup_survivors",
+    "llm_semdedup", "llm_semdedup_survivors",
     "llm_emb_ann_lsh", "llm_emb_ann_ivf", "llm_emb_ann_pq",
     "llm_corpus_build",
 ]
@@ -236,7 +236,7 @@ SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
 # instances), they are the oracle-twin family, and MinHash/LSH — which
 # IS here — is the designated scale route.
 FAMILY_SF3 = [
-    "llm_dedup_exact_hash", "llm_dedup_minhash_lsh", "llm_dedup_clusters",
+    "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_clusters",
     "llm_semdedup", "llm_semdedup_survivors", "llm_emb_cosine_topk",
     "llm_emb_ann_lsh", "llm_emb_ann_ivf", "llm_emb_ann_pq",
     "llm_corpus_pipeline",
@@ -326,7 +326,7 @@ def run_family() -> None:
     dirs = {"sf0.1": "/root/testdata/sf0.1", "sf1": SF1_DIR, "sf3": SF3_DIR}
     if os.path.isdir(SF10_DIR):  # fourth point, present when generated
         dirs["sf10"] = SF10_DIR
-    queries["llm_dedup_exact_hash"](spark, dirs["sf0.1"]).collect()  # warm-up
+    queries["llm_dedup_exact"](spark, dirs["sf0.1"]).collect()  # warm-up
 
     only = [
         n for a in sys.argv if a.startswith("--only=") for n in a.split("=", 1)[1].split(",")
