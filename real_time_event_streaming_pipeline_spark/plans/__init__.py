@@ -337,7 +337,19 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
+    """ORACLE values are SQL strings, or callables (sf_dir) -> SQL for
+    twins that inline trained literals derived from the data (IVF/PQ:
+    centroids/codebooks are deterministic functions of the md5-ordered
+    sample, replayed by the generator without Spark and frozen into
+    the SQL — the r6 LSH inlined-literal technique extended to
+    data-dependent parameters). The generator reads the sf the driver
+    verifies at (sf0.01) unless SPARK_GRAFT_ORACLE_SF_DIR points
+    elsewhere (tools/verify_local.py sets it to the sf under test)."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     merged: dict[str, str] = {}
     for m in _modules():
         merged.update(m.ORACLE)
+    merged = {k: (v(sf_dir) if callable(v) else v) for k, v in merged.items()}
     return _reorder(merged)

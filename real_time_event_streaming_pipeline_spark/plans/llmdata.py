@@ -541,18 +541,174 @@ WHERE rank <= {k}
 
 
 def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF scale path (centroid probe); recall vs brute
-    force asserted in tests/test_llmdata.py."""
+    """Bitwise oracle-checked since r7 (was rows-only): the centroid
+    sample orders by the engine-portable md5-60bit hash, so the twin's
+    generator (_emb_ann_ivf_sql) rebuilds the IDENTICAL sample without
+    Spark, replays the same _lloyd_spherical numpy rounds, and freezes
+    the centroids into the SQL as literals — then cell assignment,
+    probing, scoring, and ranking replay in ANSI SQL. Recall vs brute
+    force additionally asserted in tests/test_llmdata.py."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, order="md5h60")
+
+
+def _emb_ann_ivf_sql(
+    sf_dir: str, k: int = 5, n_centroids: int = 16, n_probe: int = 4, iters: int = 3
+) -> str:
+    """Twin generator: replays sample_centroids(order='md5h60',
+    kmeans='driver') via portable_sample_matrix + _lloyd_spherical —
+    the same numpy code path the Spark face runs on the same float64
+    matrix, hence bit-identical centroid literals. The SQL then
+    re-derives every downstream step: per-row nearest cell (dot DESC,
+    cell ASC — nearest_cells' (−dot, cell) struct sort), n_probe
+    probed cells per query, candidate scoring with the proven
+    left-to-right dot fold (the _topk_kernel GEMM equivalence carried
+    over from the LSH/cosine twins), and the (cos DESC, n_id) global
+    rank — which equals the per-cell-topk ∪ global-rank decomposition
+    because each corpus vector lives in exactly one cell."""
+    C = S._lloyd_spherical(
+        S.portable_sample_matrix(sf_dir, max(16 * n_centroids, 256)),
+        n_centroids,
+        iters,
+    )
+    vals = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in C[i])}])"
+        for i in range(n_centroids)
+    )
+    return f"""
+WITH cents(cell, cv) AS (VALUES
+    {vals}),
+cell_scored AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+    {_COS_DOT.format(a='e.embedding', b='c.cv')} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+cell_ranked AS (
+  SELECT vec_id, embedding, cell,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rk
+  FROM cell_scored
+),
+corpus AS (SELECT vec_id AS n_id, embedding AS n_vec, cell FROM cell_ranked WHERE rk = 1),
+qs AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cell
+  FROM cell_ranked WHERE rk <= {n_probe} AND vec_id < 5
+),
+scored AS (
+  SELECT q.q_id, c.n_id, {_cos_sql('q.q_vec', 'c.n_vec')} AS cos
+  FROM qs q JOIN corpus c USING (cell)
+  WHERE c.n_id != q.q_id
+)
+SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
 
 
 def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: PQ/ADC scale path — m-byte codes + per-query lookup
-    table for candidate scoring, exact rerank of the shortlist; recall
-    vs brute force asserted in tests/test_ann_ivf_dlq.py."""
+    """Bitwise oracle-checked since r7 (was rows-only): codebooks
+    train on the md5-ordered portable sample, so the twin's generator
+    (_emb_ann_pq_sql) freezes bit-identical codebook literals and
+    replays encode → LUT → ADC → shortlist → exact rerank in ANSI SQL.
+    Recall vs brute force asserted in tests/test_ann_ivf_dlq.py."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.pq_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return S.pq_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, order="md5h60")
+
+
+def _emb_ann_pq_sql(
+    sf_dir: str,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    rerank: int = 4,
+    sample: int = 512,
+    iters: int = 5,
+) -> str:
+    """Twin generator for pq_ann_topk: books from the same _pq_lloyd
+    numpy replay (bit-identical literals, including each code's
+    ||c||² — inlined so no cross-engine fold is needed for it), then:
+    per-(vector, subspace) argmin by (score ASC, code ASC) — exactly
+    pq_encode's (score, code) struct sort; the per-query LUT as the
+    identical generate_series fold over the flattened books; ADC as
+    the same left-associated 4-term sum the F.aggregate fold produces;
+    shortlist by (approx_cos DESC, n_id) row_number ≤ rerank·k; exact
+    rerank with the proven cosine fold."""
+    books = S._pq_lloyd(S.portable_sample_matrix(sf_dir, sample), m, n_codes, iters)
+    sub = books.shape[2]
+    book_vals = ",\n    ".join(
+        f"({j}, {c}, [{', '.join(repr(float(v)) for v in books[j, c])}], "
+        f"{float((books[j, c] ** 2).sum())!r})"
+        for j in range(m)
+        for c in range(n_codes)
+    )
+    flat = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in books[j, c]) + "]"
+            for j in range(m)
+            for c in range(n_codes)
+        )
+        + "]"
+    )
+    adc = " + ".join(
+        f"q.lut[{j * n_codes} + c.codes[{j + 1}] + 1]" for j in range(m)
+    )
+    return f"""
+WITH books(j, code, bv, norm2) AS (VALUES
+    {book_vals}),
+enc_scored AS (
+  SELECT e.vec_id, b.j, b.code,
+    b.norm2 - 2.0 * list_sum(list_transform(generate_series(1, {sub}),
+        t -> e.embedding[b.j * {sub} + t]::DOUBLE * b.bv[t])) AS score
+  FROM embeddings e CROSS JOIN books b
+),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY score ASC, code ASC) AS rk
+    FROM enc_scored
+  ) WHERE rk = 1
+),
+codes AS (
+  SELECT vec_id AS n_id, list(code ORDER BY j) AS codes,
+    (SELECT sqrt({_COS_DOT.format(a='e.embedding', b='e.embedding')})
+     FROM embeddings e WHERE e.vec_id = enc.vec_id) AS nrm
+  FROM enc GROUP BY vec_id
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec,
+    sqrt({_COS_DOT.format(a='embedding', b='embedding')}) AS q_nrm,
+    list_transform(generate_series(0, {m * n_codes - 1}),
+      i -> list_sum(list_transform(generate_series(1, {sub}),
+        t -> embedding[(i // {n_codes}) * {sub} + t]::DOUBLE * {flat}[i + 1][t]))) AS lut
+  FROM embeddings WHERE vec_id < 5
+),
+cand AS (
+  SELECT q.q_id, c.n_id, ({adc}) / (q.q_nrm * c.nrm) AS approx_cos
+  FROM codes c CROSS JOIN q
+  WHERE c.n_id != q.q_id
+),
+short AS (
+  SELECT q_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, n_id ASC) AS arank
+    FROM cand
+  ) WHERE arank <= {rerank * k}
+),
+exact AS (
+  SELECT s.q_id, s.n_id, {_cos_sql('qe.embedding', 'ne.embedding')} AS cos
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.q_id
+  JOIN embeddings ne ON ne.vec_id = s.n_id
+)
+SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM exact
+)
+WHERE rank <= {k}
+"""
 
 
 def q_knn_classify(
@@ -1472,6 +1628,10 @@ ORACLE = {
     "llm_emb_cosine_topk": _COSINE_TOPK_SQL,
     "llm_emb_neardup": _EMB_NEARDUP_SQL,
     "llm_emb_ann_lsh": _emb_ann_lsh_sql(),
+    # callables: resolved by plans.all_oracles with the verify sf_dir —
+    # these twins inline data-derived trained literals (see generators)
+    "llm_emb_ann_ivf": _emb_ann_ivf_sql,
+    "llm_emb_ann_pq": _emb_ann_pq_sql,
     "llm_emb_quantize": _EMB_QUANTIZE_SQL,
     "llm_knn_classify": _KNN_CLASSIFY_SQL,
     "llm_dedup_clusters": _DEDUP_CLUSTERS_SQL,
