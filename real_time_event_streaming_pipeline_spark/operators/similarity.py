@@ -65,9 +65,10 @@ def calibrate_null_threshold(
     paired with rank i + S//2 (a fixed derangement; adjacent-rank
     pairs of an md5 ordering are an unbiased random draw). The exact
     same sample, pairing, and arithmetic are expressible in ANSI SQL
-    (see plans/llmdata._null_calib_ctes), and the final round-to-4
-    absorbs engine-level float-fold differences, so Spark and DuckDB
-    derive the IDENTICAL threshold. Cost: one count + one bounded
+    (the oracle generator runs calibrate_null_threshold_py — the same
+    sequential fold on the same sample — and inlines the resulting
+    literal, so Spark and DuckDB use the IDENTICAL threshold with no
+    cross-engine float-fold surface at all; ADVICE r6). Cost: one count + one bounded
     ``sample_size``-row collect — independent of corpus size.
 
     On corpora whose embeddings carry real near-dup structure the
@@ -84,11 +85,26 @@ def calibrate_null_threshold(
         .limit(int(sample_size))
         .collect()
     )
-    S = len(rows)
+    return _null_threshold_from_sample(
+        [r["_vec"] for r in rows], n, floor, round_digits
+    )
+
+
+def _null_threshold_from_sample(
+    vecs: list, n: int, floor: float, round_digits: int = 4
+) -> float:
+    """The post-sample calibration arithmetic, factored so the Spark
+    face and the Spark-free oracle replica (below) run the IDENTICAL
+    sequential float64 fold — the threshold is derived ONCE per engine
+    from the same ordered sample, then inlined into the SQL twin as a
+    literal (ADVICE r6: a DuckDB avg/stddev_pop re-derivation fed by a
+    differently-ordered parallel fold can diverge by 1 ulp at a
+    round-to-4 boundary and flip the whole semdedup family red)."""
+    S = len(vecs)
     shift = S // 2
     cos: list[float] = []
     for i in range(S - shift):
-        a, b = rows[i]["_vec"], rows[i + shift]["_vec"]
+        a, b = vecs[i], vecs[i + shift]
         # dirty-input rule, shared verbatim with the SQL twin: a pair
         # contributes only if BOTH vectors are non-null with positive
         # norm — a zero/NULL vector must not crash the calibration
@@ -110,6 +126,36 @@ def calibrate_null_threshold(
     var = sum((c - mu) ** 2 for c in cos) / len(cos)  # population
     k = math.sqrt(2.0 * math.log(n * (n - 1) / 2.0))
     return max(float(floor), round(mu + k * math.sqrt(var), round_digits))
+
+
+def calibrate_null_threshold_py(
+    sf_dir: str,
+    floor: float,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 512,
+    round_digits: int = 4,
+) -> float:
+    """Spark-free replica of calibrate_null_threshold for the oracle
+    generator: DuckDB scan + hashlib md5-hex sort reproduce the exact
+    sample (the Spark face orders by the md5 hex STRING, then id),
+    float32 parquet values widen to float64 exactly in both readers,
+    and _null_threshold_from_sample is the same sequential fold — so
+    the generator inlines the bit-identical threshold literal."""
+    import duckdb
+    import hashlib
+
+    rows = duckdb.sql(
+        f"SELECT {id_col}, {vec_col} FROM '{sf_dir}/{table}.parquet'"
+    ).fetchall()
+    n = len(rows)
+    if n < 3:
+        return float(floor)
+    rows.sort(key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    return _null_threshold_from_sample(
+        [r[1] for r in rows[:sample_size]], n, floor, round_digits
+    )
 
 
 def brute_force_topk_rowexpr(

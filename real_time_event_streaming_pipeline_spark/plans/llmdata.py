@@ -412,43 +412,6 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _null_calib_ctes(floor: float, sample_size: int = 512) -> str:
-    """SQL twin of operators/similarity.calibrate_null_threshold:
-    same md5-ordered sample, same rank-shift pairing, same
-    μ + σ·√(2·ln(n(n−1)/2)) rule rounded to 4 decimals and floored at
-    ``floor`` — referenced downstream as ``(SELECT t FROM _thr)``.
-    The round-to-4 absorbs engine-level float-fold differences so
-    both engines land on the identical threshold."""
-    return f"""
-_samp AS (
-  SELECT vec_id, embedding,
-         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rk
-  FROM (SELECT vec_id, embedding FROM embeddings
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {int(sample_size)})
-),
-_null_cos AS (
-  SELECT {_cos_sql('a.embedding', 'b.embedding')} AS c
-  FROM _samp a JOIN _samp b
-    ON b.rk = a.rk + (SELECT count(*) // 2 FROM _samp)
-  -- dirty-input rule shared verbatim with the Python face: a pair
-  -- contributes only if both vectors are non-NULL with positive norm
-  -- (NULL embedding makes the norm NULL, and NULL > 0 filters it)
-  WHERE {_COS_DOT.format(a='a.embedding', b='a.embedding')} > 0
-    AND {_COS_DOT.format(a='b.embedding', b='b.embedding')} > 0
-),
-_n AS (SELECT count(*) AS n FROM embeddings),
-_thr AS (
-  -- n < 3 and the no-valid-pairs case both fall back to the floor,
-  -- exactly like the Python face's early returns
-  SELECT CASE WHEN (SELECT n FROM _n) < 3 THEN {floor!r}
-         ELSE greatest({floor!r},
-           coalesce(round(avg(c) + stddev_pop(c)
-             * sqrt(2 * ln((SELECT n FROM _n) * ((SELECT n FROM _n) - 1) / 2.0)),
-           4), {floor!r})) END AS t
-  FROM _null_cos
-)"""
-
-
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
@@ -957,7 +920,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str, pair_method: str = "ivf") -> Da
 
     Oracle: the same recursive-CTE reachability as
     _DEDUP_CLUSTERS_SQL, over the (exact) cosine pair set at the
-    identically-derived threshold (_null_calib_ctes) — identical
+    identical threshold inlined as a literal (_semdedup_sql) — identical
     output because candidate recall is 1.0 here."""
     from ..operators.clustering import connected_components
 
@@ -980,13 +943,24 @@ def q_semdedup(spark: SparkSession, sf_dir: str, pair_method: str = "ivf") -> Da
     )
 
 
-_SEMDEDUP_SQL = f"""
-WITH RECURSIVE {_null_calib_ctes(0.45)},
+def _semdedup_sql(sf_dir: str) -> str:
+    """Twin generator (callable oracle): the operating point is
+    derived ONCE by the Spark-free calibration replica — the identical
+    sequential fold the Spark face runs on the identical md5-ordered
+    sample — and inlined as a literal (ADVICE r6: re-deriving it with
+    DuckDB avg/stddev_pop risks a 1-ulp divergence at a round-to-4
+    boundary flipping the whole family red intermittently)."""
+    thr = S.calibrate_null_threshold_py(sf_dir, floor=0.45)
+    return _SEMDEDUP_SQL_TPL.replace("__THR__", repr(thr))
+
+
+_SEMDEDUP_SQL_TPL = f"""
+WITH RECURSIVE
 e AS (SELECT vec_id, embedding FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
   FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= (SELECT t FROM _thr)
+  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= __THR__
 ),
 edges AS (
   SELECT a_id AS u, b_id AS v FROM pairs
@@ -1026,13 +1000,19 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_semdedup_survivors(emb, threshold=thr, n_rows=n).select("vec_id")
 
 
-_SEMDEDUP_SURVIVORS_SQL = f"""
-WITH {_null_calib_ctes(0.45)},
-e AS (SELECT vec_id, embedding FROM embeddings)
+def _semdedup_survivors_sql(sf_dir: str) -> str:
+    """Twin generator — same inlined-threshold-literal discipline as
+    _semdedup_sql."""
+    thr = S.calibrate_null_threshold_py(sf_dir, floor=0.45)
+    return _SEMDEDUP_SURVIVORS_SQL_TPL.replace("__THR__", repr(thr))
+
+
+_SEMDEDUP_SURVIVORS_SQL_TPL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (
   SELECT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= (SELECT t FROM _thr)
+  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= __THR__
 )
 """
 
@@ -1636,8 +1616,8 @@ ORACLE = {
     "llm_knn_classify": _KNN_CLASSIFY_SQL,
     "llm_dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "llm_image_dedup_pairs": _IMAGE_DEDUP_PAIRS_SQL,
-    "llm_semdedup": _SEMDEDUP_SQL,
-    "llm_semdedup_survivors": _SEMDEDUP_SURVIVORS_SQL,
+    "llm_semdedup": _semdedup_sql,
+    "llm_semdedup_survivors": _semdedup_survivors_sql,
     "llm_corpus_pipeline": _CORPUS_PIPELINE_SQL,
     "llm_corpus_build": _corpus_build_sql(),
     "llm_multimodal_meta": _MULTIMODAL_META_SQL,

@@ -95,8 +95,14 @@ def _check_or_stamp_format(
             "different base hash) — rebuild the index from the corpus"
         )
     os.makedirs(index_dir, exist_ok=True)
-    with open(p, "w") as fh:
+    # tmp + os.replace: a crash mid-write must not leave a truncated
+    # marker that permanently hard-fails every future ingest with a
+    # misleading "built as <garbage>" error — the same atomic-publish
+    # discipline as _checkpoint_app_id and the cursor file (ADVICE r6)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
         fh.write(tag)
+    os.replace(tmp, p)
 
 
 def _bands_dir(index_dir: str) -> str:

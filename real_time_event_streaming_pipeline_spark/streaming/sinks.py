@@ -55,7 +55,19 @@ def upsert_parquet(
             existing = spark.read.parquet(out_dir)
             # allowMissingColumns: a restart that ADDS a column (e.g.
             # enabling TTL on an existing table) rolls forward with
-            # NULLs for legacy rows instead of failing every epoch
+            # NULLs for legacy rows instead of failing every epoch.
+            # Evolution is ADDITIVE-ONLY: a restart whose stream LOST a
+            # column the table already has would otherwise be silently
+            # accepted too, padding every new row with NULLs — fail
+            # loudly instead (ADVICE r6)
+            dropped = set(existing.columns) - set(incoming.columns)
+            if dropped:
+                raise ValueError(
+                    f"upsert sink at {out_dir}: incoming schema is missing "
+                    f"existing column(s) {sorted(dropped)} — only additive "
+                    "schema evolution is supported; if the column was "
+                    "intentionally removed, migrate the table explicitly"
+                )
             merged = existing.unionByName(incoming, allowMissingColumns=True)
         else:
             merged = incoming

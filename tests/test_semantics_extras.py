@@ -46,6 +46,51 @@ def test_upsert_sink_epoch_replay_idempotent(spark, tmp_path):
     assert before == after == {("a", 1), ("b", 2)}
 
 
+def test_upsert_sink_rejects_column_removal(spark, tmp_path):
+    """Schema evolution is additive-only (ADVICE r6): a restarted
+    stream whose batches LOST a column the table already has must fail
+    loudly, not silently pad every new row with NULLs."""
+    import pytest
+
+    out = str(tmp_path / "t")
+    sink = upsert_parquet(out, ["k"], order_col="v")
+    sink(spark.createDataFrame([("a", 1, "x")], "k string, v int, extra string"), 0)
+    with pytest.raises(ValueError, match="missing existing column.*extra"):
+        sink(spark.createDataFrame([("b", 2)], "k string, v int"), 1)
+    # the additive direction still rolls forward
+    sink(
+        spark.createDataFrame(
+            [("c", 3, "y", 9.5)], "k string, v int, extra string, score double"
+        ),
+        2,
+    )
+    back = spark.read.parquet(out)
+    assert set(back.columns) >= {"k", "v", "extra", "score"}
+    assert back.count() == 2
+
+
+def test_dedup_index_format_marker_atomic(tmp_path):
+    """The _FORMAT marker publishes via tmp + os.replace (ADVICE r6):
+    a stale tmp from a crashed writer must not poison the stamp, and a
+    re-stamp with the same tag must be a no-op."""
+    import os
+
+    from real_time_event_streaming_pipeline_spark.streaming.dedup_index import (
+        _check_or_stamp_format,
+    )
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    # simulate a crash that left a truncated tmp behind
+    with open(os.path.join(idx, "_FORMAT.tmp"), "w") as fh:
+        fh.write("garb")
+    _check_or_stamp_format(idx, k=3, num_hashes=32, bands=8)
+    tag = open(os.path.join(idx, "_FORMAT")).read()
+    assert tag and "garb" not in tag
+    _check_or_stamp_format(idx, k=3, num_hashes=32, bands=8)  # idempotent
+    assert open(os.path.join(idx, "_FORMAT")).read() == tag
+
+
 def test_recursive_sessions_match_native_session_window(spark, sf_small):
     """The WITH RECURSIVE sessionization must produce exactly the
     sessions the built-in session_window operator produces — same
