@@ -1367,8 +1367,14 @@ def q_image_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form instead of pixels, so a green row proves PNG decode +
     cell pooling + thresholding reproduced every planted bit. Scale
     shape: decode is embarrassingly parallel; candidate generation is
-    an equi-join on (band, key) — never all-pairs."""
-    hashes = M.image_ahash(load(spark, sf_dir, "documents"))
+    an equi-join on (band, key) — never all-pairs. r7 (VERDICT #5):
+    the hash table is localCheckpoint'ed before the self-join — both
+    join sides otherwise re-run the whole encode+decode mapInPandas
+    lineage, doubling the dominant pure-Python PNG cost; with the
+    diamond materialized every image decodes exactly once."""
+    hashes = M.image_ahash(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     bands = hashes.select(
         "doc_id",
         "ahash",

@@ -473,15 +473,31 @@ GROUP BY l_returnflag
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). Sketches differ across engines,
-    so there is deliberately NO oracle entry — the driver records a
-    rows-only check; the exact-distinct twin above is the accuracy
-    anchor. At 100 TB this replaces exact distinct for dashboards."""
+    """approx_count_distinct (HLL++). Sketch VALUES differ across
+    engines, so the raw estimate can't hash-match an oracle — since r7
+    the registered surface emits the exact count (bitwise-checked)
+    plus the estimate's accuracy CONTRACT as a boolean the oracle pins
+    TRUE: default rsd = 0.05, pinned at 10% relative error (2σ; the
+    tighter envelope stays pytest-pinned). A sketch regression flips
+    the row red instead of hiding behind rows-only. At 100 TB this
+    replaces exact distinct for dashboards."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            <= 0.1 * F.countDistinct("user_id")
+        ).alias("approx_rel_err_ok"),
     )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+  count(DISTINCT user_id) AS exact_users,
+  TRUE AS approx_rel_err_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1402,6 +1418,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rel_approx_distinct_users": _APPROX_DISTINCT_SQL,
     "rel_pricing_summary": _PRICING_SUMMARY_SQL,
     "rel_shipping_priority": _SHIPPING_PRIORITY_SQL,
     "rel_local_supplier_volume": _LOCAL_SUPPLIER_VOLUME_SQL,

@@ -624,7 +624,7 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_fn_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_fn_hll_mergeable_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
     Spark 4's hll_sketch_agg / hll_union_agg) — THE cardinality
     pattern at 100 TB: each partition/day builds its own fixed-size
@@ -659,7 +659,43 @@ def q_fn_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_fn_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_fn_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 (VERDICT #6): the registered surface is now fully
+    oracle-checkable — exact columns plus the two CONTRACTS as
+    booleans the oracle pins TRUE: (a) mergeability, union-of-daily-
+    partials == one-pass sketch (the identity pytest pins bitwise on
+    the raw face); (b) accuracy, lgK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%,
+    pinned at 5% (≈3σ) relative error. A broken sketch or merge flips
+    the row red instead of hiding behind rows-only. The raw estimates
+    stay on q_fn_hll_mergeable_raw (pytest-pinned)."""
+    return q_fn_hll_mergeable_raw(spark, sf_dir).select(
+        "city",
+        "n_days",
+        "exact_users",
+        (F.col("est_merged") == F.col("est_single")).alias("merge_consistent"),
+        (
+            F.abs(F.col("est_single") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_rel_err_ok"),
+    )
+
+
+_FN_HLL_SQL = (
+    CITY_EVENTS_CTE
+    + """
+SELECT city,
+  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+  count(DISTINCT user_id) AS exact_users,
+  TRUE AS merge_consistent,
+  TRUE AS est_rel_err_ok
+FROM windowed
+GROUP BY city
+ORDER BY city
+"""
+)
+
+
+def q_fn_sketch_set_algebra_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-set algebra WITHOUT joins (DataSketches theta): how
     many users viewed, purchased, did both, or viewed without ever
     purchasing — at 100 TB these are sketch-lattice operations over
@@ -693,7 +729,51 @@ def q_fn_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.crossJoin(exact)
 
 
-def q_fn_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_fn_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 (VERDICT #6): exact columns oracle-checked, estimates pinned
+    as boolean contracts the oracle states TRUE. Theta errors scale
+    with the UNION support (the sketch's sampled universe), so every
+    bound normalizes by exact_union; +0.5 absorbs exact-mode integer
+    rounding at small SF where the estimates are exact and view_only
+    can be 0. Raw estimates stay on q_fn_sketch_set_algebra_raw
+    (pytest-pinned inclusion-exclusion consistency)."""
+    exact_union = (
+        F.col("exact_view") + F.col("exact_purchase") - F.col("exact_both")
+    ).cast("double")
+    tol = 0.05 * exact_union + F.lit(0.5)
+
+    def ok(est, target):
+        return (F.abs(F.col(est) - target) <= tol).alias(f"{est}_ok")
+
+    return q_fn_sketch_set_algebra_raw(spark, sf_dir).select(
+        "exact_view",
+        "exact_purchase",
+        "exact_both",
+        ok("est_view", F.col("exact_view")),
+        ok("est_purchase", F.col("exact_purchase")),
+        ok("est_union", exact_union),
+        ok("est_both", F.col("exact_both")),
+        ok("est_view_only", F.col("exact_view") - F.col("exact_both")),
+    )
+
+
+_FN_SKETCH_ALGEBRA_SQL = """
+SELECT
+  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'view') AS exact_view,
+  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS exact_purchase,
+  (SELECT count(*) FROM (
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+     INTERSECT
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS exact_both,
+  TRUE AS est_view_ok,
+  TRUE AS est_purchase_ok,
+  TRUE AS est_union_ok,
+  TRUE AS est_both_ok,
+  TRUE AS est_view_only_ok
+"""
+
+
+def q_fn_kll_quantiles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches (DataSketches KLL): per-day
     sketches of the event value merged into one, quantiles read from
     the merged sketch beside the exact percentiles — the streaming/
@@ -723,11 +803,55 @@ def q_fn_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = ev.agg(
         *[
-            F.percentile("v", F.lit(q)).alias(f"exact_p{int(q*100)}")
+            F.percentile("v", F.lit(q)).alias(f"exact_p{int(q * 100)}")
             for q in (0.25, 0.5, 0.75, 0.95)
-        ]
+        ],
+        *[
+            F.percentile("v", F.lit(max(0.0, q - 0.03))).alias(f"_lo{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ],
+        *[
+            F.percentile("v", F.lit(min(1.0, q + 0.03))).alias(f"_hi{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ],
     )
     return qs.crossJoin(exact)
+
+
+def q_fn_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 (VERDICT #6): n and the exact percentiles oracle-check
+    bitwise; each KLL quantile is pinned as a RANK-error contract
+    (KLL's guarantee is on rank, not value): the sketch's q-quantile
+    must lie within the exact [q−3%, q+3%] value window (k=200 →
+    one-sided normalized rank error ≈1.65%; 3% ≈ a 2σ envelope). Raw
+    quantiles stay on q_fn_kll_quantiles_raw (pytest rank pin)."""
+    qlist = (0.25, 0.5, 0.75, 0.95)
+    return q_fn_kll_quantiles_raw(spark, sf_dir).select(
+        "n",
+        *[F.col(f"exact_p{int(q * 100)}") for q in qlist],
+        *[
+            (
+                (F.col(f"kll_p{int(q * 100)}") >= F.col(f"_lo{int(q * 100)}"))
+                & (F.col(f"kll_p{int(q * 100)}") <= F.col(f"_hi{int(q * 100)}"))
+            ).alias(f"kll_p{int(q * 100)}_rank_ok")
+            for q in qlist
+        ],
+    )
+
+
+_FN_KLL_SQL = """
+SELECT
+  count(*) AS n,
+  CAST(quantile_cont(value, 0.25) AS DOUBLE) AS exact_p25,
+  CAST(quantile_cont(value, 0.5) AS DOUBLE) AS exact_p50,
+  CAST(quantile_cont(value, 0.75) AS DOUBLE) AS exact_p75,
+  CAST(quantile_cont(value, 0.95) AS DOUBLE) AS exact_p95,
+  TRUE AS kll_p25_rank_ok,
+  TRUE AS kll_p50_rank_ok,
+  TRUE AS kll_p75_rank_ok,
+  TRUE AS kll_p95_rank_ok
+FROM events
+"""
 
 
 _FN_VARIANT_SQL = """
@@ -785,4 +909,10 @@ ORACLE = {
     "fn_url": _FN_URL_SQL,
     "cs_kafka_producer_frame": _KAFKA_FRAME_SQL,
     "cs_producer_metrics": _PRODUCER_METRICS_SQL,
+    # sketch family (r7 conversion): exact columns checked bitwise,
+    # estimate contracts pinned as booleans the oracle states TRUE —
+    # an accuracy or mergeability regression flips the row red
+    "fn_hll_mergeable": _FN_HLL_SQL,
+    "fn_sketch_set_algebra": _FN_SKETCH_ALGEBRA_SQL,
+    "fn_kll_quantiles": _FN_KLL_SQL,
 }

@@ -161,10 +161,10 @@ def test_hll_mergeable_sketches_identity_and_error(spark, sf_small):
     single-pass sketch estimates (same lgK), and both sit within the
     HLL error envelope of the exact distinct count."""
     from real_time_event_streaming_pipeline_spark.plans.scalar import (
-        q_fn_hll_mergeable,
+        q_fn_hll_mergeable_raw,
     )
 
-    rows = q_fn_hll_mergeable(spark, sf_small).collect()
+    rows = q_fn_hll_mergeable_raw(spark, sf_small).collect()
     assert rows
     for r in rows:
         assert r.n_days >= 1
@@ -178,10 +178,10 @@ def test_theta_set_algebra_consistency(spark, sf_small):
     (union ≈ view + purchase − both; view_only ≈ view − both) and sit
     within the sketch error envelope of the exact counts."""
     from real_time_event_streaming_pipeline_spark.plans.scalar import (
-        q_fn_sketch_set_algebra,
+        q_fn_sketch_set_algebra_raw,
     )
 
-    r = q_fn_sketch_set_algebra(spark, sf_small).collect()[0]
+    r = q_fn_sketch_set_algebra_raw(spark, sf_small).collect()[0]
     def close(a, b, tol=0.05):
         return abs(a - b) <= max(3, tol * max(a, b))
     assert close(r.est_view, r.exact_view)
@@ -198,10 +198,10 @@ def test_kll_quantiles_rank_error(spark, sf_small):
     from real_time_event_streaming_pipeline_spark.catalog import load
     from real_time_event_streaming_pipeline_spark.plans.citystream import city_events
     from real_time_event_streaming_pipeline_spark.plans.scalar import (
-        q_fn_kll_quantiles,
+        q_fn_kll_quantiles_raw,
     )
 
-    r = q_fn_kll_quantiles(spark, sf_small).collect()[0]
+    r = q_fn_kll_quantiles_raw(spark, sf_small).collect()[0]
     vals = sorted(
         x.v for x in city_events(spark, sf_small)
         .select(F.col("value").cast("double").alias("v")).collect()
