@@ -65,11 +65,25 @@ def documents_file_stream(
     )
 
 
-def gated_chunks_df(docs: DataFrame) -> DataFrame:
+def gated_chunks_df(docs: DataFrame, with_image_hash: bool = False) -> DataFrame:
     """Gate then chunk one (micro-)batch of documents: keep documents
-    passing every Gopher rule, emit their overlapping chunks."""
+    passing every Gopher rule, emit their overlapping chunks.
+
+    ``with_image_hash=True`` composes the multimodal codec seam into
+    the same (micro-)batch (VERDICT r6 #8): each document's REAL PNG
+    is decoded and average-hashed (operators/multimodal.image_ahash, a
+    pure-stdlib decode inside Arrow-batched mapInPandas) and the hash
+    rides every chunk row — proving the mapInPandas codec path streams.
+    The hash is per-document with no cross-batch state, so streamed ==
+    batch by the same closed-world argument as the gate (pinned in
+    tests/test_streaming_corpus.py)."""
     passing = gopher_rules_df(docs).filter("passes").select("doc_id")
-    return doc_chunks_df(docs.join(passing, "doc_id"))
+    chunks = doc_chunks_df(docs.join(passing, "doc_id"))
+    if with_image_hash:
+        from ..operators.multimodal import image_ahash
+
+        chunks = chunks.join(image_ahash(docs), "doc_id")
+    return chunks
 
 
 def start_corpus_ingest(
@@ -79,6 +93,7 @@ def start_corpus_ingest(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     source_dir: str | None = None,
+    with_image_hash: bool = False,
 ):
     """Stream documents through the gate+chunk pipeline into an
     append-only parquet chunk store. availableNow drains everything
@@ -96,9 +111,9 @@ def start_corpus_ingest(
     raw = documents_file_stream(spark, sf_dir, max_files_per_trigger, source_dir)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        gated_chunks_df(batch_df).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"epoch={int(epoch_id)}")
-        )
+        gated_chunks_df(batch_df, with_image_hash=with_image_hash).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"epoch={int(epoch_id)}"))
 
     return (
         raw.writeStream.foreachBatch(_process)

