@@ -530,24 +530,22 @@ def test_corpus_build_macro_stages_consistent(spark, sf_small):
 
 
 def test_calibrated_threshold_engine_parity(spark, sf_small):
-    """calibrate_null_threshold and its SQL twin (_null_calib_ctes)
-    must derive the IDENTICAL operating point — the llm_semdedup
-    oracle contract (round-to-4 absorbs float-fold differences)."""
-    import duckdb
-
-    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
-        _null_calib_ctes,
-    )
-
+    """calibrate_null_threshold (the Spark face) and its Spark-free
+    oracle replica (calibrate_null_threshold_py — DuckDB scan +
+    md5-hex sort + the SAME sequential fold) must derive the
+    BIT-IDENTICAL operating point: the replica's value is what the
+    generator inlines into the semdedup SQL twins as a literal
+    (ADVICE r6 — no cross-engine aggregation fold remains), so any
+    divergence here is exactly the red-flip the oracle would show."""
     emb = load(spark, sf_small, "embeddings")
     t_spark = S.calibrate_null_threshold(emb, floor=0.45)
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_small}/embeddings.parquet'"
-    )
-    t_duck = con.execute(f"WITH {_null_calib_ctes(0.45)} SELECT t FROM _thr").fetchone()[0]
-    assert t_spark == t_duck
+    t_replica = S.calibrate_null_threshold_py(sf_small, floor=0.45)
+    assert t_spark == t_replica
     assert t_spark >= 0.45  # floored at the user parameter
+    # and the registered oracle SQL carries that literal verbatim
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import _semdedup_sql
+
+    assert repr(t_replica) in _semdedup_sql(sf_small)
 
 
 def test_calibrated_threshold_separates_signal_from_null(spark):
@@ -704,15 +702,15 @@ def test_assign_cells_kernel_carries_id_type(spark):
 def test_calibration_tolerates_dirty_vectors(spark, tmp_path):
     """A NULL or all-zeros embedding in the calibration sample must
     not crash the Python face (ZeroDivisionError/TypeError) NOR move
-    it off the SQL twin — both engines skip exactly the pairs where
-    either side is null/zero-norm, and both fall back to the floor
-    when no valid pair remains."""
-    import duckdb
-    import numpy as np
+    it off the ORACLE REPLICA (calibrate_null_threshold_py, whose
+    literal the SQL twin inlines) — both faces skip exactly the pairs
+    where either side is null/zero-norm, and both fall back to the
+    floor when no valid pair remains."""
+    import glob
+    import os
+    import shutil
 
-    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
-        _null_calib_ctes,
-    )
+    import numpy as np
 
     rng = np.random.default_rng(7)
     rows = []
@@ -726,29 +724,31 @@ def test_calibration_tolerates_dirty_vectors(spark, tmp_path):
             v = [float(a) for a in x / np.linalg.norm(x)]
         rows.append((i, v))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    pq = str(tmp_path / "emb.parquet")
-    df.write.mode("overwrite").parquet(pq)
+
+    def as_sf_dir(frame, name):
+        # lay the frame out the way a testdata sf_dir looks, so the
+        # Spark-free replica reads it through its normal path
+        staged = str(tmp_path / f"{name}_stage")
+        frame.coalesce(1).write.mode("overwrite").parquet(staged)
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(
+            glob.glob(os.path.join(staged, "part-*.parquet"))[0],
+            os.path.join(d, "embeddings.parquet"),
+        )
+        return d
 
     t_spark = S.calibrate_null_threshold(df, floor=0.45)
     assert t_spark >= 0.45
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{pq}/*.parquet'")
-    t_duck = con.execute(
-        f"WITH {_null_calib_ctes(0.45)} SELECT t FROM _thr"
-    ).fetchone()[0]
-    assert t_spark == t_duck
+    t_replica = S.calibrate_null_threshold_py(as_sf_dir(df, "dirty"), floor=0.45)
+    assert t_spark == t_replica
 
     # tiny corpus (n < 3): both faces return the floor
     tiny = df.filter(F.col("vec_id") < 2)
-    tiny.write.mode("overwrite").parquet(str(tmp_path / "tiny.parquet"))
     assert S.calibrate_null_threshold(tiny, floor=0.45) == 0.45
-    con2 = duckdb.connect()
-    con2.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/tiny.parquet/*.parquet'"
+    assert (
+        S.calibrate_null_threshold_py(as_sf_dir(tiny, "tiny"), floor=0.45) == 0.45
     )
-    assert con2.execute(
-        f"WITH {_null_calib_ctes(0.45)} SELECT t FROM _thr"
-    ).fetchone()[0] == 0.45
 
 
 def test_exact_median_ignores_nulls(spark):

@@ -2,7 +2,7 @@
 
 The driver's correctness gate checks only the FIRST 50 registry
 entries per round, so with a 140+-query registry the priority window
-(plans/__init__._PRIORITY_R5) must rotate: the invariant is that no
+(plans/__init__._PRIORITY_R7, the registry prefix) must rotate: the invariant is that no
 registered query's latest external verdict is ever older than
 MAX_STALENESS rounds. This tool replays the recorded
 CORRECTNESS_r*.json history, assumes the CURRENT window lands in the

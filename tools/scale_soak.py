@@ -243,6 +243,10 @@ FAMILY_SF3 = [
     # BPE tokenizer (r6): training cost ~ word-TYPE table (Heaps-law,
     # heavily sub-linear on this closed vocabulary), encode ~ corpus
     "llm_bpe_train", "llm_bpe_encode",
+    # perceptual-hash image dedup (r7: checkpointed decode — every PNG
+    # decodes exactly once; decode is the constant factor, banded
+    # equi-join the join shape)
+    "llm_image_dedup_pairs",
 ]
 
 
