@@ -31,6 +31,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _spread
+
+# The synth_* generators feed CPU-bound pure-Python codec chains in
+# mapInPandas: a single-file scan (1-2 splits) would pin the whole
+# decode to 2 of 32 cores — measured 91 s for the sf1 aHash sweep
+# before spreading. _spread (operators/dedup.py) repartitions ONLY
+# when the scan is under-parallel; at 100 TB the scan is thousands of
+# splits and no exchange is added. Applied to the generators whose
+# registered queries sit in the r7 verify window (png/wav/avi/phash);
+# jpeg/gif/flac inherit it when their rows next rotate.
+
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, mean_byte double, content_md5 string"
 )
@@ -208,7 +219,7 @@ def synth_png_images(df_docs: DataFrame, side: int = PNG_SIDE) -> DataFrame:
     end-to-end without being able to parse PNG itself."""
     from .png import encode_png
 
-    base = df_docs.select("doc_id")
+    base = _spread(df_docs.select("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -407,7 +418,7 @@ def synth_wav_audio(df_docs: DataFrame, n_samples: int = WAV_SAMPLES) -> DataFra
     without parsing WAV."""
     from .wav import encode_wav
 
-    base = df_docs.select("doc_id")
+    base = _spread(df_docs.select("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -475,7 +486,7 @@ def synth_avi_video(df_docs: DataFrame) -> DataFrame:
     padding bugs can't hide."""
     from .avi import encode_avi
 
-    base = df_docs.select("doc_id")
+    base = _spread(df_docs.select("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -730,7 +741,7 @@ def synth_phash_images(df_docs: DataFrame) -> DataFrame:
     separates bright from dark)."""
     from .png import encode_png
 
-    base = df_docs.select("doc_id")
+    base = _spread(df_docs.select("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -214,3 +214,20 @@ def test_gemm_topk_plan_shape(spark, sf_med):
             l for l in plan.splitlines() if "embeddings" in l and "Scan" in l
         ]
         assert len(scans) == 2, plan
+
+
+def test_image_dedup_decode_runs_once(spark, sf_med):
+    """r7 perf fix guard: the banded self-join must read the
+    checkpointed hash table on BOTH sides — if the localCheckpoint is
+    dropped, each side re-runs the encode+decode mapInPandas lineage
+    and the plan shows the Python decode stages again (the 2x decode
+    that made this the slowest query in the r6 sweep)."""
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        q_image_dedup_pairs,
+    )
+
+    plan = _plan(q_image_dedup_pairs(spark, sf_med))
+    # the decode lineage is sealed behind the checkpoint barrier: the
+    # join consumes an ExistingRDD scan, not MapInPandas stages
+    assert "MapInPandas" not in plan, plan[:2000]
+    assert "ExistingRDD" in plan
