@@ -86,3 +86,31 @@ def test_pq_prebuilt_codebook_reused(spark, sf_small):
     a = {tuple(r) for r in S.pq_ann_topk(emb, q, k=3, books=books).collect()}
     b = {tuple(r) for r in S.pq_ann_topk(emb, q, k=3).collect()}
     assert a == b
+
+
+def test_portable_sample_matrix_matches_spark_sample(spark, sf_small):
+    """The frozen-literal oracle technique (r7) rests on one
+    equivalence: the Spark-free replica (DuckDB scan + hashlib
+    md5-h60 sort) must rebuild the EXACT float64 sample matrix the
+    Spark face collects via TakeOrdered — same rows, same order, same
+    bits. A numpy/duckdb/parquet-reader drift would show here first,
+    isolated from the end-to-end oracle runs."""
+    import numpy as np
+
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.operators import similarity as S
+
+    emb = load(spark, sf_small, "embeddings")
+    rows = (
+        S._hash_ordered(emb, "vec_id", 0, order="md5h60")
+        .limit(64)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X_spark = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    X_replica = S.portable_sample_matrix(sf_small, 64)
+    assert np.array_equal(X_spark, X_replica)
+    # and the trained artifacts that flow from it are bit-identical
+    C1 = S._lloyd_spherical(X_spark, 16, 3)
+    C2 = S._lloyd_spherical(X_replica, 16, 3)
+    assert np.array_equal(C1, C2)

@@ -49,13 +49,20 @@ def load_history(repo_dir: str) -> tuple[dict[str, int], int]:
 
 def check(repo_dir: str, verbose: bool = False) -> list[str]:
     """Queries that would violate the staleness invariant AFTER the
-    current priority window lands in the upcoming round."""
+    current priority window lands in the upcoming round — PLUS the
+    full feasibility lookahead (Hall's condition): for every horizon
+    h, the queries whose verification deadline falls within the next
+    h rounds must fit h windows, or some future round is already
+    over-committed no matter how its rotation is arranged (the r7
+    lesson: the r3/r4-era backlog plus a 149-query registry left r8
+    nearly zero slack until five rows were retired)."""
     from real_time_event_streaming_pipeline_spark.plans import all_queries
 
     registry = list(all_queries())
     latest, upcoming = load_history(repo_dir)
     window = set(registry[:WINDOW])
     violations = []
+    deadlines: list[int] = []
     for q in registry:
         eff = upcoming if q in window else latest.get(q)
         if eff is None:
@@ -69,6 +76,24 @@ def check(repo_dir: str, verbose: bool = False) -> list[str]:
                 f"{q}: latest driver verdict r{latest.get(q)}, age {age} > {MAX_STALENESS} "
                 "after the upcoming round — rotate it into the priority window"
             )
+        # feasibility lookahead input: the last round q can wait for is
+        # eff + MAX_STALENESS + 1 (being in THAT round's window cures
+        # the would-be violation at its pre-round check)
+        deadlines.append(eff + MAX_STALENESS + 1)
+    # Hall's condition over the rolling windows: for every horizon h,
+    # the queries whose deadline falls within the next h rounds must
+    # fit h windows — otherwise some future round is already
+    # over-committed no matter how the rotation is arranged
+    for h in range(1, MAX_STALENESS + 2):
+        due = sum(1 for d in deadlines if d <= upcoming + h)
+        if due > h * WINDOW:
+            violations.append(
+                f"lookahead: {due} queries must be verified within the next "
+                f"{h} round(s) but only {h * WINDOW} window slots exist — "
+                "retire/merge rows or rotate more of them this round"
+            )
+        elif verbose:
+            print(f"lookahead h={h}: {due} due of {h * WINDOW} slots")
     return violations
 
 
