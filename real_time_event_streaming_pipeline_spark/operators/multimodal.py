@@ -38,9 +38,10 @@ from .dedup import _spread
 # decode to 2 of 32 cores — measured 91 s for the sf1 aHash sweep
 # before spreading. _spread (operators/dedup.py) repartitions ONLY
 # when the scan is under-parallel; at 100 TB the scan is thousands of
-# splits and no exchange is added. Applied to the generators whose
-# registered queries sit in the r7 verify window (png/wav/avi/phash);
-# jpeg/gif/flac inherit it when their rows next rotate.
+# splits and no exchange is added. Applied to every synth_*
+# generator; jpeg/gif/flac's registered rows (r6 verdicts) carry this
+# r7 code change and are committed to the r8 rotation window — the
+# same one-round-lag precedent as r6's corpus_build plan change.
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, mean_byte double, content_md5 string"
@@ -319,7 +320,7 @@ def synth_jpeg_images(
     verify the decode end-to-end without parsing JPEG itself."""
     from .jpeg import encode_jpeg
 
-    base = df_docs.select("doc_id")
+    base = _spread(df_docs.select("doc_id"))
     nb = side // 8
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -570,7 +571,7 @@ def synth_gif_clips(df_docs: DataFrame) -> DataFrame:
     parsing GIF."""
     from .gif import encode_gif
 
-    base = df_docs.select("doc_id")
+    base = _spread(df_docs.select("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -654,7 +655,7 @@ def synth_flac_audio(df_docs: DataFrame, n_samples: int = FLAC_SAMPLES) -> DataF
     so a SQL oracle can verify the decode without parsing FLAC."""
     from .flac import encode_flac
 
-    base = df_docs.select("doc_id")
+    base = _spread(df_docs.select("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
