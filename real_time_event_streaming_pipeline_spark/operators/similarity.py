@@ -138,23 +138,27 @@ def calibrate_null_threshold_py(
     round_digits: int = 4,
 ) -> float:
     """Spark-free replica of calibrate_null_threshold for the oracle
-    generator: DuckDB scan + hashlib md5-hex sort reproduce the exact
-    sample (the Spark face orders by the md5 hex STRING, then id),
-    float32 parquet values widen to float64 exactly in both readers,
-    and _null_threshold_from_sample is the same sequential fold — so
-    the generator inlines the bit-identical threshold literal."""
+    generator: the Spark face orders by the md5 hex STRING then id —
+    DuckDB's md5() returns the identical lowercase hex, so the sort +
+    limit push down and only ``sample_size`` rows cross into Python
+    (code-review r7: the previous full fetchall scaled with the
+    corpus). float32 parquet values widen to float64 exactly in both
+    readers, and _null_threshold_from_sample is the same sequential
+    fold — so the generator inlines the bit-identical threshold
+    literal."""
     import duckdb
-    import hashlib
 
-    rows = duckdb.sql(
-        f"SELECT {id_col}, {vec_col} FROM '{sf_dir}/{table}.parquet'"
-    ).fetchall()
-    n = len(rows)
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/{table}.parquet'"
+    ).fetchone()[0]
     if n < 3:
         return float(floor)
-    rows.sort(key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    rows = duckdb.sql(
+        f"SELECT {vec_col} FROM '{sf_dir}/{table}.parquet' "
+        f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {int(sample_size)}"
+    ).fetchall()
     return _null_threshold_from_sample(
-        [r[1] for r in rows[:sample_size]], n, floor, round_digits
+        [r[0] for r in rows], n, floor, round_digits
     )
 
 
@@ -664,18 +668,25 @@ def portable_sample_matrix(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Rebuild the md5h60-ordered sample WITHOUT Spark (DuckDB scan +
-    hashlib sort) — the oracle generator's replica of
-    ``_hash_ordered(..., order='md5h60').limit(limit)``. float32
-    parquet values widen to float64 exactly in both engines, so the
-    matrix is bit-identical to what the Spark face collects."""
+    """Rebuild the md5h60-ordered sample WITHOUT Spark — the oracle
+    generator's replica of ``_hash_ordered(..., order='md5h60')
+    .limit(limit)``. The ordering + limit push down into DuckDB (its
+    md5() is the same lowercase hex as hashlib/Spark — the established
+    _H60 twin), so only ``limit`` rows cross into Python instead of
+    the whole table (code-review r7: a full fetchall at an sf3 soak
+    dir materialized millions of rows per generator resolution).
+    float32 parquet values widen to float64 exactly in both readers,
+    so the matrix is bit-identical to what the Spark face collects;
+    the pushdown == hashlib-sort equivalence is pinned in
+    tests/test_ann_ivf_dlq.py."""
     import duckdb
 
     rows = duckdb.sql(
-        f"SELECT {id_col}, {vec_col} FROM '{sf_dir}/{table}.parquet'"
+        f"SELECT {vec_col} FROM '{sf_dir}/{table}.parquet' "
+        f"ORDER BY CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT), "
+        f"{id_col} LIMIT {int(limit)}"
     ).fetchall()
-    rows.sort(key=lambda r: (_h60_py(str(r[0])), r[0]))
-    return np.array([list(r[1]) for r in rows[:limit]], dtype=np.float64)
+    return np.array([list(r[0]) for r in rows], dtype=np.float64)
 
 
 def sample_centroids(

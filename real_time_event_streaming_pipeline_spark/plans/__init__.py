@@ -346,10 +346,42 @@ def all_oracles() -> dict[str, str]:
     verifies at (sf0.01) unless SPARK_GRAFT_ORACLE_SF_DIR points
     elsewhere (tools/verify_local.py sets it to the sf under test)."""
     import os
+    import sys
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     merged: dict[str, str] = {}
     for m in _modules():
         merged.update(m.ORACLE)
-    merged = {k: (v(sf_dir) if callable(v) else v) for k, v in merged.items()}
-    return _reorder(merged)
+    out: dict[str, str] = {}
+    for k, v in merged.items():
+        if callable(v):
+            # a generator needs the data (it trains the inlined
+            # literals): on a corpus that lacks its table — e.g. a
+            # partial /tmp soak dir with documents only — degrade that
+            # ROW to rows-only instead of making the whole oracle map
+            # unbuildable (code-review r7)
+            try:
+                out[k] = _oracle_gen_cached(v, sf_dir)
+            except Exception as e:  # noqa: BLE001 — degrade, don't die
+                print(
+                    f"oracle generator for {k} failed at {sf_dir} "
+                    f"({type(e).__name__}: {e}) — row degrades to rows-only",
+                    file=sys.stderr,
+                )
+        else:
+            out[k] = v
+    return _reorder(out)
+
+
+_GEN_CACHE: dict = {}
+
+
+def _oracle_gen_cached(gen, sf_dir: str) -> str:
+    """Memoize generator resolution per (generator, sf_dir): the
+    trained literals are deterministic functions of the corpus, and
+    repeated all_oracles() calls (tests, sweeps) shouldn't re-pay the
+    DuckDB scan + numpy training."""
+    key = (gen.__module__, gen.__qualname__, sf_dir)
+    if key not in _GEN_CACHE:
+        _GEN_CACHE[key] = gen(sf_dir)
+    return _GEN_CACHE[key]

@@ -757,20 +757,23 @@ def q_fn_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FN_SKETCH_ALGEBRA_SQL = """
+_FN_SKETCH_ALGEBRA_SQL = (
+    CITY_EVENTS_CTE
+    + """
 SELECT
-  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'view') AS exact_view,
-  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS exact_purchase,
+  (SELECT count(DISTINCT user_id) FROM windowed WHERE event_type = 'view') AS exact_view,
+  (SELECT count(DISTINCT user_id) FROM windowed WHERE event_type = 'purchase') AS exact_purchase,
   (SELECT count(*) FROM (
-     SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+     SELECT DISTINCT user_id FROM windowed WHERE event_type = 'view'
      INTERSECT
-     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS exact_both,
+     SELECT DISTINCT user_id FROM windowed WHERE event_type = 'purchase')) AS exact_both,
   TRUE AS est_view_ok,
   TRUE AS est_purchase_ok,
   TRUE AS est_union_ok,
   TRUE AS est_both_ok,
   TRUE AS est_view_only_ok
 """
+)
 
 
 def q_fn_kll_quantiles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,9 +842,15 @@ def q_fn_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FN_KLL_SQL = """
+# twin routed through the same CITY_EVENTS_CTE enrichment the Spark
+# face reads (code-review r7: a future filter in city_events must
+# break BOTH sides, not silently diverge), and n counts non-NULL
+# values exactly like kll_sketch_get_n_double
+_FN_KLL_SQL = (
+    CITY_EVENTS_CTE
+    + """
 SELECT
-  count(*) AS n,
+  count(value) AS n,
   CAST(quantile_cont(value, 0.25) AS DOUBLE) AS exact_p25,
   CAST(quantile_cont(value, 0.5) AS DOUBLE) AS exact_p50,
   CAST(quantile_cont(value, 0.75) AS DOUBLE) AS exact_p75,
@@ -850,8 +859,9 @@ SELECT
   TRUE AS kll_p50_rank_ok,
   TRUE AS kll_p75_rank_ok,
   TRUE AS kll_p95_rank_ok
-FROM events
+FROM windowed
 """
+)
 
 
 _FN_VARIANT_SQL = """

@@ -78,11 +78,15 @@ def gated_chunks_df(docs: DataFrame, with_image_hash: bool = False) -> DataFrame
     batch by the same closed-world argument as the gate (pinned in
     tests/test_streaming_corpus.py)."""
     passing = gopher_rules_df(docs).filter("passes").select("doc_id")
-    chunks = doc_chunks_df(docs.join(passing, "doc_id"))
+    gated = docs.join(passing, "doc_id")
+    chunks = doc_chunks_df(gated)
     if with_image_hash:
         from ..operators.multimodal import image_ahash
 
-        chunks = chunks.join(image_ahash(docs), "doc_id")
+        # hash only the GATED documents: the inner join would discard
+        # rejected docs' hashes anyway, and the decode is the dominant
+        # pure-Python cost (code-review r7)
+        chunks = chunks.join(image_ahash(gated), "doc_id")
     return chunks
 
 

@@ -98,18 +98,16 @@ def main():
     only = set(args[1:])
     spark = get_spark("verify_local")
     con = duckdb.connect()
-    import os as _os
+    import os
 
     for t in TABLES:
         # partial corpora (the /tmp soak dirs carry only documents +
         # embeddings) still verify the queries whose tables exist
-        if _os.path.exists(f"{sf_dir}/{t}.parquet"):
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    # a few oracles (IVF/PQ ANN) inline trained literals derived from
-    # the data itself; point their generator at the sf under test (the
-    # external driver uses the default, sf0.01)
-    import os
-
+    # a few oracles (IVF/PQ ANN, semdedup) inline trained literals
+    # derived from the data itself; point their generator at the sf
+    # under test (the external driver uses the default, sf0.01)
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
