@@ -231,3 +231,33 @@ def test_image_dedup_decode_runs_once(spark, sf_med):
     # join consumes an ExistingRDD scan, not MapInPandas stages
     assert "MapInPandas" not in plan, plan[:2000]
     assert "ExistingRDD" in plan
+
+
+def test_merged_faces_keep_ideal_plans(spark, sf_med):
+    """r7 registry-consolidation guard: the merged faces must not have
+    bought their wider surface with plan regressions.
+    - rel_grouping_sets (now the full 4-set lattice incl. rollup's):
+      ONE Expand + ONE exchange — the whole lattice in a single
+      shuffle pass, exactly as rollup/cube compile;
+    - fn_math (now carrying the bitwise battery): zero exchanges —
+      still a pure scan-side projection;
+    - fn_array (now carrying posexplode): one Generate, zero
+      exchanges — the lateral explode rides the scan."""
+    from real_time_event_streaming_pipeline_spark.plans.relational import (
+        q_grouping_sets,
+    )
+    from real_time_event_streaming_pipeline_spark.plans.scalar import (
+        q_fn_array,
+        q_fn_math,
+    )
+
+    gs = _plan(q_grouping_sets(spark, sf_med))
+    assert gs.count("Expand") == 1
+    assert gs.count("Exchange") == 1
+
+    fm = _plan(q_fn_math(spark, sf_med))
+    assert "Exchange" not in fm
+
+    fa = _plan(q_fn_array(spark, sf_med))
+    assert fa.count("Generate") == 1
+    assert "Exchange" not in fa
