@@ -123,6 +123,71 @@ _PRIORITY_R7 = (
 # hold r5/r4 verdicts and rotate in r7.) Registry-capacity note: the
 # steady-state ceiling is WINDOW × MAX_STALENESS = 150 registered
 # queries; at 144 every new registration must earn its slot.
+# The PLANNED r8 window, staged ahead (the r6 close-out forgot to
+# stage r7's and shipped a red rotation test — never again): all 13
+# r4-era rows deferred from r7, the three codecs whose code the r7
+# under-parallel spread touched, and 34 of the 36 remaining r5-era
+# rows (fn_try_arith / fn_conditional — pure scalar batteries,
+# strict-green every round — spill to r9, which then holds 43 of 50).
+# NOT wired: r8's first commit renames this to _PRIORITY_R8, swaps in
+# anything r8 itself changes (displacing the most stable members into
+# r9's slack), and re-runs tools/rotation_check.py.
+_PRIORITY_R8_PLAN = (
+    # r4-era (age 3 — staleness-forced)
+    "cs_raw_events",
+    "cs_windowed_agg",
+    "cs_alerts",
+    "cs_events_by_city",
+    "cs_summary_city",
+    "cs_cities",
+    "cs_aggregations_filtered",
+    "cs_stats",
+    "cs_global_counts",
+    "cs_alerts_recent",
+    "cs_raw_with_ttl",
+    "cs_sliding_agg",
+    "fn_window_analytic",
+    # r6-era, code touched by the r7 spread — one-round-lag commitment
+    "llm_multimodal_jpeg",
+    "llm_multimodal_gif",
+    "llm_multimodal_flac",
+    # r5-era (deadline r9; pre-drained here so r9 can hold the r6-era block)
+    "rel_recursive_sessions",
+    "rel_window_frames",
+    "rel_session_window_native",
+    "rel_null_aware_anti_join",
+    "rel_customers_without_orders",
+    "rel_setops_suppliers",
+    "rel_top_orders_per_customer",
+    "rel_running_revenue_by_supplier",
+    "rel_user_event_gaps",
+    "rel_cube_events",
+    "rel_distinct_parts_per_flag",
+    "rel_pivot_event_matrix",
+    "rel_asof_purchase_view",
+    "rel_events_within_window_pairs",
+    "rel_user_sessions",
+    "rel_skew_salted_counts",
+    "rel_revenue_delta",
+    "rel_priority_late_orders",
+    "rel_top_return_customers",
+    "rel_deterministic_split",
+    "rel_resample_hourly_gapfill",
+    "rel_small_quantity_revenue",
+    "rel_order_count_distribution",
+    "rel_min_cost_supplier",
+    "rel_cross_nation_volume",
+    "rel_market_share",
+    "rel_top_revenue_supplier",
+    "rel_disjunctive_band_join",
+    "rel_waiting_suppliers",
+    "rel_dormant_rich_customers",
+    "rel_part_value_share",
+    "rel_priority_linecount",
+    "rel_promo_revenue",
+    "rel_supplier_part_cnt",
+)
+
 _PRIORITY_R6 = (
     # new in round 6 — no driver verdict yet (rotation_check enforces
     # window membership for these)

@@ -40,3 +40,20 @@ def rotation_len():
     import rotation_check
 
     return rotation_check.WINDOW
+
+
+def test_staged_r8_plan_resolves():
+    """The pre-staged next-round window (r7 close-out discipline — r6
+    shipped without one and went red): 50 unique names, all resolving
+    in the current registry. The full feasibility simulation runs at
+    r8's own close-out once CORRECTNESS_r07 exists."""
+    from real_time_event_streaming_pipeline_spark.plans import (
+        _PRIORITY_R8_PLAN,
+        all_queries,
+    )
+
+    registry = set(all_queries())
+    assert len(_PRIORITY_R8_PLAN) == rotation_len()
+    assert len(set(_PRIORITY_R8_PLAN)) == len(_PRIORITY_R8_PLAN)
+    missing = [q for q in _PRIORITY_R8_PLAN if q not in registry]
+    assert not missing, missing
