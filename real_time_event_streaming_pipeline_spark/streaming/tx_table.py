@@ -1469,6 +1469,74 @@ def compact(
     return version + 1
 
 
+def clone(
+    src_dir: str,
+    dst_dir: str,
+    version: int | None = None,
+    mode: str = "shallow",
+) -> int:
+    """Delta's CREATE TABLE ... CLONE: materialize a pinned snapshot
+    of the source as an INDEPENDENT table at ``dst_dir`` (its version
+    0) — the dev/test-copy and branch-for-experiment primitive of a
+    lakehouse table. ``mode``:
+
+    - "shallow": hard-link every referenced data + DV file —
+      O(metadata), zero bytes copied (same filesystem). Because data
+      files are immutable (every transaction writes a fresh txn dir)
+      and a hard link keeps the bytes alive independently of the
+      source's directory entry, the clone is FULLY isolated: the
+      source's vacuum/compaction can never orphan it — stronger than
+      Delta's path-referencing shallow clone at the same cost.
+    - "deep": byte copies (for crossing filesystems).
+
+    DV sidecars travel with their files, so merge-on-read state is
+    preserved bit-for-bit. History does NOT carry over (the clone
+    starts at v0, as in Delta); the exactly-once epoch LEDGER does —
+    a producer replaying an already-applied epoch into the clone is
+    deduped exactly as it would be on the source. The clone manifest
+    records its lineage under ``source``."""
+    import shutil
+
+    if mode not in ("shallow", "deep"):
+        raise ValueError(f"mode must be 'shallow' or 'deep', got {mode!r}")
+    snap = snapshot(src_dir, version)
+    if snap is None:
+        raise ValueError(f"clone source {src_dir} has no committed version")
+    if latest_version(dst_dir) is not None:
+        raise ValueError(f"clone destination {dst_dir} already holds a table")
+    src_v, man = snap
+    bring = os.link if mode == "shallow" else shutil.copy2
+
+    def bring_tree(rel: str) -> None:
+        srcp = os.path.join(_data_dir(src_dir), rel)
+        dstp = os.path.join(_data_dir(dst_dir), rel)
+        if os.path.isdir(srcp):  # DV sidecar dirs
+            for root, _dirs, files in os.walk(srcp):
+                for fname in files:
+                    sp = os.path.join(root, fname)
+                    rp = os.path.relpath(sp, _data_dir(src_dir))
+                    dp = os.path.join(_data_dir(dst_dir), rp)
+                    if not os.path.exists(dp):
+                        os.makedirs(os.path.dirname(dp), exist_ok=True)
+                        bring(sp, dp)
+        elif not os.path.exists(dstp):
+            os.makedirs(os.path.dirname(dstp), exist_ok=True)
+            bring(srcp, dstp)
+
+    for f in man["files"]:
+        bring_tree(f["path"])
+        if f.get("dv"):
+            bring_tree(f["dv"])
+    new_man = dict(
+        man,
+        version=0,
+        op="clone",
+        source={"table": os.path.abspath(src_dir), "version": src_v, "mode": mode},
+    )
+    _commit(dst_dir, 0, new_man)
+    return 0
+
+
 def restore(table_dir: str, version: int) -> int:
     """Delta's RESTORE TABLE TO VERSION: commit a NEW version whose
     file list (and schema, stats columns) equals an earlier commit's —

@@ -932,3 +932,86 @@ def test_tx_vacuum_manifest_retention_window(spark, tmp_path):
     assert tx_table.list_versions(tx) == [1, 2]
     ch = tx_table.read_changes(spark, tx, 2)
     assert ch is not None and ch.count() > 0
+
+
+def test_tx_clone_shallow_pinned_and_isolated(spark, tmp_path):
+    """CLONE (r7): a shallow clone of a pinned version reads
+    bit-identically, evolves independently in both directions, and —
+    because every referenced file is HARD-LINKED, not path-referenced
+    — survives the source's vacuum of the cloned version."""
+    src = str(tmp_path / "src")
+    rows0 = [(f"k{i}", i) for i in range(20)]
+    tx_table.upsert(spark, src, _batch(spark, rows0), ["k"], n_buckets=4,
+                    order_col="v", epoch_id=0)
+    v_pin = tx_table.latest_version(src)
+    tx_table.upsert(spark, src, _batch(spark, [("k3", 999), ("new", 1)]),
+                    ["k"], n_buckets=4, order_col="v", epoch_id=1)
+
+    dst = str(tmp_path / "clone")
+    assert tx_table.clone(src, dst, version=v_pin) == 0
+    want = {(r.k, r.v) for r in tx_table.read_table(spark, src, version=v_pin)
+            .select("k", "v").collect()}
+    got = {(r.k, r.v) for r in tx_table.read_table(spark, dst)
+           .select("k", "v").collect()}
+    assert got == want == set(rows0)
+    # lineage recorded
+    man = tx_table.read_manifest(dst, 0)
+    assert man["op"] == "clone" and man["source"]["version"] == v_pin
+
+    # independent evolution: writes to the clone don't touch the source
+    tx_table.upsert(spark, dst, _batch(spark, [("k0", -1)]), ["k"],
+                    n_buckets=4, order_col="v", epoch_id=50)
+    assert ("k0", -1) in {
+        (r.k, r.v) for r in tx_table.read_table(spark, dst).select("k", "v").collect()
+    }
+    assert ("k0", 0) in {
+        (r.k, r.v)
+        for r in tx_table.read_table(spark, src, version=v_pin)
+        .select("k", "v").collect()
+    }
+
+    # source vacuums the pinned version away — hardlinks keep the
+    # clone's bytes alive
+    for _ in range(3):  # push v_pin out of the retained tail
+        tx_table.upsert(spark, src, _batch(spark, [("churn", 7)]), ["k"],
+                        n_buckets=4, order_col="v")
+    tx_table.vacuum(src, keep_versions=1, retention_seconds=0.0)
+    still = {(r.k, r.v) for r in tx_table.read_table(spark, dst, version=0)
+             .select("k", "v").collect()}
+    assert still == want
+
+    # occupied destination fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="already holds a table"):
+        tx_table.clone(src, dst)
+
+
+def test_tx_clone_carries_dv_state_and_ledger(spark, tmp_path):
+    """A merge-on-read snapshot (live deletion vectors) clones
+    bit-identically in BOTH modes, and the exactly-once ledger travels:
+    replaying an already-applied epoch into the clone is a no-op."""
+    src = str(tmp_path / "src")
+    tx_table.upsert(spark, src, _batch(spark, [(f"k{i}", i) for i in range(12)]),
+                    ["k"], n_buckets=2, order_col="v", epoch_id=0)
+    tx_table.delete(spark, src,
+                    spark.createDataFrame([("k4",), ("k7",)], "k string"),
+                    epoch_id=1, mode="dv")
+    want = {(r.k, r.v) for r in tx_table.read_table(spark, src)
+            .select("k", "v").collect()}
+    assert len(want) == 10  # DVs live
+
+    for mode in ("shallow", "deep"):
+        dst = str(tmp_path / f"clone_{mode}")
+        tx_table.clone(src, dst, mode=mode)
+        got = {(r.k, r.v) for r in tx_table.read_table(spark, dst)
+               .select("k", "v").collect()}
+        assert got == want, mode
+        # ledger travels: replaying epoch 0 into the clone changes nothing
+        v_before = tx_table.latest_version(dst)
+        tx_table.upsert(spark, dst,
+                        _batch(spark, [("k0", 777777)]), ["k"], n_buckets=2,
+                        order_col="v", epoch_id=0)
+        assert tx_table.latest_version(dst) == v_before
+        assert {(r.k, r.v) for r in tx_table.read_table(spark, dst)
+                .select("k", "v").collect()} == want
