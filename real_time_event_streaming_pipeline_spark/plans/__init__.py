@@ -123,16 +123,21 @@ _PRIORITY_R7 = (
 # hold r5/r4 verdicts and rotate in r7.) Registry-capacity note: the
 # steady-state ceiling is WINDOW × MAX_STALENESS = 150 registered
 # queries; at 144 every new registration must earn its slot.
-# The PLANNED r8 window, staged ahead (the r6 close-out forgot to
-# stage r7's and shipped a red rotation test — never again): all 13
-# r4-era rows deferred from r7, the three codecs whose code the r7
-# under-parallel spread touched, and 34 of the 36 remaining r5-era
-# rows (fn_try_arith / fn_conditional — pure scalar batteries,
-# strict-green every round — spill to r9, which then holds 43 of 50).
-# NOT wired: r8's first commit renames this to _PRIORITY_R8, swaps in
-# anything r8 itself changes (displacing the most stable members into
-# r9's slack), and re-runs tools/rotation_check.py.
-_PRIORITY_R8_PLAN = (
+# Round 8's window, wired as the round's FIRST commit (r7 verdict #1)
+# from the staged _PRIORITY_R8_PLAN: all 13 r4-era rows deferred from
+# r7 (staleness-forced at age 3), the three codecs whose generators
+# the r7 under-parallel `_spread` touched (one-round-lag commitment),
+# 30 r5-era pre-drains, and the four faces round 8 itself changes —
+# cs_tx_dml_lifecycle (gains the CLONE-branch leg, r7 verdict #6),
+# fn_conditional (absorbs the retired fn_try_arith battery),
+# llm_multimodal_frames (absorbs the retired llm_multimodal_meta —
+# shared decode lineage), and llm_dedup_minhash_lsh (absorbs the
+# retired llm_dedup_minhash_survivors as a mode) — each displacing
+# one of the four most-stable r5-era pre-drains (rel_promo_revenue,
+# rel_supplier_part_cnt, rel_priority_linecount, rel_part_value_share
+# — pure TPC-H aggregates, strict-green every round since r1) into
+# the r9 plan, where their r9 deadline is met.
+_PRIORITY_R8 = (
     # r4-era (age 3 — staleness-forced)
     "cs_raw_events",
     "cs_windowed_agg",
@@ -151,6 +156,11 @@ _PRIORITY_R8_PLAN = (
     "llm_multimodal_jpeg",
     "llm_multimodal_gif",
     "llm_multimodal_flac",
+    # changed by round 8 itself (see block comment above)
+    "cs_tx_dml_lifecycle",
+    "fn_conditional",
+    "llm_multimodal_frames",
+    "llm_dedup_minhash_lsh",
     # r5-era (deadline r9; pre-drained here so r9 can hold the r6-era block)
     "rel_recursive_sessions",
     "rel_window_frames",
@@ -182,11 +192,83 @@ _PRIORITY_R8_PLAN = (
     "rel_disjunctive_band_join",
     "rel_waiting_suppliers",
     "rel_dormant_rich_customers",
-    "rel_part_value_share",
-    "rel_priority_linecount",
+)
+
+# The live window alias: rotation tooling and tests reference THIS
+# name so each round's rewire is a one-line change, not a test edit.
+PRIORITY_WINDOW = _PRIORITY_R8
+
+# The PLANNED r9 window, staged ahead (the discipline that kept r7's
+# handoff green): the four r5-era pre-drains displaced by r8's
+# changed-face swap-ins (deadline r9 — MUST land), every row whose
+# latest verdict is r6 and survives the r8 retirements (deadline r10,
+# pre-drained here so r10 keeps slack for whatever r9 changes), and 7
+# of the most stable r7-verdict scalar batteries (deadline r11) to
+# fill the window. Finalized at r8 close-out: anything r8 itself
+# still changes swaps in, displacing the deadline-r11 tail first.
+# tools/rotation_check.py accepts this staged plan as the presumed
+# next window between rounds (pass-with-warning), so the moment
+# CORRECTNESS_r08.json lands the repo does not go structurally red.
+_PRIORITY_R9_PLAN = (
+    # displaced r5-era pre-drains — deadline r9, staleness-forced
     "rel_promo_revenue",
     "rel_supplier_part_cnt",
+    "rel_priority_linecount",
+    "rel_part_value_share",
+    # deadline r9; retires into fn_conditional later this round, at
+    # which point this row leaves the registry and the plan (a filler
+    # returns to keep the plan at 50)
+    "fn_try_arith",
+    # r6-verdict block — deadline r10, pre-drained
+    "cs_alert_followups",
+    "cs_kafka_producer_frame",
+    "cs_producer_metrics",
+    "cs_upsert_lww",
+    "fn_percentiles",
+    "fn_variant",
+    "llm_bigram_logprob",
+    "llm_bpe_encode",
+    "llm_bpe_train",
+    "llm_char_entropy",
+    "llm_corpus_pipeline",
+    "llm_corpus_stats_cube",
+    "llm_dedup_exact",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash_pairs",
+    "llm_doc_chunking",
+    "llm_dsir_weights",
+    "llm_dup_span_removal",
+    "llm_emb_ann_lsh",
+    "llm_emb_cosine_topk",
+    "llm_emb_neardup",
+    "llm_emb_quantize",
+    "llm_fingerprint",
+    "llm_knn_classify",
+    "llm_lang_id",
+    "llm_length_outliers",
+    "llm_pack_materialize",
+    "llm_quality",
+    "llm_semdedup",
+    "llm_semdedup_survivors",
+    "llm_seq_packing",
+    "llm_text_stats",
+    "llm_token_rarity",
+    "rel_cep_pattern",
+    "rel_event_transitions",
+    "rel_funnel_conversion",
+    "rel_lateral_topk",
+    "rel_ts_similarity",
+    "rel_value_outliers",
+    # r7-verdict scalar batteries — deadline r11, pre-drained filler
+    "fn_url",
+    "fn_array",
+    "fn_unpivot",
+    "fn_string",
+    "fn_datetime",
+    "fn_json",
 )
+
+STAGED_NEXT_WINDOW = _PRIORITY_R9_PLAN
 
 _PRIORITY_R6 = (
     # new in round 6 — no driver verdict yet (rotation_check enforces
@@ -389,7 +471,7 @@ _PRIORITY_R4 = (
 
 
 def _reorder(merged: dict) -> dict:
-    out = {k: merged[k] for k in _PRIORITY_R7 if k in merged}
+    out = {k: merged[k] for k in PRIORITY_WINDOW if k in merged}
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out
 

@@ -2,7 +2,9 @@
 entry driver window over a 140+-query registry, every registered
 query's latest external verdict must stay within MAX_STALENESS
 rounds — enforced by tools/rotation_check.py, wrapped here so pytest
-fails a bad rotation BEFORE the round is judged."""
+fails a bad rotation BEFORE the round is judged. Tooling references
+plans.PRIORITY_WINDOW / plans.STAGED_NEXT_WINDOW so each round's
+rewire is a one-line alias change, not a test edit (r7 verdict #1)."""
 
 from __future__ import annotations
 
@@ -22,16 +24,16 @@ def test_rotation_invariant_holds():
 
 def test_priority_window_is_the_registry_prefix():
     from real_time_event_streaming_pipeline_spark.plans import (
-        _PRIORITY_R7,
+        PRIORITY_WINDOW,
         all_queries,
         all_oracles,
     )
 
     registry = list(all_queries())
-    assert list(_PRIORITY_R7) == registry[: rotation_len()]
+    assert list(PRIORITY_WINDOW) == registry[: rotation_len()]
     # every window entry resolves (a dangling name would silently
     # shrink the checked set)
-    assert all(q in registry for q in _PRIORITY_R7)
+    assert all(q in registry for q in PRIORITY_WINDOW)
     # oracles stay aligned with queries
     assert set(all_oracles()) <= set(registry)
 
@@ -42,18 +44,51 @@ def rotation_len():
     return rotation_check.WINDOW
 
 
-def test_staged_r8_plan_resolves():
-    """The pre-staged next-round window (r7 close-out discipline — r6
+def test_staged_next_plan_resolves():
+    """The pre-staged next-round window (close-out discipline — r6
     shipped without one and went red): 50 unique names, all resolving
-    in the current registry. The full feasibility simulation runs at
-    r8's own close-out once CORRECTNESS_r07 exists."""
+    in the current registry, and every query with the earliest
+    (upcoming+1) deadline covered, so the between-rounds handoff state
+    passes rotation_check as soon as the driver lands this round's
+    CORRECTNESS file."""
     from real_time_event_streaming_pipeline_spark.plans import (
-        _PRIORITY_R8_PLAN,
+        STAGED_NEXT_WINDOW,
         all_queries,
     )
 
     registry = set(all_queries())
-    assert len(_PRIORITY_R8_PLAN) == rotation_len()
-    assert len(set(_PRIORITY_R8_PLAN)) == len(_PRIORITY_R8_PLAN)
-    missing = [q for q in _PRIORITY_R8_PLAN if q not in registry]
+    assert len(STAGED_NEXT_WINDOW) == rotation_len()
+    assert len(set(STAGED_NEXT_WINDOW)) == len(STAGED_NEXT_WINDOW)
+    missing = [q for q in STAGED_NEXT_WINDOW if q not in registry]
     assert not missing, missing
+
+
+def test_handoff_state_passes_with_staged_plan(tmp_path, capsys):
+    """Simulate the between-rounds state that burned r6 and r7: the
+    driver has landed THIS round's CORRECTNESS file (copied as the
+    live window's green verdict), the live window has not been rewired
+    for the next round — rotation_check must pass (with a warning)
+    because the staged next plan cures every would-be violation."""
+    import glob
+    import json
+    import shutil
+
+    import rotation_check
+    from real_time_event_streaming_pipeline_spark import plans
+
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path / os.path.basename(p))
+    _, upcoming = rotation_check.load_history(str(tmp_path))
+    fake = {q: {"hash_match": True} for q in plans.PRIORITY_WINDOW}
+    (tmp_path / f"CORRECTNESS_r{upcoming:02d}.json").write_text(json.dumps(fake))
+    # the staged plan must exist under the name the check looks for
+    staged_name = f"_PRIORITY_R{upcoming + 1}_PLAN"
+    had = getattr(plans, staged_name, None)
+    try:
+        if had is None:
+            setattr(plans, staged_name, plans.STAGED_NEXT_WINDOW)
+        violations = rotation_check.check(str(tmp_path))
+    finally:
+        if had is None:
+            delattr(plans, staged_name)
+    assert not violations, "\n".join(violations)

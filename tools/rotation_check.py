@@ -2,7 +2,7 @@
 
 The driver's correctness gate checks only the FIRST 50 registry
 entries per round, so with a 140+-query registry the priority window
-(plans/__init__._PRIORITY_R7, the registry prefix) must rotate: the invariant is that no
+(plans/__init__.PRIORITY_WINDOW, the registry prefix) must rotate: the invariant is that no
 registered query's latest external verdict is ever older than
 MAX_STALENESS rounds. This tool replays the recorded
 CORRECTNESS_r*.json history, assumes the CURRENT window lands in the
@@ -47,20 +47,20 @@ def load_history(repo_dir: str) -> tuple[dict[str, int], int]:
     return latest, max_round + 1
 
 
-def check(repo_dir: str, verbose: bool = False) -> list[str]:
-    """Queries that would violate the staleness invariant AFTER the
-    current priority window lands in the upcoming round — PLUS the
-    full feasibility lookahead (Hall's condition): for every horizon
-    h, the queries whose verification deadline falls within the next
-    h rounds must fit h windows, or some future round is already
-    over-committed no matter how its rotation is arranged (the r7
-    lesson: the r3/r4-era backlog plus a 149-query registry left r8
+def _violations(
+    registry: list[str],
+    window: set[str],
+    latest: dict[str, int],
+    upcoming: int,
+    verbose: bool = False,
+) -> list[str]:
+    """Staleness violations assuming `window` lands in round `upcoming`,
+    plus the full feasibility lookahead (Hall's condition): for every
+    horizon h, the queries whose verification deadline falls within
+    the next h rounds must fit h windows, or some future round is
+    already over-committed no matter how its rotation is arranged (the
+    r7 lesson: the r3/r4-era backlog plus a 149-query registry left r8
     nearly zero slack until five rows were retired)."""
-    from real_time_event_streaming_pipeline_spark.plans import all_queries
-
-    registry = list(all_queries())
-    latest, upcoming = load_history(repo_dir)
-    window = set(registry[:WINDOW])
     violations = []
     deadlines: list[int] = []
     for q in registry:
@@ -80,10 +80,7 @@ def check(repo_dir: str, verbose: bool = False) -> list[str]:
         # eff + MAX_STALENESS + 1 (being in THAT round's window cures
         # the would-be violation at its pre-round check)
         deadlines.append(eff + MAX_STALENESS + 1)
-    # Hall's condition over the rolling windows: for every horizon h,
-    # the queries whose deadline falls within the next h rounds must
-    # fit h windows — otherwise some future round is already
-    # over-committed no matter how the rotation is arranged
+    # Hall's condition over the rolling windows
     for h in range(1, MAX_STALENESS + 2):
         due = sum(1 for d in deadlines if d <= upcoming + h)
         if due > h * WINDOW:
@@ -95,6 +92,37 @@ def check(repo_dir: str, verbose: bool = False) -> list[str]:
         elif verbose:
             print(f"lookahead h={h}: {due} due of {h * WINDOW} slots")
     return violations
+
+
+def check(repo_dir: str, verbose: bool = False) -> list[str]:
+    """Violations with the LIVE window presumed to land in the upcoming
+    round. Handoff-aware (r7 verdict #1): between rounds — the driver
+    has landed CORRECTNESS_r{N}.json but round N+1's first commit has
+    not yet rewired the window — the live window simulates as already
+    landed and the r4-era backlog looks red even though the staged
+    next-window plan covers it. If a staged ``_PRIORITY_R{upcoming}_
+    PLAN`` exists and presuming IT as the upcoming window cures every
+    violation, the check passes with a warning instead of failing:
+    the plan only needs the round's first commit to wire it."""
+    import real_time_event_streaming_pipeline_spark.plans as plans
+
+    registry = list(plans.all_queries())
+    latest, upcoming = load_history(repo_dir)
+    live = _violations(registry, set(registry[:WINDOW]), latest, upcoming, verbose=verbose)
+    if not live:
+        return []
+    staged = getattr(plans, f"_PRIORITY_R{upcoming}_PLAN", None)
+    if staged is not None:
+        staged_viol = _violations(registry, set(staged), latest, upcoming)
+        if not staged_viol:
+            print(
+                f"rotation WARNING: live window stale for upcoming r{upcoming} "
+                f"({len(live)} would-be violations) but staged _PRIORITY_R{upcoming}_PLAN "
+                "cures all of them — wire it as the round's first commit",
+                file=sys.stderr,
+            )
+            return []
+    return live
 
 
 def main() -> int:
