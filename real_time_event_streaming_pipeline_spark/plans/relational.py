@@ -477,16 +477,19 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the raw estimate can't hash-match an oracle — since r7
     the registered surface emits the exact count (bitwise-checked)
     plus the estimate's accuracy CONTRACT as a boolean the oracle pins
-    TRUE: default rsd = 0.05, pinned at 10% relative error (2σ; the
-    tighter envelope stays pytest-pinned). A sketch regression flips
-    the row red instead of hiding behind rows-only. At 100 TB this
-    replaces exact distinct for dashboards."""
+    TRUE: default rsd = 0.05, pinned at 15% relative error (3σ — r7
+    ADVICE: a 2σ envelope is a probabilistic guarantee that breaches
+    ~5% of groups when a big soak corpus pushes the sketch out of its
+    exact regime; the tighter envelope stays pytest-pinned at the sfs
+    where the sketch is exact). A sketch regression flips the row red
+    instead of hiding behind rows-only. At 100 TB this replaces exact
+    distinct for dashboards."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
         (
             F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
-            <= 0.1 * F.countDistinct("user_id")
+            <= 0.15 * F.countDistinct("user_id")
         ).alias("approx_rel_err_ok"),
     )
 

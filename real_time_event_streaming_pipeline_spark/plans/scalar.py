@@ -735,7 +735,9 @@ def q_fn_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the UNION support (the sketch's sampled universe), so every
     bound normalizes by exact_union; +0.5 absorbs exact-mode integer
     rounding at small SF where the estimates are exact and view_only
-    can be 0. Raw estimates stay on q_fn_sketch_set_algebra_raw
+    can be 0. Envelope audit (r7 ADVICE): theta default lgK=12 → RSE
+    ≈ 1/√4096 ≈ 1.6%, so the 5% bound is ≈3σ already — kept as-is.
+    Raw estimates stay on q_fn_sketch_set_algebra_raw
     (pytest-pinned inclusion-exclusion consistency)."""
     exact_union = (
         F.col("exact_view") + F.col("exact_purchase") - F.col("exact_both")
@@ -810,11 +812,11 @@ def q_fn_kll_quantiles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.5, 0.75, 0.95)
         ],
         *[
-            F.percentile("v", F.lit(max(0.0, q - 0.03))).alias(f"_lo{int(q * 100)}")
+            F.percentile("v", F.lit(max(0.0, q - 0.05))).alias(f"_lo{int(q * 100)}")
             for q in (0.25, 0.5, 0.75, 0.95)
         ],
         *[
-            F.percentile("v", F.lit(min(1.0, q + 0.03))).alias(f"_hi{int(q * 100)}")
+            F.percentile("v", F.lit(min(1.0, q + 0.05))).alias(f"_hi{int(q * 100)}")
             for q in (0.25, 0.5, 0.75, 0.95)
         ],
     )
@@ -825,9 +827,12 @@ def q_fn_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7 (VERDICT #6): n and the exact percentiles oracle-check
     bitwise; each KLL quantile is pinned as a RANK-error contract
     (KLL's guarantee is on rank, not value): the sketch's q-quantile
-    must lie within the exact [q−3%, q+3%] value window (k=200 →
-    one-sided normalized rank error ≈1.65%; 3% ≈ a 2σ envelope). Raw
-    quantiles stay on q_fn_kll_quantiles_raw (pytest rank pin)."""
+    must lie within the exact [q−5%, q+5%] value window (k=200 →
+    one-sided normalized rank error ≈1.65%; 5% ≈ a 3σ envelope — r7
+    ADVICE: 2σ contracts can intermittently breach once a soak-scale
+    corpus takes the sketch out of exact mode; the tight 2σ pin stays
+    in pytest at exact-regime sfs). Raw quantiles stay on
+    q_fn_kll_quantiles_raw (pytest rank pin)."""
     qlist = (0.25, 0.5, 0.75, 0.95)
     return q_fn_kll_quantiles_raw(spark, sf_dir).select(
         "n",

@@ -1505,7 +1505,19 @@ def clone(
     if latest_version(dst_dir) is not None:
         raise ValueError(f"clone destination {dst_dir} already holds a table")
     src_v, man = snap
-    bring = os.link if mode == "shallow" else shutil.copy2
+
+    def _atomic_copy(sp: str, dp: str) -> None:
+        # deep copies publish atomically (copy to a temp name in the
+        # same dir, then os.replace): a crash mid-copy leaves only a
+        # .tmp orphan, never a truncated file at the final name — so
+        # bring_tree's skip-if-exists resume can trust that an
+        # existing destination file is complete. Shallow mode needs
+        # none of this: os.link is atomic by itself. (r7 ADVICE, low)
+        tmp = dp + ".clonetmp"
+        shutil.copy2(sp, tmp)
+        os.replace(tmp, dp)
+
+    bring = os.link if mode == "shallow" else _atomic_copy
 
     def bring_tree(rel: str) -> None:
         srcp = os.path.join(_data_dir(src_dir), rel)

@@ -106,10 +106,14 @@ def main():
         if os.path.exists(f"{sf_dir}/{t}.parquet"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     # a few oracles (IVF/PQ ANN, semdedup) inline trained literals
-    # derived from the data itself; point their generator at the sf
-    # under test (the external driver uses the default, sf0.01)
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # derived from the data itself; thread the sf under test to their
+    # generators EXPLICITLY (the ambient env var remains only as the
+    # fallback for the fixed driver contract — r7 ADVICE, low)
+    from real_time_event_streaming_pipeline_spark import plans
+
+    qs, oracles = entrymod.queries(), plans.all_oracles(sf_dir=sf_dir)
+    for dq, reason in plans.DEGRADED_ORACLES.items():
+        print(f"DEGRADED  {dq}: oracle generator degraded to rows-only ({reason})")
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
