@@ -215,10 +215,8 @@ _PRIORITY_R9_PLAN = (
     "rel_supplier_part_cnt",
     "rel_priority_linecount",
     "rel_part_value_share",
-    # deadline r9; retires into fn_conditional later this round, at
-    # which point this row leaves the registry and the plan (a filler
-    # returns to keep the plan at 50)
-    "fn_try_arith",
+    # (fn_try_arith, deadline r9, retired into fn_conditional in r8 —
+    # row left the registry, filler fn_datetime returned below)
     # r6-verdict block — deadline r10, pre-drained
     "cs_alert_followups",
     "cs_kafka_producer_frame",
@@ -270,6 +268,7 @@ _PRIORITY_R9_PLAN = (
     "fn_array",
     "fn_unpivot",
     "fn_string",
+    "fn_datetime",
 )
 
 STAGED_NEXT_WINDOW = _PRIORITY_R9_PLAN

@@ -193,7 +193,17 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.5
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise oracle-checked: md5-derived signatures are rebuilt
     identically in SQL (`_minhash_lsh_sql`); recall vs exact Jaccard
-    additionally asserted in tests/test_llmdata.py."""
+    additionally asserted in tests/test_llmdata.py.
+
+    r8 capacity consolidation (VERDICT r7 #2): this is the registered
+    face of the whole MinHash family — the survivor set (retired row
+    llm_dedup_minhash_survivors) is the anti-join MODE of the same
+    band pipeline (batch_minhash_survivors, streaming/dedup_index.py:
+    drop the b_id side of these pairs plus exact-text non-minima), so
+    a second registry row bought no new semantics. The survivor mode
+    keeps its own bitwise DuckDB twin in tests/test_retired_faces.py
+    and remains the closure target of the incremental band-index tests
+    (tests/test_dedup_index.py)."""
     return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
@@ -215,7 +225,12 @@ def q_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked: the SQL twin (`_minhash_survivors_sql`) rebuilds
     the md5-60bit signatures, takes the b_id side of the est>=0.5
     pairs plus the non-minimum ids per content md5, and anti-joins —
-    the same two dropped sets."""
+    the same two dropped sets.
+
+    Retired from the registry in r8 (capacity consolidation, VERDICT
+    r7 #2): anti-join mode of llm_dedup_minhash_lsh (which stays
+    registered and bitwise); this face keeps its DuckDB twin in
+    tests/test_retired_faces.py."""
     from ..streaming.dedup_index import batch_minhash_survivors
 
     return batch_minhash_survivors(
@@ -1104,6 +1119,12 @@ GROUP BY 1
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retired from the registry in r8 (capacity consolidation,
+    VERDICT r7 #2): the same doc-level metadata columns ride on every
+    llm_multimodal_frames row (shared attach_binary decode lineage);
+    this face stays verified against _MULTIMODAL_META_SQL and pinned
+    as the distinct projection of the merged frames face in
+    tests/test_retired_faces.py."""
     return M.binary_meta(load(spark, sf_dir, "documents"))
 
 
@@ -1318,13 +1339,36 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame rows via mapInPandas. The deterministic fake decoder chunks
     the payload bytes, so the oracle can reproduce frames as blob
     substrings — the hash column proves payload CONTENT round-tripped
-    through Arrow, not just row counts."""
-    frames = M.sample_frames(load(spark, sf_dir, "documents"), frame_bytes=64, every_n=4, fake=True)
-    return frames.select(
+    through Arrow, not just row counts.
+
+    r8 capacity consolidation (VERDICT r7 #2): absorbs the retired
+    llm_multimodal_meta row — both faces read the same attach_binary
+    decode lineage, so the doc-level metadata (container byte size,
+    mime, origin, content md5) rides along as per-doc columns on the
+    frame rows: the shape a real video pipeline lands anyway (frame
+    table enriched with container metadata). The enrich is a
+    co-partitioned equi-join of the frame fan-out against the 1-row-
+    per-doc meta projection — both sides hash-partition on doc_id, no
+    broadcast needed at 100 TB. The retired face is the distinct
+    doc-level projection, pinned in tests/test_retired_faces.py."""
+    docs = load(spark, sf_dir, "documents")
+    frames = M.sample_frames(docs, frame_bytes=64, every_n=4, fake=True)
+    meta = M.binary_meta(docs).select(
+        "doc_id",
+        F.col("n_bytes").alias("doc_bytes"),
+        "mime",
+        "origin",
+        "content_md5",
+    )
+    return frames.join(meta, "doc_id").select(
         "doc_id",
         "frame_idx",
         F.md5("frame").alias("frame_md5"),
         "n_bytes",
+        "doc_bytes",
+        "mime",
+        "origin",
+        "content_md5",
     )
 
 
@@ -1336,9 +1380,13 @@ _MULTIMODAL_FRAMES_SQL = """
 SELECT doc_id,
        i AS frame_idx,
        md5(substring(text, CAST(i AS INT) * 64 + 1, 64)) AS frame_md5,
-       octet_length(encode(substring(text, CAST(i AS INT) * 64 + 1, 64))) AS n_bytes
+       octet_length(encode(substring(text, CAST(i AS INT) * 64 + 1, 64))) AS n_bytes,
+       octet_length(encode(text)) AS doc_bytes,
+       'text/plain' AS mime,
+       source AS origin,
+       md5(text) AS content_md5
 FROM (
-  SELECT doc_id, text,
+  SELECT doc_id, text, source,
          unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 4)) AS i
   FROM documents
 )
@@ -1576,7 +1624,6 @@ QUERIES = {
     "llm_dedup_ngram_jaccard": q_ngram_jaccard,
     "llm_dedup_minhash_lsh": q_minhash_lsh,
     "llm_dedup_simhash_pairs": q_simhash_pairs,
-    "llm_dedup_minhash_survivors": q_minhash_survivors,
     "llm_emb_cosine_topk": q_cosine_topk,
     "llm_emb_neardup": q_emb_neardup,
     "llm_emb_ann_lsh": q_emb_ann_lsh,
@@ -1590,7 +1637,6 @@ QUERIES = {
     "llm_semdedup_survivors": q_semdedup_survivors,
     "llm_corpus_pipeline": q_corpus_pipeline,
     "llm_corpus_build": q_corpus_build,
-    "llm_multimodal_meta": q_multimodal_meta,
     "llm_multimodal_features": q_multimodal_features,
     "llm_multimodal_frames": q_multimodal_frames,
     "llm_multimodal_png": q_multimodal_png,
@@ -1609,7 +1655,6 @@ ORACLE = {
     "llm_dedup_exact": _DEDUP_EXACT_SQL,
     "llm_dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "llm_dedup_minhash_lsh": _minhash_lsh_sql(),
-    "llm_dedup_minhash_survivors": _minhash_survivors_sql(),
     "llm_dedup_simhash_pairs": _simhash_pairs_sql(),
     "llm_emb_cosine_topk": _COSINE_TOPK_SQL,
     "llm_emb_neardup": _EMB_NEARDUP_SQL,
@@ -1626,7 +1671,6 @@ ORACLE = {
     "llm_semdedup_survivors": _semdedup_survivors_sql,
     "llm_corpus_pipeline": _CORPUS_PIPELINE_SQL,
     "llm_corpus_build": _corpus_build_sql(),
-    "llm_multimodal_meta": _MULTIMODAL_META_SQL,
     "llm_multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "llm_multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "llm_multimodal_png": _MULTIMODAL_PNG_SQL,

@@ -141,6 +141,15 @@ FROM orders
 
 
 def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional + ANSI-safe-arithmetic battery over orders. r8
+    capacity consolidation (VERDICT r7 #2): absorbs the retired
+    fn_try_arith row — the try_* family (the session runs ANSI mode,
+    Spark 4 default, where plain division-by-zero or a bad cast THROWS;
+    try_* gives the NULL a pipeline wants instead of a dead job) is
+    the same single-scan expression-battery shape as the conditional
+    surfaces, so two registry rows bought no extra semantics. The
+    original events-side try_* face stays parity-pinned against its
+    own DuckDB twin in tests/test_retired_faces.py."""
     o = load(spark, sf_dir, "orders")
     p = F.col("o_totalprice")
     return o.select(
@@ -153,6 +162,10 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(p, F.lit(150000.0)).alias("floor_150k"),
         F.least(p, F.lit(150000.0)).alias("cap_150k"),
         F.isnull(F.nullif("o_orderpriority", F.lit("5-LOW"))).alias("is_low"),
+        F.try_divide(p, (F.col("o_custkey") % 3).cast("double")).alias("safe_div"),
+        F.concat(F.lit("x"), F.col("o_orderkey")).try_cast("long").alias("bad_cast"),
+        F.col("o_orderkey").cast("string").try_cast("long").alias("good_cast"),
+        F.try_to_timestamp(F.col("o_orderstatus")).alias("bad_ts"),
     )
 
 
@@ -165,7 +178,12 @@ SELECT
   coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
   greatest(o_totalprice, 150000.0) AS floor_150k,
   least(o_totalprice, 150000.0) AS cap_150k,
-  nullif(o_orderpriority, '5-LOW') IS NULL AS is_low
+  nullif(o_orderpriority, '5-LOW') IS NULL AS is_low,
+  CASE WHEN o_custkey % 3 = 0 THEN NULL
+       ELSE o_totalprice / CAST(o_custkey % 3 AS DOUBLE) END AS safe_div,
+  TRY_CAST('x' || CAST(o_orderkey AS VARCHAR) AS BIGINT) AS bad_cast,
+  TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS good_cast,
+  TRY_CAST(o_orderstatus AS TIMESTAMP) AS bad_ts
 FROM orders
 """
 
@@ -532,7 +550,12 @@ def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe arithmetic: the session runs ANSI mode (Spark 4
     default), where a plain division by zero or bad cast THROWS —
     the try_* family gives the NULL a pipeline wants instead of a
-    dead job. Oracle mirrors with explicit CASE / TRY_CAST."""
+    dead job. Oracle mirrors with explicit CASE / TRY_CAST.
+
+    Retired from the registry in r8 (capacity consolidation, VERDICT
+    r7 #2): the same four try_* surfaces are registered on the
+    fn_conditional battery over orders; this events-side face stays
+    verified against _FN_TRY_ARITH_SQL in tests/test_retired_faces.py."""
     ev = load(spark, sf_dir, "events")
     denom = (F.col("user_id") % 3).cast("double")
     return ev.select(
@@ -886,7 +909,6 @@ QUERIES = {
     "fn_json": q_fn_json,
     "fn_variant": q_fn_variant,
     "fn_higher_order": q_fn_higher_order,
-    "fn_try_arith": q_fn_try_arith,
     "rel_null_aware_anti_join": q_null_aware_anti_join,
     "fn_string": q_fn_string,
     "fn_datetime": q_fn_datetime,
@@ -911,7 +933,6 @@ ORACLE = {
     "fn_json": _FN_JSON_SQL,
     "fn_variant": _FN_VARIANT_SQL,
     "fn_higher_order": _FN_HIGHER_ORDER_SQL,
-    "fn_try_arith": _FN_TRY_ARITH_SQL,
     "rel_null_aware_anti_join": _NULL_AWARE_ANTI_SQL,
     "fn_string": _FN_STRING_SQL,
     "fn_datetime": _FN_DATETIME_SQL,

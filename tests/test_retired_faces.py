@@ -1,15 +1,23 @@
-"""Parity pins for the five query rows retired from the registry in
-r7 (capacity consolidation — VERDICT r6 #4). Retiring a ROW must not
-retire the SEMANTICS: each face below stays verified, either against
-its original DuckDB twin or by equivalence to the registered query
-that absorbed it.
+"""Parity pins for the query rows retired from the registry in r7
+(VERDICT r6 #4) and r8 (VERDICT r7 #2) capacity consolidations.
+Retiring a ROW must not retire the SEMANTICS: each face below stays
+verified, either against its original DuckDB twin or by equivalence
+to the registered query that absorbed it.
 
-Retired → absorbed by:
+Retired → absorbed by (r7):
   fn_posexplode            → fn_array (generator + array battery, one face)
   fn_bitwise               → fn_math (same seven surfaces over lineitem keys)
   rel_rollup_returns       → rel_grouping_sets (lattice superset)
   llm_dedup_ngram_survivors→ anti-join mode of llm_dedup_ngram_jaccard
   llm_dedup_exact_hash     → column-reorder of llm_dedup_exact
+
+Retired → absorbed by (r8):
+  fn_try_arith               → fn_conditional (try_* battery over orders)
+  llm_multimodal_meta        → llm_multimodal_frames (doc-level meta
+                               columns on every frame row, same
+                               attach_binary lineage)
+  llm_dedup_minhash_survivors→ anti-join mode of llm_dedup_minhash_lsh
+                               (batch_minhash_survivors)
 """
 
 from __future__ import annotations
@@ -120,6 +128,86 @@ def test_exact_hash_equals_exact(spark):
         for r in q_dedup_exact_hash(spark, SF_SMALL).collect()
     }
     assert a == b and a
+
+
+def test_fn_try_arith_retired_face_oracle(spark):
+    """The events-side try_* battery keeps its original DuckDB twin
+    even though the registered face moved to fn_conditional/orders."""
+    from real_time_event_streaming_pipeline_spark.plans.scalar import (
+        _FN_TRY_ARITH_SQL,
+        q_fn_try_arith,
+    )
+
+    srows = q_fn_try_arith(spark, SF_SMALL).collect()
+    con = _con()
+    orows = con.sql(_FN_TRY_ARITH_SQL).fetchall()
+    assert _multiset(srows) == _multiset(orows)
+
+
+def test_fn_conditional_carries_try_arith_columns(spark):
+    """The absorbed face: fn_conditional's try_* columns agree with
+    direct recomputation from the order keys (guards the merge)."""
+    from real_time_event_streaming_pipeline_spark.plans.scalar import q_fn_conditional
+
+    rows = q_fn_conditional(spark, SF_SMALL).limit(500).collect()
+    assert rows
+    for r in rows:
+        ok = r["o_orderkey"]
+        assert r["bad_cast"] is None
+        assert r["good_cast"] == ok
+        assert r["bad_ts"] is None
+        if r["safe_div"] is not None:
+            assert r["safe_div"] > 0
+
+
+def test_minhash_survivors_retired_face_oracle(spark):
+    """The survivor anti-join mode of the MinHash band pipeline keeps
+    its original bitwise DuckDB twin after retirement."""
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        _minhash_survivors_sql,
+        q_minhash_survivors,
+    )
+
+    srows = q_minhash_survivors(spark, SF_SMALL).collect()
+    con = _con()
+    orows = con.sql(_minhash_survivors_sql()).fetchall()
+    assert _multiset(srows) == _multiset(orows)
+
+
+def test_multimodal_meta_retired_face_oracle(spark):
+    """The doc-level metadata face keeps its original DuckDB twin."""
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        _MULTIMODAL_META_SQL,
+        q_multimodal_meta,
+    )
+
+    srows = q_multimodal_meta(spark, SF_SMALL).collect()
+    con = _con()
+    orows = con.sql(_MULTIMODAL_META_SQL).fetchall()
+    assert _multiset(srows) == _multiset(orows)
+
+
+def test_frames_carries_meta_face(spark):
+    """The absorbed face: the distinct doc-level projection of the
+    merged llm_multimodal_frames face must reproduce the retired
+    llm_multimodal_meta output exactly (guards the merge join)."""
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        q_multimodal_frames,
+        q_multimodal_meta,
+    )
+
+    merged = {
+        tuple(r)
+        for r in q_multimodal_frames(spark, SF_SMALL)
+        .select("doc_id", "doc_bytes", "mime", "origin", "content_md5")
+        .distinct()
+        .collect()
+    }
+    meta = {
+        (r["doc_id"], r["n_bytes"], r["mime"], r["origin"], r["content_md5"])
+        for r in q_multimodal_meta(spark, SF_SMALL).collect()
+    }
+    assert merged == meta and merged
 
 
 def test_fn_array_carries_posexplode_face(spark):
