@@ -516,14 +516,22 @@ def q_tx_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       v2  MERGE source = (matched keys %6==0 -> val+7; matched %5==0
           -> DELETE; unmatched keys k+10^8 for k%9==0 -> INSERT 42)
           in DV mode — updates via sidecar kill + append
-      v3  DELETE WHERE k % 11 == 0                   (copy-on-write)
-      v4  RESTORE TO v2 — O(metadata) rollback undoing v3
+      ──  CLONE @ v2 (shallow, pinned snapshot) → branch table   (r8,
+          VERDICT r7 #6 — inside this face's job budget, 2 commits)
+      v3  DELETE WHERE k % 11 == 0 on MAIN          (copy-on-write)
+      c1  UPDATE WHERE k % 13 == 0 SET val += 1000 on the CLONE (DV)
+      v4  RESTORE MAIN TO v2 — O(metadata) rollback undoing v3
 
-    The final read equals the v2 state, so DuckDB states the whole
-    composition in closed form; n_versions pins that exactly five
-    commits happened (no silent retries/extra commits). The read-back
-    is localCheckpoint()ed so the scratch table dies with the query
-    and nothing is ever collected to the driver."""
+    Branch isolation is the point of the interleave: main's DELETE and
+    RESTORE happen AFTER the clone, the clone's UPDATE happens between
+    them, and the final read-backs of BOTH branches are oracle-pinned
+    — main equals the v2 state, the clone equals v2 with the %13
+    update applied, and neither leaked into the other (hard-linked
+    immutable files + fresh manifests, vacuum-proof by construction).
+    n_versions pins the exact commit count per branch (main 5,
+    clone 2 — no silent retries/extra commits). The read-back is
+    localCheckpoint()ed so the scratch tables die with the query and
+    nothing is ever collected to the driver."""
     import os
     import shutil
     import tempfile
@@ -560,17 +568,27 @@ def q_tx_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             when_matched_delete=F.col("k") % 5 == 0,
             mode="dv",
         )
+        c = os.path.join(tdir, "c")
+        tx_table.clone(t, c, version=v2, mode="shallow")
         tx_table.delete_where(spark, t, F.col("k") % 11 == 0)
-        v4 = tx_table.restore(t, v2)
-        out = (
-            tx_table.read_table(spark, t)
-            .select(
-                F.col("k").alias("o_orderkey"),
-                "val_cents",
-                F.lit(v4 + 1).cast("long").alias("n_versions"),
-            )
-            .localCheckpoint(eager=True)
+        cv = tx_table.update_where(
+            spark, c, F.col("k") % 13 == 0,
+            {"val_cents": F.col("val_cents") + 1000}, mode="dv",
         )
+        v4 = tx_table.restore(t, v2)
+        main = tx_table.read_table(spark, t).select(
+            F.col("k").alias("o_orderkey"),
+            "val_cents",
+            F.lit("main").alias("branch"),
+            F.lit(v4 + 1).cast("long").alias("n_versions"),
+        )
+        branch = tx_table.read_table(spark, c).select(
+            F.col("k").alias("o_orderkey"),
+            "val_cents",
+            F.lit("clone").alias("branch"),
+            F.lit(cv + 1).cast("long").alias("n_versions"),
+        )
+        out = main.unionByName(branch).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
     return out
@@ -592,8 +610,14 @@ m AS (  -- v2: MERGE (matched %5==0 delete, matched %6==0 update, inserts)
   SELECT k + 100000000 AS k, CAST(42 AS BIGINT) AS v
   FROM base WHERE k % 9 = 0
 )
-SELECT k AS o_orderkey, v AS val_cents, CAST(5 AS BIGINT) AS n_versions
+SELECT k AS o_orderkey, v AS val_cents, 'main' AS branch,
+       CAST(5 AS BIGINT) AS n_versions
 FROM m  -- v3 DELETE WHERE is undone by the v4 RESTORE
+UNION ALL  -- the clone branched at v2 and applied ONLY the %13 update
+SELECT k AS o_orderkey,
+       CASE WHEN k % 13 = 0 THEN v + 1000 ELSE v END AS val_cents,
+       'clone' AS branch, CAST(2 AS BIGINT) AS n_versions
+FROM m
 """
 
 
