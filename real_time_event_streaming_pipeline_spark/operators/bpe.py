@@ -195,44 +195,56 @@ def encode(docs: DataFrame, merges: list[tuple], text_col: str = "text",
     doc_id, n_words, n_bpe_tokens, head_tokens (first `head` tokens,
     display form, space-joined).
 
-    Scale shape — the same Heaps-law trick training uses: the fold
-    chain runs once per DISTINCT word (bounded-length strings, so the
-    fold's quadratic constant is capped at word length), and per-doc
-    token counts come back through an equi-join + re-aggregation.
-    Folding whole documents instead measures ~25× slower at sf1 (the
-    string accumulator is O(doc²) per pass) while computing the same
-    thing — pinned equal in tests/test_bpe.py. head_tokens still
-    folds directly, but only over the first `head` words: every word
-    contributes ≥1 token, so the prefix encode's first `head` tokens
-    equal the full document's (cross-word merges are impossible —
-    see module docstring)."""
+    Scale shape — the same Heaps-law trick training uses, applied to
+    EVERYTHING (r7 verdict #4): the fold chain runs once per DISTINCT
+    word (bounded-length strings, so the fold's quadratic constant is
+    capped at word length), emitting each word's token ARRAY; per-doc
+    token counts AND the head tokens come back through one equi-join +
+    re-aggregation. head_tokens is the first `head` tokens of the
+    in-order concatenation of the doc's first `head` words' token
+    arrays — exactly the document fold's prefix, because cross-word
+    merges are impossible (see module docstring) and every word
+    contributes ≥1 token. Folding whole documents instead measures
+    ~25× slower at sf1 (the string accumulator is O(doc²) per pass)
+    while computing the same thing — pinned equal in tests/test_bpe.py;
+    the r7 soak showed the remaining per-doc head fold WAS the 90 s
+    sf10 tail (500k docs × k chained folds vs a closed vocabulary's
+    ~31 distinct words)."""
     words = F.split(F.col(text_col), " ")
-    exploded = docs.select("doc_id", F.explode(words).alias("word"))
+    exploded = docs.select("doc_id", F.posexplode(words).alias("pos", "word"))
     word_toks = (
         exploded.select("word")
         .distinct()
-        .select(
-            "word",
-            F.size(_symbols(encode_expr(F.col("word"), merges))).cast("long").alias("n_toks"),
-        )
+        .select("word", _symbols(encode_expr(F.col("word"), merges)).alias("toks"))
     )
     per_doc = (
         exploded.join(word_toks, "word")
         .groupBy("doc_id")
         .agg(
             F.sum(F.when(F.col("word") != "", 1).otherwise(0)).cast("long").alias("n_words"),
-            F.sum("n_toks").alias("n_bpe_tokens"),
+            F.sum(F.size("toks")).cast("long").alias("n_bpe_tokens"),
+            F.slice(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("pos") < head,
+                                    F.struct(F.col("pos"), F.col("toks")),
+                                )
+                            )
+                        ),
+                        lambda s: s["toks"],
+                    )
+                ),
+                1,
+                head,
+            ).alias("head_toks"),
         )
     )
-    head_toks = _symbols(
-        encode_expr(F.array_join(F.slice(words, 1, head), " "), merges)
-    )
-    heads = docs.select(
+    return per_doc.select(
         "doc_id",
-        display(F.array_join(F.slice(head_toks, F.lit(1), F.lit(head)), " ")).alias(
-            "head_tokens"
-        ),
-    )
-    return heads.join(per_doc, "doc_id").select(
-        "doc_id", "n_words", "n_bpe_tokens", "head_tokens"
+        "n_words",
+        "n_bpe_tokens",
+        display(F.array_join("head_toks", " ")).alias("head_tokens"),
     )

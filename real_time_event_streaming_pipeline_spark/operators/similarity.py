@@ -441,13 +441,10 @@ def neardup_pairs(
         a_ids = a_rows["_id"].to_numpy()
         b_ids = b_rows["_id"].to_numpy()
         dim = A.shape[1]
-        # dimension-at-a-time accumulation == the zip_with/aggregate
-        # left-to-right float64 fold, vectorized across the pair matrix
-        dots = np.zeros((len(A), len(B)))
+        # norms via the oracle's dim-at-a-time float64 fold (O(n·dim))
         na = np.zeros(len(A))
         nb = np.zeros(len(B))
         for d in range(dim):
-            dots += A[:, d : d + 1] * B[None, :, d]
             na += A[:, d] * A[:, d]
             nb += B[:, d] * B[:, d]
         # same loud zero-norm policy as _topk_kernel: the expression/
@@ -456,18 +453,33 @@ def neardup_pairs(
         if (na == 0).any() or (nb == 0).any():
             bad = list(a_ids[na == 0]) + list(b_ids[nb == 0])
             raise ValueError(f"zero-norm embedding(s) {bad[:5]}: cosine undefined")
-        cos = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+        ra, rb = np.sqrt(na), np.sqrt(nb)
+        # two-stage scoring, same discipline as _cell_cos (r7 verdict
+        # #3): one BLAS GEMM over normalized vectors gates a SUPERSET
+        # mask (1e-9 margin ≫ the float64 GEMM error); survivors are
+        # rescored with the exact left-to-right fold so emitted values
+        # stay bit-identical to the zip_with/aggregate expression.
+        fast = (A * (1.0 / ra)[:, None]) @ (B * (1.0 / rb)[:, None]).T
         if diag:
             # same id set on both sides: strict < dedupes and drops self
-            mask = (a_ids[:, None] < b_ids[None, :]) & (cos >= pre_threshold)
+            mask = (a_ids[:, None] < b_ids[None, :]) & (fast >= pre_threshold - 1e-9)
         else:
             # disjoint blocks: every (a, b) is a distinct unordered
             # pair, but ids may order either way — emit (min, max)
-            mask = cos >= pre_threshold
+            mask = fast >= pre_threshold - 1e-9
         ai, bi = np.nonzero(mask)
+        if len(ai) == 0:
+            return empty
+        Aa, Bb = A[ai], B[bi]
+        dots = np.zeros(len(ai))
+        for d in range(dim):
+            dots += Aa[:, d] * Bb[:, d]
+        cos = dots / (ra[ai] * rb[bi])
+        keep = cos >= pre_threshold  # authoritative, exact-fold value
+        ai, bi, cos = ai[keep], bi[keep], cos[keep]
         lo = np.minimum(a_ids[ai], b_ids[bi])
         hi = np.maximum(a_ids[ai], b_ids[bi])
-        return pd.DataFrame({"a_id": lo, "b_id": hi, "cos_raw": cos[ai, bi]})
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cos_raw": cos})
 
     cand = tagged.groupBy("gi", "gj").applyInPandas(
         _block_cos, "a_id long, b_id long, cos_raw double"
@@ -583,22 +595,41 @@ def pairs_from_cell_rows(tagged: DataFrame, threshold: float) -> DataFrame:
         A = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
         ids = pdf["_id"].to_numpy()
         dim = A.shape[1]
-        # dimension-at-a-time accumulation == the zip_with/aggregate
-        # left-to-right float64 fold (see neardup_pairs)
-        dots = np.zeros((len(A), len(A)))
+        # norms via the same dim-at-a-time float64 fold as the
+        # zip_with/aggregate expression (O(n·dim), not the bottleneck)
         nn = np.zeros(len(A))
         for d in range(dim):
-            dots += A[:, d : d + 1] * A[None, :, d]
             nn += A[:, d] * A[:, d]
         # loud zero-norm policy, matching _topk_kernel/_block_cos
         if (nn == 0).any():
             raise ValueError(
                 f"zero-norm embedding(s) {list(ids[nn == 0])[:5]}: cosine undefined"
             )
-        cos = dots / (np.sqrt(nn)[:, None] * np.sqrt(nn)[None, :])
-        mask = (ids[:, None] < ids[None, :]) & (cos >= pre_threshold)
+        rnorm = np.sqrt(nn)
+        # two-stage scoring (r7 verdict #3 — the constant factor): the
+        # O(n²·dim) work runs as ONE BLAS GEMM over normalized vectors
+        # (SIMD + blocked, ~dim× less memory traffic than the python
+        # dim-loop over full n² temporaries). BLAS pairwise summation
+        # is NOT the oracle's fold order, so its scores only gate a
+        # SUPERSET mask (margin 1e-9 ≫ the ~1e-12 float64 GEMM error
+        # at any practical dim); every surviving pair is then rescored
+        # with the exact left-to-right fold — emitted values bitwise
+        # unchanged, verified strict at three sfs.
+        An = A * (1.0 / rnorm)[:, None]
+        fast = An @ An.T
+        mask = (ids[:, None] < ids[None, :]) & (fast >= pre_threshold - 1e-9)
         ai, bi = np.nonzero(mask)
-        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi], "cos_raw": cos[ai, bi]})
+        if len(ai) == 0:
+            return empty
+        Aa, Ab = A[ai], A[bi]
+        dots = np.zeros(len(ai))
+        for d in range(dim):
+            dots += Aa[:, d] * Ab[:, d]
+        cos = dots / (rnorm[ai] * rnorm[bi])
+        keep = cos >= pre_threshold  # authoritative, exact-fold value
+        return pd.DataFrame(
+            {"a_id": ids[ai][keep], "b_id": ids[bi][keep], "cos_raw": cos[keep]}
+        )
 
     cand = tagged.groupBy("cell").applyInPandas(
         _cell_cos, "a_id long, b_id long, cos_raw double"

@@ -257,15 +257,17 @@ _PRIORITY_R9_PLAN = (
     "rel_lateral_topk",
     "rel_ts_similarity",
     "rel_value_outliers",
-    # r8 touched these (sketch error envelopes widened to ≥3σ, r7
-    # ADVICE — results bitwise-identical at exact-regime sfs, so the
+    # r8 touched these (sketch error envelopes widened to ≥3σ per r7
+    # ADVICE; the two-stage BLAS-prefilter cosine kernel reached the
+    # corpus-build faces through pairs_from_cell_rows — results
+    # bitwise-identical, re-verified strict at sf0.01, so the
     # r6-precedent one-round-lag commitment applies): deadline r11
     # but committed here
     "rel_approx_distinct_users",
     "fn_kll_quantiles",
+    "llm_corpus_build",
+    "llm_corpus_ingest_epochs",
     # r7-verdict scalar batteries — deadline r11, pre-drained filler
-    "fn_url",
-    "fn_array",
     "fn_unpivot",
     "fn_string",
     "fn_datetime",

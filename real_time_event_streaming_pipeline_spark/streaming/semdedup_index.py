@@ -111,6 +111,68 @@ def batch_semdedup_survivors(
     return emb.join(dropped, id_col, "left_anti")
 
 
+def _cross_dropped_kernel(
+    batch_cells: DataFrame, idx_cells: DataFrame, threshold: float
+) -> DataFrame:
+    """Batch-vs-index candidate verify on the cell equi-join, executed
+    per cell as the two-stage Arrow GEMM (BLAS prefilter over
+    normalized vectors, then the exact left-to-right float64 fold on
+    survivors — operators/similarity.pairs_from_cell_rows discipline).
+    Replaces the r7 per-row expression cosine, whose interpreted
+    64-dim fold over every cell-sharing candidate made per-epoch cost
+    explode as the index grew (the r7 verdict #5 'index-rescan
+    blowup': ~10⁸ candidate folds by epoch 3 of the sf1 soak).
+    Emitted values are bit-identical: the authoritative
+    round(cos, 6) >= threshold filter runs JVM-side on the exact-fold
+    cosine, exactly like the batch path."""
+    import pandas as pd
+
+    pre_threshold = threshold - 1e-6  # HALF_UP superset margin
+    both = batch_cells.select("cell", "_id", "_vec", F.lit("n").alias("_side")).unionByName(
+        idx_cells.select("cell", "_id", "_vec", F.lit("i").alias("_side"))
+    )
+
+    def _k(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # runs on executors
+
+        empty = pd.DataFrame(
+            {"b_id": pd.Series(dtype="int64"), "cos_raw": pd.Series(dtype="float64")}
+        )
+        old = pdf[pdf["_side"] == "i"]
+        new = pdf[pdf["_side"] == "n"]
+        if len(old) == 0 or len(new) == 0:
+            return empty
+        A = np.stack(old["_vec"].to_numpy()).astype(np.float64)
+        B = np.stack(new["_vec"].to_numpy()).astype(np.float64)
+        a_ids = old["_id"].to_numpy()
+        b_ids = new["_id"].to_numpy()
+        dim = A.shape[1]
+        na = np.zeros(len(A))
+        nb = np.zeros(len(B))
+        for d in range(dim):
+            na += A[:, d] * A[:, d]
+            nb += B[:, d] * B[:, d]
+        if (na == 0).any() or (nb == 0).any():
+            bad = list(a_ids[na == 0]) + list(b_ids[nb == 0])
+            raise ValueError(f"zero-norm embedding(s) {bad[:5]}: cosine undefined")
+        ra, rb = np.sqrt(na), np.sqrt(nb)
+        fast = (A * (1.0 / ra)[:, None]) @ (B * (1.0 / rb)[:, None]).T
+        mask = (a_ids[:, None] < b_ids[None, :]) & (fast >= pre_threshold - 1e-9)
+        ai, bi = np.nonzero(mask)
+        if len(ai) == 0:
+            return empty
+        Aa, Bb = A[ai], B[bi]
+        dots = np.zeros(len(ai))
+        for d in range(dim):
+            dots += Aa[:, d] * Bb[:, d]
+        cos = dots / (ra[ai] * rb[bi])
+        keep = cos >= pre_threshold
+        return pd.DataFrame({"b_id": b_ids[bi][keep], "cos_raw": cos[keep]})
+
+    cand = both.groupBy("cell").applyInPandas(_k, "b_id long, cos_raw double")
+    return cand.filter(F.round("cos_raw", 6) >= threshold).select("b_id")
+
+
 def ingest_embeddings_batch(
     batch: DataFrame,
     epoch_id: int,
@@ -134,21 +196,9 @@ def ingest_embeddings_batch(
     cross_dropped = None
     if os.path.isdir(cells_path):
         idx = spark.read.parquet(cells_path)
-        cross_dropped = (
-            batch_cells.join(
-                idx.select(
-                    "cell",
-                    F.col("_id").alias("_idx_id"),
-                    F.col("_vec").alias("_idx_vec"),
-                ),
-                "cell",
-            )
-            .filter(
-                (F.col("_idx_id") < F.col("_id"))
-                & (F.round(cosine(F.col("_idx_vec"), F.col("_vec")), 6) >= threshold)
-            )
-            .select(F.col("_id").alias(id_col))
-        )
+        cross_dropped = _cross_dropped_kernel(
+            batch_cells, idx.select("cell", "_id", "_vec"), threshold
+        ).select(F.col("b_id").alias(id_col))
     # reuse the checkpointed cell assignment: re-deriving it through
     # neardup_pairs_ivf_candidates would evaluate the n_centroids-dot
     # nearest_cells expression a second time over the whole batch

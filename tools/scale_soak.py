@@ -489,6 +489,233 @@ def run() -> None:
     print("\nwrote SOAK_sf1.json; exponent 1.0 = linear in rows (10x data)")
 
 
+def _planted_margin_corpus(spark, src_dir: str):
+    """The soak embeddings plus a seeded near-dup set at the REALISTIC
+    SemDeDup operating point: every 10th vector gets a duplicate
+    unit(v + 0.4·g) (g unit gaussian) → cos(v, dup) ≈ 1/√1.16 ≈ 0.93,
+    comfortably above a 0.9 threshold while the base corpus stays
+    isotropic noise. Returns (ids, vecs) numpy arrays; dup ids follow
+    the base id range so the smaller-id-wins rule always drops the
+    planted dup."""
+    import numpy as np
+
+    base = (
+        spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    rng = np.random.default_rng(SEED)
+    V = np.stack(base["embedding"].to_numpy()).astype(np.float64)
+    ids = base["vec_id"].to_numpy()
+    n0, dim = V.shape
+    src_idx = np.arange(0, n0, 10)
+    noise = rng.standard_normal((len(src_idx), dim))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    dup = V[src_idx] + 0.4 * noise
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    all_vecs = np.vstack([V, dup])
+    all_ids = np.concatenate([ids, ids.max() + 1 + np.arange(len(src_idx))])
+    return all_ids, all_vecs
+
+
+def run_stream_semdedup(src_dir: str | None = None, threshold: float = 0.9,
+                        n_epochs: int = 4) -> None:
+    """r7 verdict #5: the incremental semantic-dedup index, soaked at
+    sf1 instead of pytest-small. The planted-margin corpus is split
+    into ``n_epochs`` id-ordered parquet files and drained through the
+    REAL streaming path (readStream + foreachBatch ingest, frozen
+    centroids, accumulated cell index); per-epoch wall comes from the
+    stream's own progress events. Done-bar: streamed survivors ==
+    one-shot batch survivors on the same frozen centroids, and
+    per-epoch cost flat (the index grows each epoch; a rescan blowup
+    would show as a rising tail). Appends 'stream_semdedup_sf1' to
+    SOAK_sf1.json."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_event_streaming_pipeline_spark.operators import similarity as S
+    from real_time_event_streaming_pipeline_spark.session import get_spark
+    from real_time_event_streaming_pipeline_spark.streaming import semdedup_index as SI
+
+    src_dir = src_dir or SF1_DIR
+    spark = get_spark("stream_semdedup_soak")
+    all_ids, all_vecs = _planted_margin_corpus(spark, src_dir)
+    order = np.argsort(all_ids)
+    all_ids, all_vecs = all_ids[order], all_vecs[order]
+    n = len(all_ids)
+
+    work = "/tmp/spark_graft_semdedup_stream"
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "epochs")
+    os.makedirs(src)
+    # id-ordered split — the streamed==batch closure's precondition
+    # (a cross-epoch pair is checked when its LARGER id arrives)
+    for e in range(n_epochs):
+        lo, hi = e * n // n_epochs, (e + 1) * n // n_epochs
+        pq.write_table(
+            pa.table({"vec_id": all_ids[lo:hi],
+                      "embedding": pa.array(all_vecs[lo:hi].tolist(),
+                                            type=pa.list_(pa.float64()))}),
+            os.path.join(src, f"epoch_{e:02d}.parquet"),
+        )
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": all_ids.astype("int64"),
+                      "embedding": all_vecs.tolist()})
+    ).repartition(32).localCheckpoint(eager=True)
+    n_centroids = int(min(1024, max(64, n // 256)))
+    cents = S.sample_centroids(emb, n_centroids, "vec_id", "embedding")
+
+    index_dir = os.path.join(work, "index")
+    os.makedirs(index_dir)
+    with open(SI._meta_path(index_dir), "w") as f:
+        json.dump(cents, f)
+
+    t0 = time.perf_counter()
+    q = SI.start_semdedup_ingest(
+        spark, src, index_dir, os.path.join(work, "ckpt"),
+        max_files_per_trigger=1, threshold=threshold,
+    )
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 3)
+    def _duration_ms(p):
+        # PySpark 4 yields StreamingQueryProgress objects; older
+        # versions yielded json strings/dicts — tolerate all three
+        if hasattr(p, "json"):
+            p = json.loads(p.json)
+        elif isinstance(p, str):
+            p = json.loads(p)
+        return p.get("durationMs", {})
+
+    per_epoch = [
+        round(d["triggerExecution"] / 1000.0, 3)
+        for d in map(_duration_ms, q.recentProgress)
+        if "triggerExecution" in d
+    ]
+
+    streamed = {r["vec_id"] for r in SI.read_survivors(spark, index_dir).collect()}
+    batch = {
+        r["vec_id"]
+        for r in SI.batch_semdedup_survivors(
+            emb, threshold=threshold, cents=cents, n_rows=n
+        ).collect()
+    }
+    rec = {
+        "corpus": f"sf1 + planted dups (n={n}, 1 per 10 at cos~0.93)",
+        "threshold": threshold,
+        "n_epochs": n_epochs,
+        "streamed_survivors": len(streamed),
+        "batch_survivors": len(batch),
+        "streamed_equals_batch": streamed == batch,
+        "per_epoch_s": per_epoch,
+        "total_wall_s": wall,
+    }
+    print(json.dumps(rec, indent=1))
+    assert streamed == batch, "streamed survivor set diverged from the batch sweep"
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SOAK_sf1.json"
+    )
+    existing = json.load(open(path)) if os.path.exists(path) else {}
+    existing["stream_semdedup_sf1"] = rec
+    with open(path, "w") as fh:
+        json.dump(existing, fh, indent=1, sort_keys=True)
+    print("wrote stream_semdedup_sf1 into SOAK_sf1.json")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def run_prune_demo(src_dir: str | None = None, threshold: float = 0.9) -> None:
+    """r7 verdict #3(b): on the synthetic soak corpora the CALIBRATED
+    semdedup operating point sits at the random-cosine ceiling, so the
+    IVF candidate stage cannot prune there (documented in SCALING.md)
+    — which leaves the shape that matters at 100 TB unmeasured. This
+    demo plants a seeded near-dup set at the REALISTIC SemDeDup
+    operating point (one dup per 10 base vectors, cos ≈ 0.93 > 0.9)
+    on top of the sf1 embeddings, then measures, at threshold 0.9:
+
+      - scored-candidate pairs vs the full pair space (pruning ratio:
+        Σ_cells C(m_c, 2) over C(n, 2))
+      - wall time, IVF-candidate path vs exact blocked GEMM
+      - recall of the IVF pair set vs the exact pair set (must be 1.0
+        — every planted pair recovered)
+
+    Appends a 'prune_demo' record to SOAK_sf1.json."""
+    import numpy as np
+    from pyspark.sql import functions as _F
+
+    from real_time_event_streaming_pipeline_spark.operators import similarity as S
+    from real_time_event_streaming_pipeline_spark.session import get_spark
+
+    src_dir = src_dir or SF1_DIR
+    spark = get_spark("prune_demo")
+    all_ids, all_vecs = _planted_margin_corpus(spark, src_dir)
+    import pandas as pd
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": all_ids.astype("int64"),
+                      "embedding": all_vecs.tolist()})
+    ).repartition(32).localCheckpoint(eager=True)
+    n = len(all_ids)
+
+    t0 = time.perf_counter()
+    ivf_pairs = {
+        (r["a_id"], r["b_id"])
+        for r in S.neardup_pairs_ivf_candidates(emb, threshold=threshold, n_rows=n).collect()
+    }
+    t_ivf = round(time.perf_counter() - t0, 3)
+
+    # block size ~4k keeps each group's pair matrix ≤ 128 MB float64
+    # (the default n_blocks=8 OOMs the Arrow workers at n=220k)
+    n_blocks = max(8, (n + 3999) // 4000)
+    t0 = time.perf_counter()
+    exact_pairs = {
+        (r["a_id"], r["b_id"])
+        for r in S.neardup_pairs(emb, threshold=threshold, n_blocks=n_blocks).collect()
+    }
+    t_exact = round(time.perf_counter() - t0, 3)
+
+    # scored-candidate volume: pairs that share ≥1 probed cell
+    n_centroids = int(min(1024, max(64, n // 256)))
+    cents = S.sample_centroids(emb, n_centroids, "vec_id", "embedding")
+    tagged = S.assign_cells_kernel(
+        emb.select(_F.col("vec_id").alias("_id"), _F.col("embedding").alias("_vec")),
+        cents, n_probe=10,
+    )
+    scored = (
+        tagged.groupBy("cell").count()
+        .agg(_F.sum(_F.expr("count * (count - 1) / 2")).alias("c")).collect()[0]["c"]
+    )
+    all_pairs = n * (n - 1) / 2
+    recall = (
+        len(ivf_pairs & exact_pairs) / len(exact_pairs) if exact_pairs else 1.0
+    )
+    rec = {
+        "corpus": f"sf1 + planted dups (n={n}, 1 per 10 at cos~0.93)",
+        "threshold": threshold,
+        "exact_pairs": len(exact_pairs),
+        "ivf_pairs": len(ivf_pairs),
+        "recall": recall,
+        "scored_candidate_pairs": int(scored),
+        "full_pair_space": int(all_pairs),
+        "pruning_ratio": round(scored / all_pairs, 4),
+        "wall_ivf_s": t_ivf,
+        "wall_exact_s": t_exact,
+    }
+    print(json.dumps(rec, indent=1))
+    assert recall == 1.0, f"IVF recall {recall} < 1.0 at the margin-bearing operating point"
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SOAK_sf1.json"
+    )
+    existing = json.load(open(path)) if os.path.exists(path) else {}
+    existing["prune_demo"] = rec
+    with open(path, "w") as fh:
+        json.dump(existing, fh, indent=1, sort_keys=True)
+    print("wrote prune_demo into SOAK_sf1.json")
+
+
 def main() -> None:
     if "--generate" in sys.argv:
         generate()
@@ -500,6 +727,17 @@ def main() -> None:
         run()
     if "--run-sf3" in sys.argv:
         run_family()
+    if "--prune-demo" in sys.argv:
+        # sf1's 85 cells cannot prune with n_probe=10 (n_probe²/cells
+        # > 1 — measured 1.18× below); the corpus-scaled cell count
+        # reaches pruning territory at sf10 (859 cells → ~0.12×), so
+        # THAT is the recorded demo point. --prune-demo-sf1 keeps the
+        # small-corpus measurement reproducible.
+        run_prune_demo(SF10_DIR if os.path.isdir(SF10_DIR) else None)
+    if "--prune-demo-sf1" in sys.argv:
+        run_prune_demo(SF1_DIR)
+    if "--stream-semdedup" in sys.argv:
+        run_stream_semdedup()
     if len(sys.argv) == 1:
         print(__doc__)
 
