@@ -267,8 +267,8 @@ _PRIORITY_R9_PLAN = (
     "fn_kll_quantiles",
     "llm_corpus_build",
     "llm_corpus_ingest_epochs",
+    "llm_image_dedup_pairs",
     # r7-verdict scalar batteries — deadline r11, pre-drained filler
-    "fn_unpivot",
     "fn_string",
     "fn_datetime",
 )

@@ -1401,55 +1401,140 @@ _BUILD_PACK_TARGET = 256
 _BUILD_PACK_SHARDS = 16
 
 
-def q_image_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash image near-dup pairs — the multimodal and
-    dedup families composed: every document's REAL PNG (planted
-    60-bit patterns, 5 docs per group at hamming <= 8, cross-group
-    ~30) is DECODED and average-hashed from pixels
-    (operators/multimodal.image_ahash), then pairs come from the
-    SimHash-style banded equi-join: 10 bands x 6 bits, candidates
-    where any band matches, exact bit_count(xor) <= 8 verdict. The
-    pigeonhole guarantee: distance <= 8 differing bits occupy <= 8 of
-    10 bands, so every true pair shares >= 2 clean bands — banding
-    loses nothing. The SQL twin derives the hashes from the md5
-    closed form instead of pixels, so a green row proves PNG decode +
-    cell pooling + thresholding reproduced every planted bit. Scale
-    shape: decode is embarrassingly parallel; candidate generation is
-    an equi-join on (band, key) — never all-pairs. r7 (VERDICT #5):
-    the hash table is localCheckpoint'ed before the self-join — both
-    join sides otherwise re-run the whole encode+decode mapInPandas
-    lineage, doubling the dominant pure-Python PNG cost; with the
-    diamond materialized every image decodes exactly once."""
-    hashes = M.image_ahash(load(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
-    )
-    bands = hashes.select(
+# Corpus size above which image-dedup candidate generation switches
+# from 10×6-bit banding to the 3×20-bit multi-probe scheme (see
+# _ahash_candidates). 6-bit keys give only 64 buckets per band, so the
+# banded self-join carries an n²/64 random-collision floor — measured
+# at the sf10 soak as 399 s / exponent 2.2 on 500k md5-random hashes.
+_AHASH_PROBE_SWITCH = 100_000
+
+# Hamming-≤2 probe masks over a 20-bit block: C(20,0)+C(20,1)+C(20,2)
+# = 211 keys per block per doc.
+_AHASH_PROBE_MASKS = (
+    [0]
+    + [1 << i for i in range(20)]
+    + [(1 << i) | (1 << j) for i in range(20) for j in range(i + 1, 20)]
+)
+
+
+def _ahash_candidates(hashes: DataFrame, scheme: str) -> DataFrame:
+    """Candidate (a_id, b_id, hamming) pairs from a (doc_id, ahash)
+    table, deduped, NOT yet threshold-filtered. Both schemes are
+    pigeonhole-COMPLETE at hamming ≤ 8 over the 60-bit hash, so the
+    final filtered output is identical — only the candidate volume
+    differs:
+
+    - "banded": 10 bands × 6 bits, equi-join on (band, key). ≤8
+      differing bits occupy ≤8 bands → ≥2 clean bands shared. Key
+      space 2^6 per band → random-collision floor n²·10/64; right for
+      small corpora where the decode dominates anyway.
+    - "probe": 3 blocks × 20 bits, multi-probe radius 2. ≤8 errors
+      over 3 blocks → some block differs in ≤2 bits (else ≥3·3=9),
+      so probing every hamming-≤2 variant (211 masks) of each block
+      key meets the other doc's EXACT block key. Probe rows are
+      633·n (linear); the random floor drops to n²·633/2^20 — 258×
+      fewer candidates than banding, the dial a bigger corpus turns
+      further by widening blocks/raising radius together."""
+    if scheme == "banded":
+        bands = hashes.select(
+            "doc_id",
+            "ahash",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright("ahash", 6 * j).bitwiseAND(F.lit(63)).alias("key"),
+                    )
+                    for j in range(10)
+                ])
+            ).alias("b"),
+        ).select("doc_id", "ahash", "b.band", "b.key")
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+                F.bit_count(
+                    F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+                ).cast("long").alias("hamming"),
+            )
+            .distinct()
+        )
+    assert scheme == "probe", scheme
+
+    def block_key(j: int) -> F.Column:
+        return F.shiftright("ahash", 20 * j).bitwiseAND(F.lit((1 << 20) - 1))
+
+    blocks = hashes.select(
         "doc_id",
         "ahash",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.shiftright("ahash", 6 * j).bitwiseAND(F.lit(63)).alias("key"),
-                )
-                for j in range(10)
+                F.struct(F.lit(j).alias("blk"), block_key(j).alias("key"))
+                for j in range(3)
             ])
         ).alias("b"),
-    ).select("doc_id", "ahash", "b.band", "b.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+    ).select("doc_id", "ahash", "b.blk", "b.key")
+    masks = F.array(*[F.lit(m) for m in _AHASH_PROBE_MASKS])
+    probes = blocks.select(
+        "doc_id",
+        "ahash",
+        "blk",
+        F.explode(F.transform(masks, lambda m: F.col("key").bitwiseXOR(m))).alias("key"),
+    )
+    p, i = probes.alias("p"), blocks.alias("i")
+    return (
+        p.join(
+            i,
+            (F.col("p.blk") == F.col("i.blk"))
+            & (F.col("p.key") == F.col("i.key"))
+            & (F.col("p.doc_id") != F.col("i.doc_id")),
+        )
         .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))).cast("long").alias(
-                "hamming"
-            ),
+            F.least("p.doc_id", "i.doc_id").alias("a_id"),
+            F.greatest("p.doc_id", "i.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("p.ahash").bitwiseXOR(F.col("i.ahash"))
+            ).cast("long").alias("hamming"),
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= 8)
+
+
+def q_image_dedup_pairs(
+    spark: SparkSession, sf_dir: str, scheme: str | None = None
+) -> DataFrame:
+    """Perceptual-hash image near-dup pairs — the multimodal and
+    dedup families composed: every document's REAL PNG (planted
+    60-bit patterns, 5 docs per group at hamming <= 8, cross-group
+    ~30) is DECODED and average-hashed from pixels
+    (operators/multimodal.image_ahash), then candidates come from a
+    pigeonhole-complete equi-join (_ahash_candidates: 10×6-bit
+    banding below _AHASH_PROBE_SWITCH docs, 3×20-bit multi-probe
+    above — r8: the first sf10 soak exposed banding's 64-bucket
+    random-collision floor at 399 s/exp 2.2; both schemes emit the
+    IDENTICAL filtered pair set, pinned in tests/test_llmdata.py),
+    exact bit_count(xor) <= 8 verdict. The SQL twin derives the
+    hashes from the md5 closed form instead of pixels, so a green row
+    proves PNG decode + cell pooling + thresholding reproduced every
+    planted bit. Scale shape: decode is embarrassingly parallel;
+    candidate generation is an equi-join — never all-pairs. r7
+    (VERDICT #5): the hash table is localCheckpoint'ed before the
+    self-join — both join sides otherwise re-run the whole
+    encode+decode mapInPandas lineage, doubling the dominant
+    pure-Python PNG cost; with the diamond materialized every image
+    decodes exactly once."""
+    docs = load(spark, sf_dir, "documents")
+    if scheme is None:
+        scheme = "probe" if docs.count() >= _AHASH_PROBE_SWITCH else "banded"
+    hashes = M.image_ahash(docs).localCheckpoint(eager=False)
+    return _ahash_candidates(hashes, scheme).filter(F.col("hamming") <= 8)
 
 
 _IMAGE_DEDUP_PAIRS_SQL = """

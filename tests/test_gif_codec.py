@@ -246,3 +246,18 @@ def test_image_dedup_pairs_exactly_the_planted_groups(spark, sf_small):
     for r in rows:
         assert r.a_id // 5 == r.b_id // 5  # same group only
         assert 0 <= r.hamming <= 8  # 0 possible: a doc's flips may collide and cancel
+
+
+def test_image_dedup_probe_scheme_equals_banded(spark, sf_small):
+    """The r8 scale path (3×20-bit multi-probe, radius 2 — engaged
+    above _AHASH_PROBE_SWITCH docs) must emit EXACTLY the banded
+    scheme's pair set: both candidate generators are pigeonhole-
+    complete at hamming ≤ 8, so the filtered output is scheme-
+    independent by construction — this pins it."""
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        q_image_dedup_pairs,
+    )
+
+    banded = {tuple(r) for r in q_image_dedup_pairs(spark, sf_small, scheme="banded").collect()}
+    probe = {tuple(r) for r in q_image_dedup_pairs(spark, sf_small, scheme="probe").collect()}
+    assert banded == probe and banded
