@@ -1,0 +1,136 @@
+"""The r8 two-stage cosine kernels (BLAS prefilter over normalized
+vectors + exact left-to-right fold rescore on survivors) promise
+BIT-IDENTICAL output to the naive exact-fold-everything form — the
+1e-9 superset margin must dominate the float64 GEMM error for every
+input, including pairs engineered to straddle the pre-threshold by
+1e-10. These tests pin that promise against a pure-python reference
+that replays the oracle's fold order (dim-at-a-time float64), on both
+the cell kernel (pairs_from_cell_rows), the blocked exact path
+(neardup_pairs), and the incremental index's cross-batch kernel."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+from pyspark.sql import functions as F
+
+THRESHOLD = 0.5
+
+
+def _fold_cos(a, b):
+    """The zip_with/aggregate left-to-right float64 fold both engines
+    state: dot and the two norms each accumulate dimension-at-a-time."""
+    d = na = nb = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+        na += x * x
+        nb += y * y
+    import math
+
+    return d / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _round6(x: float) -> float:
+    # Spark's F.round = BigDecimal.valueOf(double) (shortest repr,
+    # like python's repr) rounded HALF_UP
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def _reference_pairs(ids, vecs, threshold=THRESHOLD):
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            c = _round6(_fold_cos(vecs[i], vecs[j]))
+            if c >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out[(a, b)] = c
+    return out
+
+
+def _fixture(n=48, dim=16, seed=7):
+    """Random unit vectors plus engineered pairs whose exact-fold
+    cosine lands within ~1e-10 of the prefilter boundary
+    (threshold − 1e-6): the margin band the BLAS prefilter must not
+    misjudge."""
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, dim))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    vecs = [V[i] for i in range(n)]
+    ids = list(range(n))
+    nid = n
+    for k in range(-5, 6):
+        target = THRESHOLD - 1e-6 + k * 1e-10
+        v = V[(k + 5) % n]
+        u = rng.standard_normal(dim)
+        u -= (u @ v) * v
+        u /= np.linalg.norm(u)
+        w = target * v + np.sqrt(max(0.0, 1 - target * target)) * u
+        vecs.append(w)
+        ids.append(nid)
+        nid += 1
+        vecs.append(v.copy())
+        ids.append(nid)
+        nid += 1
+    return ids, [list(map(float, v)) for v in vecs]
+
+
+def test_cell_kernel_matches_exact_fold_reference(spark):
+    from real_time_event_streaming_pipeline_spark.operators.similarity import (
+        pairs_from_cell_rows,
+    )
+
+    ids, vecs = _fixture()
+    tagged = spark.createDataFrame(
+        [(0, i, v) for i, v in zip(ids, vecs)], "cell int, _id long, _vec array<double>"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in pairs_from_cell_rows(tagged, THRESHOLD).collect()
+    }
+    assert got == _reference_pairs(ids, vecs)
+
+
+def test_blocked_exact_path_matches_exact_fold_reference(spark):
+    from real_time_event_streaming_pipeline_spark.operators.similarity import (
+        neardup_pairs,
+    )
+
+    ids, vecs = _fixture(seed=11)
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in zip(ids, vecs)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in neardup_pairs(emb, threshold=THRESHOLD, n_blocks=4).collect()
+    }
+    assert got == _reference_pairs(ids, vecs)
+
+
+def test_cross_batch_kernel_matches_exact_fold_reference(spark):
+    """The incremental index's old-vs-new kernel: dropped new ids must
+    be exactly those with a smaller-id reference match over threshold."""
+    from real_time_event_streaming_pipeline_spark.streaming.semdedup_index import (
+        _cross_dropped_kernel,
+    )
+
+    ids, vecs = _fixture(seed=23)
+    half = len(ids) // 2
+    old = spark.createDataFrame(
+        [(0, ids[i], vecs[i]) for i in range(half)],
+        "cell int, _id long, _vec array<double>",
+    )
+    new = spark.createDataFrame(
+        [(0, ids[i], vecs[i]) for i in range(half, len(ids))],
+        "cell int, _id long, _vec array<double>",
+    )
+    got = {
+        r["b_id"] for r in _cross_dropped_kernel(new, old, THRESHOLD).collect()
+    }
+    ref = _reference_pairs(ids, vecs)
+    old_ids = set(ids[:half])
+    # every old id is smaller than every new id in this split, so the
+    # smaller-id-wins drop rule reduces to: b dropped iff it pairs
+    # with any old id over threshold
+    want = {b for (a, b) in ref if a in old_ids and b not in old_ids}
+    assert got == want
