@@ -268,8 +268,8 @@ _PRIORITY_R9_PLAN = (
     "llm_corpus_build",
     "llm_corpus_ingest_epochs",
     "llm_image_dedup_pairs",
-    # r7-verdict scalar batteries — deadline r11, pre-drained filler
-    "fn_string",
+    "llm_dedup_clusters",
+    # r7-verdict scalar battery — deadline r11, pre-drained filler
     "fn_datetime",
 )
 

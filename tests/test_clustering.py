@@ -21,6 +21,21 @@ def test_multi_hop_chain_converges(spark):
     assert {(20, 20), (21, 20), (22, 20)} <= cc
 
 
+def test_long_chain_converges_in_log_rounds(spark):
+    """A 2000-vertex path graph (diameter 1999 — the chained-template
+    shape the sf1 soak corpus exposed): plain min-propagation needs
+    ~diameter rounds and would blow the max_iter=20 ceiling; pointer
+    halving must converge within ~log2(1999)+O(1) rounds and label
+    every vertex with the chain head."""
+    n = 2000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    cc = connected_components(pairs, max_iter=20).collect()
+    assert len(cc) == n
+    assert all(r.component == 0 for r in cc)
+
+
 def test_cluster_summary(spark):
     pairs = spark.createDataFrame([(5, 9), (9, 7)], "a_id long, b_id long")
     rows = dedup_clusters(pairs).collect()
