@@ -194,22 +194,20 @@ _PRIORITY_R8 = (
     "rel_dormant_rich_customers",
 )
 
-# The live window alias: rotation tooling and tests reference THIS
-# name so each round's rewire is a one-line change, not a test edit.
-PRIORITY_WINDOW = _PRIORITY_R8
-
-# The PLANNED r9 window, staged ahead (the discipline that kept r7's
-# handoff green): the four r5-era pre-drains displaced by r8's
-# changed-face swap-ins (deadline r9 — MUST land), every row whose
-# latest verdict is r6 and survives the r8 retirements (deadline r10,
-# pre-drained here so r10 keeps slack for whatever r9 changes), and 7
-# of the most stable r7-verdict scalar batteries (deadline r11) to
-# fill the window. Finalized at r8 close-out: anything r8 itself
-# still changes swaps in, displacing the deadline-r11 tail first.
-# tools/rotation_check.py accepts this staged plan as the presumed
-# next window between rounds (pass-with-warning), so the moment
-# CORRECTNESS_r08.json lands the repo does not go structurally red.
-_PRIORITY_R9_PLAN = (
+# Round 9's window, wired as the round's FIRST commit (r8 verdict #2)
+# from the staged _PRIORITY_R9_PLAN, verbatim: the four r5-era
+# pre-drains displaced by r8's changed-face swap-ins (deadline r9 —
+# staleness-forced), every row whose latest verdict is r6 and
+# survives the r8 retirements (deadline r10, pre-drained so r10 keeps
+# slack), the six faces r8's code touched (one-round-lag commitment:
+# sketch ≥3σ envelopes, two-stage cosine kernels, multi-probe image
+# dedup, adaptive pointer-halving clusters), and fn_datetime as the
+# deadline-r11 filler. Every face round 9 itself changes (semdedup /
+# bpe / image-dedup / clusters / ngram per the r8 verdict asks) is
+# ALREADY in this window — the only r9-touched face outside it,
+# cs_tx_dml_lifecycle (verdict #1 perf fix), carries its r8-green
+# verdict and rotates into the r10 plan below.
+_PRIORITY_R9 = (
     # displaced r5-era pre-drains — deadline r9, staleness-forced
     "rel_promo_revenue",
     "rel_supplier_part_cnt",
@@ -273,7 +271,85 @@ _PRIORITY_R9_PLAN = (
     "fn_datetime",
 )
 
-STAGED_NEXT_WINDOW = _PRIORITY_R9_PLAN
+# The live window alias: rotation tooling and tests reference THIS
+# name so each round's rewire is a one-line change, not a test edit.
+PRIORITY_WINDOW = _PRIORITY_R9
+
+# The PLANNED r10 window, staged ahead (the handoff discipline that
+# has kept rounds 8 and 9 structurally green between rounds): with
+# _PRIORITY_R9 landing in round 9, ZERO rows are due by r10 and 41 by
+# r11 — so this plan pre-drains ALL 41 deadline-r11 rows (the entire
+# r7-verdict block: fn_* scalar batteries, the llm text/corpus wave,
+# the IVF/PQ ANN pair, the TPC-H pricing/supplier wave), adds
+# cs_tx_dml_lifecycle (round 9 changes its code for the r8 verdict #1
+# sweep-regression fix — one-round-lag commitment; every other
+# r9-touched face is already in _PRIORITY_R9), and fills the 8
+# remaining slots with the most stable r8-verdict relational rows
+# (deadline r12). Revisited at r9 close-out: anything else r9 ends up
+# changing swaps in, displacing the deadline-r12 tail first.
+# tools/rotation_check.py accepts this staged plan as the presumed
+# next window between rounds (pass-with-warning; --strict-handoff
+# makes the warning fail for CI-style gating), so the moment
+# CORRECTNESS_r09.json lands the repo does not go structurally red.
+_PRIORITY_R10_PLAN = (
+    # r9-changed face — one-round-lag commitment (r8 verdict #1)
+    "cs_tx_dml_lifecycle",
+    # deadline-r11 block: r7-verdict scalar batteries
+    "fn_array",
+    "fn_higher_order",
+    "fn_hll_mergeable",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_sketch_set_algebra",
+    "fn_string",
+    "fn_unpivot",
+    "fn_url",
+    # deadline-r11 block: llm text/corpus wave
+    "llm_contamination",
+    "llm_doc_repetition",
+    "llm_dup_chunk_fraction",
+    "llm_emb_ann_ivf",
+    "llm_emb_ann_pq",
+    "llm_fuzzy_linkage",
+    "llm_gopher_rules",
+    "llm_multimodal_avi",
+    "llm_multimodal_features",
+    "llm_multimodal_png",
+    "llm_multimodal_wav",
+    "llm_normalize",
+    "llm_per_source_cap",
+    "llm_pii_redact",
+    "llm_source_mixture",
+    "llm_stratified_sample",
+    "llm_tfidf",
+    "llm_token_freq",
+    "llm_unigram_logprob",
+    # deadline-r11 block: relational / TPC-H wave
+    "rel_customer_order_counts",
+    "rel_customers_with_urgent_orders",
+    "rel_dominant_part_suppliers",
+    "rel_ewma_user_value",
+    "rel_grouping_sets",
+    "rel_large_volume_customer",
+    "rel_local_supplier_volume",
+    "rel_nation_profit",
+    "rel_pricing_summary",
+    "rel_retention_cohorts",
+    "rel_shipping_priority",
+    "rel_sql_subqueries",
+    # deadline-r12 fillers — stable r8-verdict relational rows
+    "rel_recursive_sessions",
+    "rel_window_frames",
+    "rel_session_window_native",
+    "rel_null_aware_anti_join",
+    "rel_customers_without_orders",
+    "rel_setops_suppliers",
+    "rel_top_orders_per_customer",
+    "rel_running_revenue_by_supplier",
+)
+
+STAGED_NEXT_WINDOW = _PRIORITY_R10_PLAN
 
 _PRIORITY_R6 = (
     # new in round 6 — no driver verdict yet (rotation_check enforces
