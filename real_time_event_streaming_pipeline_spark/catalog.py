@@ -66,6 +66,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_rows_metadata(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTERS only — no Spark job, no
+    data scan (r8 ADVICE: q_image_dedup_pairs ran an eager
+    docs.count() at plan-construction time just to pick a candidate
+    scheme, a full-scan job landing inside bench timing). Footers are
+    O(files), not O(bytes): at 100 TB this is a metadata listing, and
+    scale callers can still bypass it by passing the scheme
+    explicitly."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """THE one ts-unit guard, shared by batch and stream so they can
     never diverge: the driver's testdata has shipped `events.ts` both

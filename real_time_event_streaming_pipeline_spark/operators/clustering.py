@@ -124,6 +124,13 @@ def connected_components(
             # coalesce is defensive. Labels are monotone
             # non-increasing, so halving only shrinks them — the
             # fixpoint, and therefore the output, is identical.
+            # materialize the propagated labels BEFORE deriving hop
+            # (r8 ADVICE): both sides of the halving join otherwise
+            # consume the un-checkpointed union+groupBy lineage, and
+            # exchange reuse is not guaranteed — the per-round cost
+            # halving is meant to reduce would partly be paid back by
+            # executing the propagation twice.
+            labels = labels.localCheckpoint()
             hop = labels.select(
                 F.col("vertex").alias("_lv"), F.col("component").alias("_lc")
             )

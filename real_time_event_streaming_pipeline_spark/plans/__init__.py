@@ -597,6 +597,17 @@ def all_oracles(sf_dir: str | None = None) -> dict[str, str]:
 
     if sf_dir is None:
         sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    # Fail fast on a bogus sf_dir (r8 ADVICE): the per-row degrade
+    # loop below exists for an existing-but-PARTIAL corpus (a /tmp
+    # soak dir with documents only); a mistyped path or a flag string
+    # passed as the dir must raise, not silently strip oracle coverage
+    # from every trained-literal row.
+    if not os.path.isdir(sf_dir):
+        raise NotADirectoryError(
+            f"all_oracles: sf_dir {sf_dir!r} is not a directory — "
+            "trained-literal oracle generators only degrade to rows-only "
+            "for an existing corpus missing a specific table file"
+        )
     merged: dict[str, str] = {}
     for m in _modules():
         merged.update(m.ORACLE)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, table_rows_metadata
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -1532,7 +1532,15 @@ def q_image_dedup_pairs(
     decodes exactly once."""
     docs = load(spark, sf_dir, "documents")
     if scheme is None:
-        scheme = "probe" if docs.count() >= _AHASH_PROBE_SWITCH else "banded"
+        # corpus size from parquet footers, not an eager docs.count()
+        # Spark job at plan-construction time (r8 ADVICE): a query
+        # builder must stay side-effect-free, and the scheme pick only
+        # needs metadata. Soak callers can pass scheme explicitly.
+        scheme = (
+            "probe"
+            if table_rows_metadata(sf_dir, "documents") >= _AHASH_PROBE_SWITCH
+            else "banded"
+        )
     hashes = M.image_ahash(docs).localCheckpoint(eager=False)
     return _ahash_candidates(hashes, scheme).filter(F.col("hamming") <= 8)
 

@@ -92,3 +92,53 @@ def test_handoff_state_passes_with_staged_plan(tmp_path, capsys):
         if had is None:
             delattr(plans, staged_name)
     assert not violations, "\n".join(violations)
+
+
+def test_handoff_pending_is_machine_detectable(tmp_path):
+    """r8 ADVICE: the staged-plan pass must be distinguishable from a
+    clean pass by exit-code gating — check_ex returns
+    handoff_pending=True in the between-rounds state, False once the
+    window is wired, and EXIT_HANDOFF_PENDING differs from 0/1."""
+    import glob
+    import json
+    import shutil
+
+    import rotation_check
+    from real_time_event_streaming_pipeline_spark import plans
+
+    assert rotation_check.EXIT_HANDOFF_PENDING not in (0, 1)
+    # wired state: clean pass, no pending handoff
+    violations, pending = rotation_check.check_ex(REPO)
+    assert not violations and not pending
+    # stale between-rounds state: land the LIVE window twice in a row
+    # (the driver re-verifying the same 50 rows) so the pre-drained
+    # backlog genuinely goes stale; the staged plan for the round
+    # after must flip the result to pass-with-pending, not clean pass
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path / os.path.basename(p))
+    _, upcoming = rotation_check.load_history(str(tmp_path))
+    fake = json.dumps({q: {"hash_match": True} for q in plans.PRIORITY_WINDOW})
+    (tmp_path / f"CORRECTNESS_r{upcoming:02d}.json").write_text(fake)
+    (tmp_path / f"CORRECTNESS_r{upcoming + 1:02d}.json").write_text(fake)
+    live_viol, _ = rotation_check.check_ex(str(tmp_path))  # no staged plan yet
+    staged_name = f"_PRIORITY_R{upcoming + 2}_PLAN"
+    assert getattr(plans, staged_name, None) is None, "pick a deeper simulation"
+    assert live_viol, "two same-window rounds should strand the pre-drained backlog"
+    try:
+        setattr(plans, staged_name, plans.STAGED_NEXT_WINDOW)
+        violations, pending = rotation_check.check_ex(str(tmp_path))
+    finally:
+        delattr(plans, staged_name)
+    assert not violations and pending
+
+
+def test_all_oracles_rejects_bogus_sf_dir():
+    """r8 ADVICE: a nonexistent sf_dir (e.g. a flag string passed as
+    the dir) must raise, not silently degrade every trained-literal
+    row to rows-only."""
+    import pytest
+
+    from real_time_event_streaming_pipeline_spark.plans import all_oracles
+
+    with pytest.raises(NotADirectoryError):
+        all_oracles(sf_dir="--strict")

@@ -94,23 +94,38 @@ def _violations(
     return violations
 
 
+# main() exit code when the check passes ONLY via the staged plan and
+# --strict-handoff is given: distinct from 0 (clean) and 1 (violation)
+# so exit-code-gating callers can tell "plan staged but not wired"
+# apart from both (r8 ADVICE — a caller gating on exit 0 alone would
+# keep passing all round even if the plan is never wired).
+EXIT_HANDOFF_PENDING = 3
+
+
 def check(repo_dir: str, verbose: bool = False) -> list[str]:
     """Violations with the LIVE window presumed to land in the upcoming
-    round. Handoff-aware (r7 verdict #1): between rounds — the driver
-    has landed CORRECTNESS_r{N}.json but round N+1's first commit has
-    not yet rewired the window — the live window simulates as already
-    landed and the r4-era backlog looks red even though the staged
-    next-window plan covers it. If a staged ``_PRIORITY_R{upcoming}_
-    PLAN`` exists and presuming IT as the upcoming window cures every
-    violation, the check passes with a warning instead of failing:
-    the plan only needs the round's first commit to wire it."""
+    round (see check_ex for the handoff flag)."""
+    return check_ex(repo_dir, verbose=verbose)[0]
+
+
+def check_ex(repo_dir: str, verbose: bool = False) -> tuple[list[str], bool]:
+    """(violations, handoff_pending). Handoff-aware (r7 verdict #1):
+    between rounds — the driver has landed CORRECTNESS_r{N}.json but
+    round N+1's first commit has not yet rewired the window — the live
+    window simulates as already landed and the backlog looks red even
+    though the staged next-window plan covers it. If a staged
+    ``_PRIORITY_R{upcoming}_PLAN`` exists and presuming IT as the
+    upcoming window cures every violation, the check passes with
+    handoff_pending=True (a warning on stderr; ``--strict-handoff``
+    turns it into exit EXIT_HANDOFF_PENDING so exit-code gating can
+    refuse to coast on an unwired plan — r8 ADVICE)."""
     import real_time_event_streaming_pipeline_spark.plans as plans
 
     registry = list(plans.all_queries())
     latest, upcoming = load_history(repo_dir)
     live = _violations(registry, set(registry[:WINDOW]), latest, upcoming, verbose=verbose)
     if not live:
-        return []
+        return [], False
     staged = getattr(plans, f"_PRIORITY_R{upcoming}_PLAN", None)
     if staged is not None:
         staged_viol = _violations(registry, set(staged), latest, upcoming)
@@ -121,14 +136,15 @@ def check(repo_dir: str, verbose: bool = False) -> list[str]:
                 "cures all of them — wire it as the round's first commit",
                 file=sys.stderr,
             )
-            return []
-    return live
+            return [], True
+    return live, False
 
 
 def main() -> int:
     repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     verbose = "--verbose" in sys.argv
-    violations = check(repo_dir, verbose=verbose)
+    strict_handoff = "--strict-handoff" in sys.argv
+    violations, handoff_pending = check_ex(repo_dir, verbose=verbose)
     if violations:
         print(f"ROTATION CHECK FAILED ({len(violations)} violations):")
         for v in violations:
@@ -137,8 +153,15 @@ def main() -> int:
     latest, upcoming = load_history(repo_dir)
     from real_time_event_streaming_pipeline_spark.plans import all_queries
 
+    if handoff_pending and strict_handoff:
+        print(
+            f"rotation HANDOFF PENDING (--strict-handoff): staged plan for r{upcoming} "
+            "cures the stale live window but has not been wired as PRIORITY_WINDOW"
+        )
+        return EXIT_HANDOFF_PENDING
     print(
-        f"rotation OK: {len(list(all_queries()))} registered queries, "
+        f"rotation OK{' (handoff pending)' if handoff_pending else ''}: "
+        f"{len(list(all_queries()))} registered queries, "
         f"window {WINDOW}, upcoming round r{upcoming}, max staleness {MAX_STALENESS}"
     )
     return 0
