@@ -579,6 +579,7 @@ def _write_txn_files(
     version: int,
     stats_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
+    presorted: bool = False,
 ) -> list[dict]:
     """Write one transaction's data files under a fresh directory and
     return manifest entries. `partitionBy` on a duplicated bucket
@@ -588,7 +589,27 @@ def _write_txn_files(
     names so Spark never infers a partition column from them."""
     txn_rel = f"txn-{version:010d}-{uuid.uuid4().hex[:8]}"
     txn_abs = os.path.join(_data_dir(table_dir), txn_rel)
-    writer = merged.withColumn("_kb_part", F.col("kb")).write.partitionBy("_kb_part")
+    # OPTIMIZED WRITE (r8 verdict #1): repartition by bucket before the
+    # partitioned write. Without it each of the writer's input
+    # partitions emits one file PER bucket it contains — a 32-partition
+    # dedupe shuffle × 16 buckets wrote ~128-500 row files per commit,
+    # and since readers take explicit file lists, every subsequent
+    # read_table / DV scan paid per-file planning+footer cost that
+    # COMPOUNDED across the lifecycle's commits (the measured source of
+    # the full-sweep regression: 242 manifest files by v1 at sf0.1).
+    # Hash-repartitioning on the bucket value lands each bucket wholly
+    # in one task → exactly one file per touched bucket;
+    # maxRecordsPerFile still splits oversized buckets at scale, and
+    # AQE coalesces the tiny-commit shuffle. This is Delta's
+    # optimizeWrite bin-packing, expressed as one Spark shuffle.
+    # ``presorted=True`` (compact) skips it: the input is already
+    # repartitioned by bucket AND row-clustered (sort/Z-order), and a
+    # second shuffle would scramble exactly the clustering compact
+    # exists to create.
+    out = merged.withColumn("_kb_part", F.col("kb"))
+    if not presorted:
+        out = out.repartition(F.col("_kb_part"))
+    writer = out.write.partitionBy("_kb_part")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.parquet(txn_abs)
@@ -1460,6 +1481,9 @@ def compact(
         df, table_dir, version + 1,
         stats_cols=manifest.get("stats_cols"),
         max_records_per_file=max_records_per_file,
+        # sorted/z-ordered input is already repartitioned by bucket;
+        # the optimized-write shuffle would scramble the clustering
+        presorted=bool(sort_cols or zorder_cols),
     )
     new_manifest = dict(
         manifest, version=version + 1, op="compact", epoch=None, eff_epoch=None,
