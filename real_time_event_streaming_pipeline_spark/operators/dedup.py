@@ -39,14 +39,24 @@ def _h60(col: Column) -> Column:
     Non-negative by construction (no abs needed), so `% _MERSENNE`
     agrees between Java and SQL remainder semantics."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-# Deterministic permutation parameters (golden-ratio LCG constants).
-_PERM_A = 0x9E3779B97F4A7C15
-_PERM_B = 0xC2B2AE3D27D4EB4F
-
-
 def _perm(i: int) -> tuple[int, int]:
-    a = (_PERM_A * (i + 1)) % _MERSENNE or 1
-    b = (_PERM_B * (i + 1)) % _MERSENNE
+    """Deterministic affine-permutation parameters (a_i, b_i) over
+    GF(2^31−1), drawn independently per index from md5 — NOT an LCG
+    family. The previous (i+1)·const scheme made every permutation a
+    scalar multiple of the first (π_i(h) = (i+1)·π_0(h) mod M), so the
+    32 min-hashes were linearly dependent and the match-fraction
+    estimator ran far off the Jaccard it estimates (measured: 17/32
+    matches on a true-0.905 pair, where ~29/32 is expected) —
+    silently wrecking banding recall. md5-per-index restores the
+    pairwise independence the estimator's E[match] = J guarantee
+    needs; same-seed determinism keeps the DuckDB twins bitwise (they
+    fold these values as literals via D._perm)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"spark_graft_perm_a:{i}".encode()).hexdigest()[:15], 16) % (
+        _MERSENNE - 1
+    ) + 1
+    b = int(hashlib.md5(f"spark_graft_perm_b:{i}".encode()).hexdigest()[:15], 16) % _MERSENNE
     return a, b
 
 
@@ -212,6 +222,69 @@ def ngram_jaccard_pairs(
         # same predicate order as the DuckDB oracle, so a boundary pair
         # with true jaccard in [threshold-5e-5, threshold) agrees on
         # both sides
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("a_id", "b_id", "n_common", F.round("jaccard_raw", 4).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs_lsh(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 256,
+    observation=None,
+) -> DataFrame:
+    """n-gram Jaccard pairs via MinHash-LSH candidates + EXACT
+    verification — the designated scale route for the exact path's one
+    superlinear regime (r8 verdict #4): on a CLOSED vocabulary the
+    corpus saturates the shingle space and `ngram_jaccard_pairs`'
+    df-cap cliff maximizes the kept-shingle join right under the cap
+    (sf1: 16.5% of shingle instances capped, survivors 38.7 s).
+
+    Candidates come from the banding equi-join (every stage linear in
+    rows: signature groupBy, band-bucket groupBy, capped map-side
+    pairing). Each candidate is then verified with the TRUE Jaccard
+    over the SAME df-capped shingle universe the exact path uses —
+    per-doc sorted shingle arrays, array_intersect for |∩| — so a
+    verified pair carries bit-identical (n_common, jaccard) to the
+    exact path, and the output differs from it only by LSH recall:
+    a true pair is missed iff NO band of its signature collides
+    (P(miss) = (1 − s^(hashes/bands))^bands; ≈1.5% at s = 0.8, ≈0.02%
+    at s = 0.9 — negligible on margin-bearing corpora, which is why
+    callers switch routes by corpus size instead of always paying the
+    exact join; parity on a planted-margin fixture is pinned in
+    tests/test_operators.py). Verification joins key on doc id with a
+    small candidate side — AQE broadcasts it — so nothing here is
+    ever all-pairs or superlinear."""
+    cand = minhash_lsh_pairs(
+        df, k, num_hashes, bands, id_col, max_bucket, observation
+    ).select("a_id", "b_id")
+    grp = (
+        doc_shingles(df, k, id_col)
+        .groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") <= max_doc_freq)
+    )
+    per_doc = (
+        grp.select("shingle", F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("shingle")).alias("sh"))
+    )
+    a = per_doc.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b = per_doc.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("n_common", F.size(F.array_intersect("a_sh", "b_sh")).cast("long"))
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common")
+            / (F.size("a_sh") + F.size("b_sh") - F.col("n_common")).cast("double"),
+        )
         .filter(F.col("jaccard_raw") >= threshold)
         .select("a_id", "b_id", "n_common", F.round("jaccard_raw", 4).alias("jaccard"))
     )

@@ -124,3 +124,41 @@ def test_ewma_matches_reference_recurrence(spark, sf_small):
         want[(r.user_id, r.event_id)] = round(y, 6)
     assert len(got) == len(want)
     assert got == want
+
+
+def test_ngram_lsh_route_matches_exact_on_margin_fixture(spark):
+    """The r8-verdict #4 parity pin: on a margin-bearing corpus (every
+    true near-dup pair well above the 0.5 threshold, background pairs
+    well below it), the LSH-candidates + exact-verify route must emit
+    the IDENTICAL pair set — same (a_id, b_id, n_common, jaccard) —
+    and therefore identical clusters, as the exact kept-shingle join.
+    This is what licenses q_dedup_clusters' corpus-size route switch."""
+    from real_time_event_streaming_pipeline_spark.operators.clustering import (
+        dedup_clusters,
+    )
+    from real_time_event_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_lsh,
+    )
+
+    # 80 planted near-dup pairs at jaccard 19/21 ≈ 0.905 (22-token docs
+    # differing in the single trailing token; per-pair banding miss
+    # probability (1 − 0.905⁴)⁸ ≈ 1.4e-4, so margin-bearing means the
+    # full pair set survives) + 160 background docs of unique tokens
+    # (zero cross-doc shingle overlap)
+    rows = []
+    for g in range(80):
+        base = [f"w{g}_{i}" for i in range(22)]
+        rows.append((2 * g, " ".join(base)))
+        rows.append((2 * g + 1, " ".join(base[:-1] + [f"x{g}"])))
+    for b in range(160):
+        rows.append((1000 + b, " ".join(f"u{b}_{i}" for i in range(22))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = {tuple(r) for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    lsh = {tuple(r) for r in ngram_jaccard_pairs_lsh(docs, k=3, threshold=0.5).collect()}
+    assert len(exact) == 80  # every planted pair, no background pair
+    assert lsh == exact
+    cl_exact = {tuple(r) for r in dedup_clusters(ngram_jaccard_pairs(docs)).collect()}
+    cl_lsh = {tuple(r) for r in dedup_clusters(ngram_jaccard_pairs_lsh(docs)).collect()}
+    assert cl_lsh == cl_exact
