@@ -267,8 +267,13 @@ _PRIORITY_R9 = (
     "llm_corpus_ingest_epochs",
     "llm_image_dedup_pairs",
     "llm_dedup_clusters",
-    # r7-verdict scalar battery — deadline r11, pre-drained filler
-    "fn_datetime",
+    # r9 swap-in (displacing the fn_datetime filler into the r10
+    # plan): round 9 fixes the minhash permutation family — the old
+    # (i+1)·const scheme made the 32 hashes linearly dependent and
+    # biased the est_jaccard estimator (measured 17/32 matches on a
+    # true-0.905 pair) — so this face's RESULTS change this round and
+    # it must carry a fresh verdict.
+    "llm_dedup_minhash_lsh",
 )
 
 # The live window alias: rotation tooling and tests reference THIS
@@ -338,6 +343,10 @@ _PRIORITY_R10_PLAN = (
     "rel_retention_cohorts",
     "rel_shipping_priority",
     "rel_sql_subqueries",
+    # displaced r9 filler — fn_datetime left the r9 window for the
+    # minhash-fix swap-in, so its deadline stays r11 and it pre-drains
+    # here
+    "fn_datetime",
     # deadline-r12 fillers — stable r8-verdict relational rows
     "rel_recursive_sessions",
     "rel_window_frames",
@@ -346,7 +355,6 @@ _PRIORITY_R10_PLAN = (
     "rel_customers_without_orders",
     "rel_setops_suppliers",
     "rel_top_orders_per_customer",
-    "rel_running_revenue_by_supplier",
 )
 
 STAGED_NEXT_WINDOW = _PRIORITY_R10_PLAN

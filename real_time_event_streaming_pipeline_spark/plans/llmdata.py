@@ -847,15 +847,40 @@ FROM qq
 """
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over exact n-gram near-dup pairs (the
-    iterative min-label-propagation loop in operators/clustering.py).
-    Oracle: DuckDB recursive CTE computing min reachable id — the
-    'iterative algorithm' case SURVEY.md §5.2 allows to skip SQL, done
-    in SQL anyway."""
+# q_dedup_clusters routes pair generation by corpus size (parquet
+# footer row count — no Spark job): below this, the exact one-shuffle
+# n-gram join; at/above it, MinHash-LSH candidates + exact
+# verification (ngram_jaccard_pairs_lsh — the designated route for
+# the closed-vocabulary df-cap cliff, r8 verdict #4). sf0.1 (5k docs)
+# stays exact; sf1 (50k) and every soak corpus take the LSH route.
+_NGRAM_LSH_SWITCH = 20_000
+
+
+def q_dedup_clusters(
+    spark: SparkSession, sf_dir: str, pair_method: str | None = None
+) -> DataFrame:
+    """Connected components over n-gram near-dup pairs (the iterative
+    min-label-propagation loop in operators/clustering.py). Pair
+    generation is route-switched by corpus size (_NGRAM_LSH_SWITCH):
+    the exact path's kept-shingle join is superlinear once a closed
+    vocabulary saturates the shingle space (the measured sf1 df-cap
+    cliff), so large corpora take LSH candidates + exact verification
+    instead — same verified (n_common, jaccard) values, recall bounded
+    by the banding miss probability (negligible on margin-bearing
+    corpora; route parity pinned in tests/test_operators.py). Oracle:
+    DuckDB recursive CTE computing min reachable id over the SAME
+    route's pair set (the twin switches with the query — see
+    _dedup_clusters_sql), so the row stays bitwise at every sf."""
     from ..operators.clustering import dedup_clusters
 
-    pairs = D.ngram_jaccard_pairs(
+    if pair_method is None:
+        pair_method = (
+            "lsh"
+            if table_rows_metadata(sf_dir, "documents") >= _NGRAM_LSH_SWITCH
+            else "exact"
+        )
+    gen = D.ngram_jaccard_pairs if pair_method == "exact" else D.ngram_jaccard_pairs_lsh
+    pairs = gen(
         load(spark, sf_dir, "documents"), k=3, threshold=0.5, max_doc_freq=100
     )
     return dedup_clusters(pairs)
@@ -901,6 +926,59 @@ SELECT component AS representative,
        array_to_string(list_sort(list(CAST(vertex AS VARCHAR))), ',') AS members
 FROM cc GROUP BY component
 """
+
+
+def _dedup_clusters_lsh_sql() -> str:
+    """The LSH-route twin of _DEDUP_CLUSTERS_SQL: MinHash banding
+    candidates (the shared mcand CTE chain — identical 60-bit hashes,
+    permutations, band keys, and bucket gates as the Spark operator)
+    verified with the exact df-capped Jaccard, then the same
+    recursive-CTE connected components. Selected by the oracle
+    callable when the corpus is at/above _NGRAM_LSH_SWITCH, mirroring
+    q_dedup_clusters' route switch — bitwise at soak scale too."""
+    return f"""
+WITH RECURSIVE {_minhash_cte_sql()},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS n_common
+  FROM mcand c
+  JOIN shr a ON a.doc_id = c.a_id
+  JOIN shr b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+  GROUP BY c.a_id, c.b_id
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.5
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach AS (
+  SELECT u AS vertex, u AS label FROM edges
+  UNION
+  SELECT e.u AS vertex, r.label
+  FROM reach r JOIN edges e ON e.v = r.vertex
+),
+cc AS (SELECT vertex, min(label) AS component FROM reach GROUP BY vertex)
+SELECT component AS representative,
+       count(*) AS cluster_size,
+       array_to_string(list_sort(list(CAST(vertex AS VARCHAR))), ',') AS members
+FROM cc GROUP BY component
+"""
+
+
+def _dedup_clusters_sql(sf_dir: str) -> str:
+    """Oracle generator: the twin follows q_dedup_clusters' corpus-size
+    route switch (exact pair join below _NGRAM_LSH_SWITCH, LSH
+    candidates + exact verify at/above it)."""
+    if table_rows_metadata(sf_dir, "documents") < _NGRAM_LSH_SWITCH:
+        return _DEDUP_CLUSTERS_SQL
+    return _dedup_clusters_lsh_sql()
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str, pair_method: str = "ivf") -> DataFrame:
@@ -1408,13 +1486,37 @@ _BUILD_PACK_SHARDS = 16
 # at the sf10 soak as 399 s / exponent 2.2 on 500k md5-random hashes.
 _AHASH_PROBE_SWITCH = 100_000
 
-# Hamming-≤2 probe masks over a 20-bit block: C(20,0)+C(20,1)+C(20,2)
-# = 211 keys per block per doc.
-_AHASH_PROBE_MASKS = (
-    [0]
-    + [1 << i for i in range(20)]
-    + [(1 << i) | (1 << j) for i in range(20) for j in range(i + 1, 20)]
-)
+def _hamming_masks(w: int, r: int) -> list[int]:
+    """All xor masks of weight ≤ r over a w-bit key — the multi-probe
+    enumeration table, C(w,0)+…+C(w,r) entries."""
+    from itertools import combinations
+
+    return [
+        sum(1 << i for i in bits)
+        for k in range(r + 1)
+        for bits in combinations(range(w), k)
+    ]
+
+
+# The NEXT probe dial, pre-staged before it's needed (r8 verdict #6):
+# 2 blocks × 30 bits with ASYMMETRIC multi-probe — the probe side
+# enumerates hamming-≤3 variants of each block key (C(30,≤3) = 4,526
+# masks), the index side hamming-≤1 (31 masks); two keys match iff
+# their block-hamming ≤ 3+1 = 4, and ≤8 errors over 2 blocks leave
+# some block with ≤4 (pigeonhole) — so probe3 is COMPLETE at
+# hamming ≤ 8, like the other two schemes. Random-collision floor:
+# 2·4526·31/2^30 ≈ 2.6e-4·n², 2.3× below probe2's 3·211/2^20 ≈
+# 6.0e-4·n². The crossover arithmetic that sets the switch: probe2's
+# total row volume is (633 + 3)·n probes PLUS 6.0e-4·n² floor
+# candidates; probe3 trades a 14× larger linear term (9,052·n + 62·n)
+# for the 2.3× smaller quadratic one, and the totals cross near
+# n ≈ 3.0e7 — BELOW that, probe2 moves fewer rows and stays the
+# right scheme (measured sf10/500k: 67.7 s), ABOVE it the floor
+# dominates everything linear and probe3 wins. Scheme equivalence at
+# the switchover is pinned in tests/test_gif_codec.py (all three
+# schemes, identical filtered pair set); the ≥1M-doc one-point
+# measurement lives in SOAK_sf1.json["ahash_probe3_1m"].
+_AHASH_PROBE3_SWITCH = 30_000_000
 
 
 def _ahash_candidates(hashes: DataFrame, scheme: str) -> DataFrame:
@@ -1466,10 +1568,17 @@ def _ahash_candidates(hashes: DataFrame, scheme: str) -> DataFrame:
             )
             .distinct()
         )
-    assert scheme == "probe", scheme
+    if scheme == "probe3":
+        # 2 blocks × 30 bits, asymmetric (radius-3 probes vs radius-1
+        # index keys) — see _AHASH_PROBE3_SWITCH for the completeness
+        # proof and crossover arithmetic
+        n_blocks, width, r_probe, r_index = 2, 30, 3, 1
+    else:
+        assert scheme == "probe", scheme
+        n_blocks, width, r_probe, r_index = 3, 20, 2, 0
 
     def block_key(j: int) -> F.Column:
-        return F.shiftright("ahash", 20 * j).bitwiseAND(F.lit((1 << 20) - 1))
+        return F.shiftright("ahash", width * j).bitwiseAND(F.lit((1 << width) - 1))
 
     blocks = hashes.select(
         "doc_id",
@@ -1477,18 +1586,26 @@ def _ahash_candidates(hashes: DataFrame, scheme: str) -> DataFrame:
         F.explode(
             F.array(*[
                 F.struct(F.lit(j).alias("blk"), block_key(j).alias("key"))
-                for j in range(3)
+                for j in range(n_blocks)
             ])
         ).alias("b"),
     ).select("doc_id", "ahash", "b.blk", "b.key")
-    masks = F.array(*[F.lit(m) for m in _AHASH_PROBE_MASKS])
-    probes = blocks.select(
-        "doc_id",
-        "ahash",
-        "blk",
-        F.explode(F.transform(masks, lambda m: F.col("key").bitwiseXOR(m))).alias("key"),
-    )
-    p, i = probes.alias("p"), blocks.alias("i")
+
+    def expand(side: DataFrame, radius: int) -> DataFrame:
+        if radius == 0:
+            return side
+        masks = F.lit(_hamming_masks(width, radius))
+        return side.select(
+            "doc_id",
+            "ahash",
+            "blk",
+            F.explode(
+                F.transform(masks, lambda m: F.col("key").bitwiseXOR(m))
+            ).alias("key"),
+        )
+
+    p = expand(blocks, r_probe).alias("p")
+    i = expand(blocks, r_index).alias("i")
     return (
         p.join(
             i,
@@ -1536,11 +1653,13 @@ def q_image_dedup_pairs(
         # Spark job at plan-construction time (r8 ADVICE): a query
         # builder must stay side-effect-free, and the scheme pick only
         # needs metadata. Soak callers can pass scheme explicitly.
-        scheme = (
-            "probe"
-            if table_rows_metadata(sf_dir, "documents") >= _AHASH_PROBE_SWITCH
-            else "banded"
-        )
+        n_docs = table_rows_metadata(sf_dir, "documents")
+        if n_docs >= _AHASH_PROBE3_SWITCH:
+            scheme = "probe3"
+        elif n_docs >= _AHASH_PROBE_SWITCH:
+            scheme = "probe"
+        else:
+            scheme = "banded"
     hashes = M.image_ahash(docs).localCheckpoint(eager=False)
     return _ahash_candidates(hashes, scheme).filter(F.col("hamming") <= 8)
 
@@ -1758,7 +1877,7 @@ ORACLE = {
     "llm_emb_ann_pq": _emb_ann_pq_sql,
     "llm_emb_quantize": _EMB_QUANTIZE_SQL,
     "llm_knn_classify": _KNN_CLASSIFY_SQL,
-    "llm_dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "llm_dedup_clusters": _dedup_clusters_sql,
     "llm_image_dedup_pairs": _IMAGE_DEDUP_PAIRS_SQL,
     "llm_semdedup": _semdedup_sql,
     "llm_semdedup_survivors": _semdedup_survivors_sql,
