@@ -26,6 +26,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from real_time_event_streaming_pipeline_spark.plans import all_queries
 from real_time_event_streaming_pipeline_spark.session import get_spark
 
+# Host-speed anchor for the normalized headline (r8 verdict #5): the
+# calibration probe reading from the EARLIEST round that recorded one
+# (r7's driver run, BENCH_r07.json). value_normalized = value ×
+# (anchor / calib_now) rescales the headline to r7-equivalent host
+# speed, so a box that runs the probe 22% slower (r8: 0.187 vs 0.153)
+# no longer masks a real improvement — or a real regression — in the
+# raw round-over-round delta. The RAW value remains the 2×-baseline
+# gate (SCALING.md §bench-protocol); normalized is the
+# round-over-round comparator.
+CALIB_ANCHOR_SEC = 0.153
+
 HEADLINE = [
     "cs_windowed_agg",
     "cs_sliding_agg",
@@ -126,14 +137,19 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 exec_noop[name] = f"error: {type(e).__name__}"
 
+    value = round(sum(times.values()), 3)
     summary = {
         "metric": "headline query wall-clock (execute+collect, warm session)",
-        "value": round(sum(times.values()), 3),
+        "value": value,
         "unit": "sec",
         "queries": times,
         "sf": sf,
         "protocol": "best-of-N per query (early-stop 3 reps if best <1.5s, else 5 reps); raw reps in BENCH_local.json",
         "calibration_sec": calib,
+        # headline rescaled to the anchor round's host speed; compare
+        # THIS across rounds, gate the 2×-baseline check on the raw value
+        "value_normalized": round(value * (CALIB_ANCHOR_SEC / calib), 3),
+        "calibration_anchor_sec": CALIB_ANCHOR_SEC,
     }
     # The driver records only the output TAIL: r2's line went out with
     # the ~90-entry full map inline and came back truncated/unparseable.

@@ -261,3 +261,8 @@ def test_image_dedup_probe_scheme_equals_banded(spark, sf_small):
     banded = {tuple(r) for r in q_image_dedup_pairs(spark, sf_small, scheme="banded").collect()}
     probe = {tuple(r) for r in q_image_dedup_pairs(spark, sf_small, scheme="probe").collect()}
     assert banded == probe and banded
+    # the pre-staged next dial (r9: 2×30-bit blocks, radius-3 probes
+    # vs radius-1 index keys, engaged above _AHASH_PROBE3_SWITCH):
+    # same pigeonhole completeness at hamming ≤ 8, same pair set
+    probe3 = {tuple(r) for r in q_image_dedup_pairs(spark, sf_small, scheme="probe3").collect()}
+    assert probe3 == banded
