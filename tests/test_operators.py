@@ -162,3 +162,44 @@ def test_ngram_lsh_route_matches_exact_on_margin_fixture(spark):
     cl_exact = {tuple(r) for r in dedup_clusters(ngram_jaccard_pairs(docs)).collect()}
     cl_lsh = {tuple(r) for r in dedup_clusters(ngram_jaccard_pairs_lsh(docs)).collect()}
     assert cl_lsh == cl_exact
+
+
+def test_minhash_estimator_unbiased():
+    """Guard on the permutation family's statistical quality (the r9
+    fix): mean minhash match-fraction over many true-J pairs must sit
+    near J. The old (i+1)·const LCG family was linearly dependent and
+    read ~0.53 for true 0.905 — this pins the property driver-side
+    (pure Python, no Spark) so a future 'simplification' of _perm
+    can't silently wreck banding recall again."""
+    import hashlib
+
+    from real_time_event_streaming_pipeline_spark.operators.dedup import (
+        _MERSENNE,
+        _perm,
+    )
+
+    def shingles(t, k=3):
+        toks = t.split(" ")
+        return list(
+            dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+        )
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MERSENNE
+
+    perms = [_perm(i) for i in range(32)]
+    # distinctness: no permutation is a scalar multiple of another
+    assert len({a for a, _ in perms}) == 32
+    total = 0
+    for g in range(100):
+        base = [f"q{g}_{i}" for i in range(22)]
+        sa = [h60(s) for s in shingles(" ".join(base))]
+        sb = [h60(s) for s in shingles(" ".join(base[:-1] + [f"z{g}"]))]
+        total += sum(
+            1
+            for a, b in perms
+            if min((a * h + b) % _MERSENNE for h in sa)
+            == min((a * h + b) % _MERSENNE for h in sb)
+        )
+    mean = total / 100 / 32
+    assert abs(mean - 19 / 21) < 0.04, mean  # true J = 19/21 ≈ 0.905
