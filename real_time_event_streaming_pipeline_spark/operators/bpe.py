@@ -129,9 +129,11 @@ def word_types(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(freq, repr) per distinct word — the Heaps-law-sized training
     table. One explode + one shuffle over the corpus; everything after
     runs on word types only."""
+    from .dedup import _spread
+
     word = F.explode(F.split(F.col(text_col), " ")).alias("word")
     return (
-        docs.select(word)
+        _spread(docs).select(word)
         .where((F.col("word") != "") & ~F.col("word").contains(SEP) & ~F.col("word").contains(EOW))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
@@ -210,8 +212,17 @@ def encode(docs: DataFrame, merges: list[tuple], text_col: str = "text",
     the r7 soak showed the remaining per-doc head fold WAS the 90 s
     sf10 tail (500k docs × k chained folds vs a closed vocabulary's
     ~31 distinct words)."""
+    from .dedup import _spread
+
+    # spread the scan before the ~100×-fanout posexplode: sf10's
+    # single-file table reads as 13 skewed splits, and BOTH consumers
+    # of `exploded` (the distinct-word side and the per-doc join) were
+    # re-running the explode at 13-way parallelism behind one
+    # straggler task — measured as the dominant wall of the sf10
+    # encode (the two (12+1)/13 stages). At cluster scale the scan
+    # arrives in thousands of splits and _spread skips the shuffle.
     words = F.split(F.col(text_col), " ")
-    exploded = docs.select("doc_id", F.posexplode(words).alias("pos", "word"))
+    exploded = _spread(docs).select("doc_id", F.posexplode(words).alias("pos", "word"))
     word_toks = (
         exploded.select("word")
         .distinct()
