@@ -78,6 +78,12 @@ def main() -> None:
     # host-speed swing (r6's +30%: every query 1.15-1.8× slower on
     # IDENTICAL code, 12.6-17.0 s intra-day spread) is visible IN the
     # recorded line instead of reading as a plan regression.
+    # Probe position is part of the protocol: it runs ONCE, here, on a
+    # fresh session after the single warm-up query — the same JVM
+    # state every round, which is what makes readings comparable to
+    # the r7 anchor. (An end-of-run probe was tried and rejected: it
+    # reads JIT warmth, not host speed — 0.075 s on a JIT-hot JVM vs
+    # 0.131 s at start on the same idle box.)
     calib = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
