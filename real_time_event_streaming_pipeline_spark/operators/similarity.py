@@ -1082,7 +1082,15 @@ def pq_encode(
         )
         return F.array_sort(cands)[0]["code"]
 
-    return emb.select(
+    # spread the scan first: the per-row encode is m·n_codes struct
+    # builds + m array_sorts — heavy enough that sf10's single-file
+    # 13-split scan left the corpus path straggler-bound (the same
+    # defect profiled in BPE and IVF assignment this round); at
+    # cluster scale the scan arrives wide and _spread skips the
+    # shuffle
+    from .dedup import _spread
+
+    return _spread(emb).select(
         F.col(id_col).alias("n_id"),
         F.array(*[code_for(j) for j in range(m)]).alias("codes"),
         norm(vec).alias("nrm"),
