@@ -1117,18 +1117,23 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is a scan + one dedup shuffle + one agg shuffle."""
     docs = load(spark, sf_dir, "documents")
     t = F.col("text")
-    scored = docs.select(
+    # Dedup FIRST, score SECOND: every score below is a pure function
+    # of text, so scoring commutes with the text-grouping — the exact
+    # dedup's own shuffle both spreads an under-parallel single-file
+    # scan to full parallelism (sf10: 13 skewed splits behind a
+    # straggler) and shrinks the scoring input to DISTINCT texts. Same
+    # output as score-then-dedup (min over identical per-text values
+    # is the value), one shuffle of the text payload instead of two.
+    deduped_raw = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    scored = deduped_raw.select(
         "doc_id",
         "text",
         T.quality_score(t).alias("quality"),
         T.predicted_lang(t).alias("pred_lang"),
         T.n_tokens(t).alias("n_tokens"),
     )
-    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
-    deduped = kept.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min("quality").alias("quality"),
-        F.min("n_tokens").alias("n_tokens"),
+    deduped = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("pred_lang") == "en")
     )
     bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
