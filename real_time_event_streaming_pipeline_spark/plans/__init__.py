@@ -276,27 +276,18 @@ _PRIORITY_R9 = (
     "llm_dedup_minhash_lsh",
 )
 
-# The live window alias: rotation tooling and tests reference THIS
-# name so each round's rewire is a one-line change, not a test edit.
-PRIORITY_WINDOW = _PRIORITY_R9
-
-# The PLANNED r10 window, staged ahead (the handoff discipline that
-# has kept rounds 8 and 9 structurally green between rounds): with
-# _PRIORITY_R9 landing in round 9, ZERO rows are due by r10 and 41 by
-# r11 — so this plan pre-drains ALL 41 deadline-r11 rows (the entire
-# r7-verdict block: fn_* scalar batteries, the llm text/corpus wave,
-# the IVF/PQ ANN pair, the TPC-H pricing/supplier wave), adds
-# cs_tx_dml_lifecycle (round 9 changes its code for the r8 verdict #1
-# sweep-regression fix — one-round-lag commitment; every other
-# r9-touched face is already in _PRIORITY_R9), and fills the 8
-# remaining slots with the most stable r8-verdict relational rows
-# (deadline r12). Revisited at r9 close-out: anything else r9 ends up
-# changing swaps in, displacing the deadline-r12 tail first.
-# tools/rotation_check.py accepts this staged plan as the presumed
-# next window between rounds (pass-with-warning; --strict-handoff
-# makes the warning fail for CI-style gating), so the moment
-# CORRECTNESS_r09.json lands the repo does not go structurally red.
-_PRIORITY_R10_PLAN = (
+# The r10 window — the staged _PRIORITY_R10_PLAN wired verbatim as
+# round 10's first commit (the handoff discipline, fourth round
+# running): with _PRIORITY_R9 landing in round 9, ZERO rows were due
+# by r10 and 41 by r11 — this window pre-drains ALL 41 deadline-r11
+# rows (the entire r7-verdict block: fn_* scalar batteries, the llm
+# text/corpus wave, the IVF/PQ ANN pair, the TPC-H pricing/supplier
+# wave), adds cs_tx_dml_lifecycle (round 9 changed its write path for
+# the r8 verdict #1 sweep-regression fix — one-round-lag commitment;
+# every other r9-touched face was already in _PRIORITY_R9), and fills
+# the 8 remaining slots with the most stable r8-verdict relational
+# rows (deadline r12).
+_PRIORITY_R10 = (
     # r9-changed face — one-round-lag commitment (r8 verdict #1)
     "cs_tx_dml_lifecycle",
     # deadline-r11 block: r7-verdict scalar batteries
@@ -357,7 +348,87 @@ _PRIORITY_R10_PLAN = (
     "rel_top_orders_per_customer",
 )
 
-STAGED_NEXT_WINDOW = _PRIORITY_R10_PLAN
+# The live window alias: rotation tooling and tests reference THIS
+# name so each round's rewire is a one-line change, not a test edit.
+PRIORITY_WINDOW = _PRIORITY_R10
+
+# The PLANNED r11 window, staged ahead so the repo does not go
+# structurally red the moment CORRECTNESS_r10.json lands (the handoff
+# discipline; tools/rotation_check.py presumes this plan as the next
+# window between rounds — pass-with-warning, --strict-handoff exit 3).
+# With _PRIORITY_R10 landing in round 10, ZERO rows are due by r11 and
+# 41 by r12 — this plan pre-drains all 41 deadline-r12 rows (the
+# entire r8-verdict block: the cs_* reference family, the multimodal
+# codec faces, the relational/TPC-H wave) and fills the 9 remaining
+# slots with deadline-r13 rows from the r9 window, preferring faces
+# round 10 touches (one-round-lag commitment — the estimator-pin and
+# LSH-route work this round): llm_dedup_ngram_jaccard (r10 gives the
+# registered face the corpus-size LSH route switch),
+# llm_dedup_simhash_pairs and llm_dedup_minhash_lsh (r10 adds
+# distribution-level pins over their constant families; results
+# unchanged, bitwise re-verified locally), plus the most stable
+# r9-verdict relational rows. Revisited at r10 close-out: anything
+# else r10 ends up changing swaps in, displacing the stable tail
+# first.
+_PRIORITY_R11_PLAN = (
+    # r10-touched faces — one-round-lag commitment
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash_pairs",
+    "llm_dedup_minhash_lsh",
+    # deadline-r12 block: cs_* reference family (r8 verdicts)
+    "cs_aggregations_filtered",
+    "cs_alerts",
+    "cs_alerts_recent",
+    "cs_cities",
+    "cs_events_by_city",
+    "cs_global_counts",
+    "cs_raw_events",
+    "cs_raw_with_ttl",
+    "cs_sliding_agg",
+    "cs_stats",
+    "cs_summary_city",
+    "cs_windowed_agg",
+    # deadline-r12 block: scalar + multimodal codec faces
+    "fn_conditional",
+    "fn_window_analytic",
+    "llm_multimodal_flac",
+    "llm_multimodal_frames",
+    "llm_multimodal_gif",
+    "llm_multimodal_jpeg",
+    # deadline-r12 block: relational / TPC-H wave
+    "rel_asof_purchase_view",
+    "rel_cross_nation_volume",
+    "rel_cube_events",
+    "rel_deterministic_split",
+    "rel_disjunctive_band_join",
+    "rel_distinct_parts_per_flag",
+    "rel_dormant_rich_customers",
+    "rel_events_within_window_pairs",
+    "rel_market_share",
+    "rel_min_cost_supplier",
+    "rel_order_count_distribution",
+    "rel_pivot_event_matrix",
+    "rel_priority_late_orders",
+    "rel_resample_hourly_gapfill",
+    "rel_revenue_delta",
+    "rel_running_revenue_by_supplier",
+    "rel_skew_salted_counts",
+    "rel_small_quantity_revenue",
+    "rel_top_return_customers",
+    "rel_top_revenue_supplier",
+    "rel_user_event_gaps",
+    "rel_user_sessions",
+    "rel_waiting_suppliers",
+    # deadline-r13 fillers — stable r9-verdict relational rows
+    "rel_promo_revenue",
+    "rel_supplier_part_cnt",
+    "rel_priority_linecount",
+    "rel_part_value_share",
+    "cs_alert_followups",
+    "cs_kafka_producer_frame",
+)
+
+STAGED_NEXT_WINDOW = _PRIORITY_R11_PLAN
 
 _PRIORITY_R6 = (
     # new in round 6 — no driver verdict yet (rotation_check enforces

@@ -63,34 +63,52 @@ def test_staged_next_plan_resolves():
     assert not missing, missing
 
 
+def _write_synthetic_history(tmp_path):
+    """A SELF-CONSISTENT simulated driver history, independent of how
+    many real CORRECTNESS_r*.json rounds have landed (the r9 lesson:
+    the old simulation copied the repo's live files and broke the
+    moment the driver dropped an untracked one after round close).
+
+    Construction: D = staged-plan rows not in the live window — the
+    exact set only the staged plan can cure. r01 verifies everything;
+    r02..r04 verify everything EXCEPT D. With upcoming fixed at r5 the
+    live window (presumed landing r5) leaves every D row at age 4 > 3,
+    while all other rows sit at age 1 — so exactly D violates, exactly
+    |D| <= 50 rows are due within one round (Hall-feasible), and the
+    staged plan cures all of them by construction. Returns (D, 5)."""
+    import json
+
+    from real_time_event_streaming_pipeline_spark import plans
+
+    registry = list(plans.all_queries())
+    stranded = [q for q in plans.STAGED_NEXT_WINDOW if q not in set(plans.PRIORITY_WINDOW)]
+    assert stranded, "staged plan must rotate in at least one new row"
+    fresh = [q for q in registry if q not in set(stranded)]
+    row = lambda qs: json.dumps({q: {"hash_match": True} for q in qs})
+    (tmp_path / "CORRECTNESS_r01.json").write_text(row(registry))
+    for rnd in (2, 3, 4):
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(row(fresh))
+    return stranded, 5
+
+
 def test_handoff_state_passes_with_staged_plan(tmp_path, capsys):
     """Simulate the between-rounds state that burned r6 and r7: the
-    driver has landed THIS round's CORRECTNESS file (copied as the
-    live window's green verdict), the live window has not been rewired
-    for the next round — rotation_check must pass (with a warning)
-    because the staged next plan cures every would-be violation."""
-    import glob
-    import json
-    import shutil
-
+    backlog the staged plan owns has gone stale, the live window has
+    not been rewired — rotation_check must pass (with a warning)
+    because the staged next plan cures every would-be violation.
+    History is synthetic (see _write_synthetic_history) so no real
+    round-artifact drop can flip this test."""
     import rotation_check
     from real_time_event_streaming_pipeline_spark import plans
 
-    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        shutil.copy(p, tmp_path / os.path.basename(p))
-    _, upcoming = rotation_check.load_history(str(tmp_path))
-    fake = {q: {"hash_match": True} for q in plans.PRIORITY_WINDOW}
-    (tmp_path / f"CORRECTNESS_r{upcoming:02d}.json").write_text(json.dumps(fake))
-    # the staged plan must exist under the name the check looks for
-    staged_name = f"_PRIORITY_R{upcoming + 1}_PLAN"
-    had = getattr(plans, staged_name, None)
+    _, upcoming = _write_synthetic_history(tmp_path)
+    staged_name = f"_PRIORITY_R{upcoming}_PLAN"
+    assert getattr(plans, staged_name, None) is None, "pick a deeper simulation"
     try:
-        if had is None:
-            setattr(plans, staged_name, plans.STAGED_NEXT_WINDOW)
+        setattr(plans, staged_name, plans.STAGED_NEXT_WINDOW)
         violations = rotation_check.check(str(tmp_path))
     finally:
-        if had is None:
-            delattr(plans, staged_name)
+        delattr(plans, staged_name)
     assert not violations, "\n".join(violations)
 
 
@@ -99,31 +117,25 @@ def test_handoff_pending_is_machine_detectable(tmp_path):
     clean pass by exit-code gating — check_ex returns
     handoff_pending=True in the between-rounds state, False once the
     window is wired, and EXIT_HANDOFF_PENDING differs from 0/1."""
-    import glob
-    import json
-    import shutil
-
     import rotation_check
     from real_time_event_streaming_pipeline_spark import plans
 
     assert rotation_check.EXIT_HANDOFF_PENDING not in (0, 1)
-    # wired state: clean pass, no pending handoff
+    # wired state: clean pass, no pending handoff (real repo state —
+    # the live window must always satisfy the invariant on its own)
     violations, pending = rotation_check.check_ex(REPO)
     assert not violations and not pending
-    # stale between-rounds state: land the LIVE window twice in a row
-    # (the driver re-verifying the same 50 rows) so the pre-drained
-    # backlog genuinely goes stale; the staged plan for the round
-    # after must flip the result to pass-with-pending, not clean pass
-    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        shutil.copy(p, tmp_path / os.path.basename(p))
-    _, upcoming = rotation_check.load_history(str(tmp_path))
-    fake = json.dumps({q: {"hash_match": True} for q in plans.PRIORITY_WINDOW})
-    (tmp_path / f"CORRECTNESS_r{upcoming:02d}.json").write_text(fake)
-    (tmp_path / f"CORRECTNESS_r{upcoming + 1:02d}.json").write_text(fake)
-    live_viol, _ = rotation_check.check_ex(str(tmp_path))  # no staged plan yet
-    staged_name = f"_PRIORITY_R{upcoming + 2}_PLAN"
+    # stale between-rounds state (synthetic — see r9 verdict #1: the
+    # old copy-the-live-files simulation was repo-state-dependent):
+    # the staged plan's rows are stale, the live window can't cure
+    # them, the staged plan can — expect violations without it and
+    # pass-with-pending once it exists under the name the check uses
+    stranded, upcoming = _write_synthetic_history(tmp_path)
+    staged_name = f"_PRIORITY_R{upcoming}_PLAN"
     assert getattr(plans, staged_name, None) is None, "pick a deeper simulation"
-    assert live_viol, "two same-window rounds should strand the pre-drained backlog"
+    live_viol, _ = rotation_check.check_ex(str(tmp_path))  # no staged plan
+    assert live_viol, "the stranded backlog should violate without the staged plan"
+    assert len(live_viol) == len(stranded)
     try:
         setattr(plans, staged_name, plans.STAGED_NEXT_WINDOW)
         violations, pending = rotation_check.check_ex(str(tmp_path))
