@@ -78,11 +78,27 @@ def table_rows_metadata(sf_dir: str, name: str) -> int:
 
     path = table_path(sf_dir, name)
     if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
+        # recurse (r9 ADVICE): a Hive-partitioned or nested layout has
+        # no top-level part files — summing only os.listdir would read
+        # 0 and silently flip corpus-size-routed queries
+        # (q_dedup_clusters, q_image_dedup_pairs) onto their
+        # small-corpus exact paths precisely where those paths are
+        # superlinear. And an empty directory must raise, not return
+        # 0, so a layout change can never masquerade as an empty
+        # corpus.
+        files = [
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(path)
+            for f in fs
             if f.endswith(".parquet")
-        )
+        ]
+        if not files:
+            raise FileNotFoundError(
+                f"table_rows_metadata: directory {path!r} contains no "
+                "*.parquet files at any depth — corpus-size routing "
+                "refuses to treat an unreadable layout as an empty corpus"
+            )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     return pq.ParquetFile(path).metadata.num_rows
 
 

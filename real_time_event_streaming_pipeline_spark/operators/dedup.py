@@ -251,13 +251,29 @@ def ngram_jaccard_pairs_lsh(
     over the SAME df-capped shingle universe the exact path uses —
     per-doc sorted shingle arrays, array_intersect for |∩| — so a
     verified pair carries bit-identical (n_common, jaccard) to the
-    exact path, and the output differs from it only by LSH recall:
-    a true pair is missed iff NO band of its signature collides
-    (P(miss) = (1 − s^(hashes/bands))^bands; ≈1.5% at s = 0.8, ≈0.02%
-    at s = 0.9 — negligible on margin-bearing corpora, which is why
-    callers switch routes by corpus size instead of always paying the
-    exact join; parity on a planted-margin fixture is pinned in
-    tests/test_operators.py). Verification joins key on doc id with a
+    exact path, and the output differs from it only by candidate
+    recall, which has TWO loss terms (r9 ADVICE — the second was
+    undocumented):
+
+    1. banding miss — a true pair is missed iff NO band of its
+       signature collides (P(miss) = (1 − s^(hashes/bands))^bands;
+       ≈1.5% at s = 0.8, ≈0.02% at s = 0.9);
+    2. bucket saturation — minhash_lsh_pairs drops band buckets
+       larger than ``max_bucket`` (the degenerate-bucket guard; see
+       _cap_buckets), so a true pair ALSO misses if every band it
+       collides in is oversized. On the closed-vocabulary heavy-dup
+       regime this route is designated for, saturated buckets are
+       plausible — docs dense enough to blow the cap are near-exact
+       copies that exact_dedup handles upstream, but the loss is
+       real and must not be silent: pass an ``observation``
+       (pyspark.sql.Observation) and read ``dropped_buckets`` /
+       ``max_bucket_seen`` after the action, which is exactly what
+       the sf1+ soak harness does.
+
+    Both losses are negligible on margin-bearing corpora, which is
+    why callers switch routes by corpus size instead of always paying
+    the exact join; parity on a planted-margin fixture is pinned in
+    tests/test_operators.py. Verification joins key on doc id with a
     small candidate side — AQE broadcasts it — so nothing here is
     ever all-pairs or superlinear."""
     cand = minhash_lsh_pairs(

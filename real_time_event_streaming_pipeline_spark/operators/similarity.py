@@ -826,6 +826,7 @@ def assign_cells_kernel(
     n_probe: int,
     id_col: str = "_id",
     vec_col: str = "_vec",
+    assert_unique_ids: bool = False,
 ) -> DataFrame:
     """(id, vec) -> exploded (cell, id, vec) rows for each of the
     ``n_probe`` nearest cells — the Arrow-batched numpy twin of
@@ -850,7 +851,19 @@ def assign_cells_kernel(
     n·n_probe object-typed array cells back across Arrow — measured
     as 90.6 s of semdedup's 101 s pairs stage at sf10; the
     equi-join re-attach is all Tungsten and cut assignment to ~9 s).
-    Output schema and semantics are unchanged."""
+    Output schema and semantics are unchanged.
+
+    PRECONDITION: ``id_col`` must be unique in ``df`` (r9 ADVICE). The
+    equi-join re-attach pairs each (cell, id) assignment with every
+    vector row carrying that id — a duplicated id would cross-product
+    into inflated candidate sets where the old Arrow path emitted each
+    input row's own vector exactly n_probe times. All internal callers
+    synthesize unique ids; ``assert_unique_ids=True`` makes an
+    external caller with duplicates fail loudly at execution time
+    (a per-id window count + assert_true folded into the join side —
+    the window hash-partitions on id_col, the same partitioning the
+    join needs, so the exchange is shared; off by default because the
+    within-partition sort is not free on the soak-scale hot path)."""
     import numpy as np  # noqa: F401 (kernel body imports on executors)
 
     cell_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
@@ -914,8 +927,23 @@ def assign_cells_kernel(
 
     col_type = dict(zip(df.columns, (f.dataType.simpleString() for f in df.schema)))
     src = _spread(df.select(F.col(id_col), F.col(vec_col)))
+    vec_side = src
+    if assert_unique_ids:
+        from pyspark.sql import Window
+
+        vec_side = src.withColumn(
+            "_idc", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        ).filter(
+            F.assert_true(
+                F.col("_idc") <= 1,
+                F.concat(
+                    F.lit("assign_cells_kernel: duplicate value in id_col — "),
+                    F.col(id_col).cast("string"),
+                ),
+            ).isNull()
+        ).drop("_idc")
     assigned = src.mapInPandas(run, f"cell int, {id_col} {col_type[id_col]}")
-    return assigned.join(src, id_col).select("cell", id_col, vec_col)
+    return assigned.join(vec_side, id_col).select("cell", id_col, vec_col)
 
 
 def nearest_cells(vec, cents: list[tuple[int, list[float]]], n: int) -> Column:

@@ -761,3 +761,56 @@ def test_exact_median_ignores_nulls(spark):
         [(1,), (2,), (3,), (None,), (None,), (4,)], "v int"
     )
     assert _exact_median(df, "v") == 2.5
+
+
+def test_assign_cells_kernel_duplicate_id_guard(spark):
+    """r9 ADVICE: the equi-join vector re-attach assumes unique ids —
+    a duplicated id silently cross-products (assignments × vector
+    rows) where the old Arrow path emitted each row's own vector
+    exactly n_probe times. assert_unique_ids=True must fail loudly on
+    duplicates and stay bit-for-bit invisible on unique ids."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])]
+    uniq = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 2)]) for i in range(8)],
+        "_id long, _vec array<double>",
+    )
+    guarded = S.assign_cells_kernel(uniq, cents, n_probe=2, assert_unique_ids=True)
+    plain = S.assign_cells_kernel(uniq, cents, n_probe=2)
+    assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, plain.collect()))
+
+    dup = uniq.union(spark.createDataFrame([(3, [9.0, 9.0])], "_id long, _vec array<double>"))
+    # silent inflation without the guard: id 3's 2 input rows emit 4
+    # assignments, each re-attaching BOTH vector rows (4×2=8), vs the
+    # 18 rows (9×n_probe) the old per-row Arrow path would emit
+    assert S.assign_cells_kernel(dup, cents, n_probe=2).count() == 7 * 2 + 8
+    with pytest.raises(SparkRuntimeException, match="duplicate value in id_col"):
+        S.assign_cells_kernel(dup, cents, n_probe=2, assert_unique_ids=True).count()
+
+
+def test_table_rows_metadata_recurses_and_rejects_empty(tmp_path, spark, sf_small):
+    """r9 ADVICE: a Hive-partitioned/nested table layout has no
+    top-level part files — the footer counter must recurse, and an
+    empty directory must raise instead of returning 0 (a 0 silently
+    flips corpus-size-routed queries onto their superlinear
+    small-corpus paths)."""
+    import pytest
+
+    from real_time_event_streaming_pipeline_spark.catalog import (
+        load,
+        table_rows_metadata,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    n = docs.count()
+    nested = tmp_path / "documents.parquet"
+    docs.withColumn("pk", F.col("doc_id").substr(-1, 1)).write.partitionBy(
+        "pk"
+    ).parquet(str(nested))
+    assert table_rows_metadata(str(tmp_path), "documents") == n
+
+    (tmp_path / "orders.parquet").mkdir()
+    with pytest.raises(FileNotFoundError, match="no .*parquet files"):
+        table_rows_metadata(str(tmp_path), "orders")

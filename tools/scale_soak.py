@@ -509,6 +509,28 @@ def run() -> None:
         results["ngram_cap_profile"][label] = prof
         print(f"  ngram_cap_profile @ {label}: {prof}", flush=True)
 
+    # LSH bucket-saturation profile (r9 ADVICE): the banded route's
+    # SECOND recall-loss term — band buckets over max_bucket are
+    # dropped by _cap_buckets, and on closed-vocabulary heavy-dup
+    # corpora saturation is plausible. Route the counters through the
+    # Observation hook so the loss is a measured number at every
+    # scale, never a silent drop.
+    from pyspark.sql import Observation
+
+    from real_time_event_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs_lsh,
+    )
+
+    results["lsh_bucket_saturation"] = {}
+    for label, d in dirs.items():
+        obs = Observation()
+        ngram_jaccard_pairs_lsh(
+            _load(spark, d, "documents"), observation=obs
+        ).count()
+        sat = {k: (int(v) if v is not None else 0) for k, v in obs.get.items()}
+        results["lsh_bucket_saturation"][label] = sat
+        print(f"  lsh_bucket_saturation @ {label}: {sat}", flush=True)
+
     import math
 
     print("\n| query | sf0.1 (s) | sf1 (s) | ratio | exponent |")
