@@ -338,12 +338,22 @@ _PRIORITY_R10 = (
     # minhash-fix swap-in, so its deadline stays r11 and it pre-drains
     # here
     "fn_datetime",
+    # r10 swap-ins (displacing five deadline-r12 fillers into the r11
+    # plan): round 10's estimator-family sweep (r9 verdict #4) found
+    # the split_bucket multiplicative family degenerate on structured
+    # ids (multiples of 100 all hit bucket 0 — 100% train,
+    # always-sampled, cap-exempt); the fix moves bucketing to the
+    # md5-60bit base hash, so every face built on it changes results
+    # this round and must carry a fresh verdict. The other four
+    # affected faces (llm_contamination, llm_stratified_sample,
+    # llm_per_source_cap, llm_source_mixture) are already in this
+    # window above.
+    "rel_deterministic_split",
+    "llm_seq_packing",
+    "llm_pack_materialize",
+    "llm_corpus_build",
+    "llm_corpus_pipeline",
     # deadline-r12 fillers — stable r8-verdict relational rows
-    "rel_recursive_sessions",
-    "rel_window_frames",
-    "rel_session_window_native",
-    "rel_null_aware_anti_join",
-    "rel_customers_without_orders",
     "rel_setops_suppliers",
     "rel_top_orders_per_customer",
 )
@@ -396,10 +406,11 @@ _PRIORITY_R11_PLAN = (
     "llm_multimodal_gif",
     "llm_multimodal_jpeg",
     # deadline-r12 block: relational / TPC-H wave
+    # (rel_deterministic_split moved up into the live r10 window — the
+    # split_bucket family fix changes its results this round)
     "rel_asof_purchase_view",
     "rel_cross_nation_volume",
     "rel_cube_events",
-    "rel_deterministic_split",
     "rel_disjunctive_band_join",
     "rel_distinct_parts_per_flag",
     "rel_dormant_rich_customers",
@@ -419,13 +430,17 @@ _PRIORITY_R11_PLAN = (
     "rel_user_event_gaps",
     "rel_user_sessions",
     "rel_waiting_suppliers",
+    # deadline-r12 block: the five fillers the split-family swap-ins
+    # displaced from the live r10 window (their latest verdict stays
+    # r8, so they are staleness-forced here)
+    "rel_recursive_sessions",
+    "rel_window_frames",
+    "rel_session_window_native",
+    "rel_null_aware_anti_join",
+    "rel_customers_without_orders",
     # deadline-r13 fillers — stable r9-verdict relational rows
     "rel_promo_revenue",
     "rel_supplier_part_cnt",
-    "rel_priority_linecount",
-    "rel_part_value_share",
-    "cs_alert_followups",
-    "cs_kafka_producer_frame",
 )
 
 STAGED_NEXT_WINDOW = _PRIORITY_R11_PLAN

@@ -150,10 +150,28 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), k=3, threshold=0.5, max_doc_freq=100
-    )
+def q_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, pair_method: str | None = None
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, route-switched by corpus size
+    exactly like q_dedup_clusters (r9 verdict #5 — this was the one
+    registered superlinear face left): below _NGRAM_LSH_SWITCH docs
+    the exact one-shuffle kept-shingle join; at/above it MinHash-LSH
+    candidates + exact verification (ngram_jaccard_pairs_lsh), whose
+    verified (n_common, jaccard) values are bit-identical per pair and
+    whose recall loss is the banding-miss bound (negligible at the
+    0.5 threshold's planted margins; route parity pinned in
+    tests/test_operators.py). The oracle callable switches with the
+    query (_ngram_jaccard_oracle_sql), so the face stays bitwise at
+    every sf including soak corpora."""
+    if pair_method is None:
+        pair_method = (
+            "lsh"
+            if table_rows_metadata(sf_dir, "documents") >= _NGRAM_LSH_SWITCH
+            else "exact"
+        )
+    gen = D.ngram_jaccard_pairs if pair_method == "exact" else D.ngram_jaccard_pairs_lsh
+    return gen(load(spark, sf_dir, "documents"), k=3, threshold=0.5, max_doc_freq=100)
 
 
 def _ngram_jaccard_sql(src: str = "documents") -> str:
@@ -188,6 +206,42 @@ JOIN sizes sa ON sa.doc_id = a_id
 JOIN sizes sb ON sb.doc_id = b_id
 WHERE n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.5
 """
+
+
+def _ngram_jaccard_lsh_sql() -> str:
+    """The LSH-route twin of _NGRAM_JACCARD_SQL: the shared mcand CTE
+    chain (identical 60-bit hashes, permutations, band keys, bucket
+    gates as the Spark operator) generates candidates, then the exact
+    df-capped Jaccard verifies them — the same (n_common, jaccard)
+    values per surviving pair as the exact SQL."""
+    return f"""
+WITH {_minhash_cte_sql()},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS n_common
+  FROM mcand c
+  JOIN shr a ON a.doc_id = c.a_id
+  JOIN shr b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+  GROUP BY c.a_id, c.b_id
+)
+SELECT a_id, b_id, n_common,
+  round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.5
+"""
+
+
+def _ngram_jaccard_oracle_sql(sf_dir: str) -> str:
+    """Oracle generator: follows q_ngram_jaccard's corpus-size route
+    switch (exact pair join below _NGRAM_LSH_SWITCH, LSH candidates +
+    exact verify at/above it)."""
+    if table_rows_metadata(sf_dir, "documents") < _NGRAM_LSH_SWITCH:
+        return _NGRAM_JACCARD_SQL
+    return _ngram_jaccard_lsh_sql()
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1135,7 +1189,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = scored.filter(
         (F.col("quality") >= 0.5) & (F.col("pred_lang") == "en")
     )
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    # split via the shared split_bucket family (r10: the inline
+    # multiplicative constant was the same degenerate family the
+    # estimator sweep retired from split_bucket — see its docstring)
+    from .relational import split_bucket
+
+    bucket = split_bucket(F.col("doc_id"), 100)
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     # Last-mile output discipline: no raw float division crosses the
     # verification boundary (CORRECTNESS_r02 hash-FAIL). avg quality is
@@ -1184,8 +1243,8 @@ deduped AS (
   FROM kept GROUP BY text
 )
 SELECT
-  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+  CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) < 80 THEN 'train'
+       WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) < 90 THEN 'val'
        ELSE 'test' END AS split,
   count(*) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -1870,7 +1929,7 @@ ORACLE = {
     "llm_fingerprint": _FINGERPRINT_SQL,
     "llm_quality": _QUALITY_SQL,
     "llm_dedup_exact": _DEDUP_EXACT_SQL,
-    "llm_dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "llm_dedup_ngram_jaccard": _ngram_jaccard_oracle_sql,
     "llm_dedup_minhash_lsh": _minhash_lsh_sql(),
     "llm_dedup_simhash_pairs": _simhash_pairs_sql(),
     "llm_emb_cosine_topk": _COSINE_TOPK_SQL,

@@ -1333,31 +1333,44 @@ GROUP BY n_name
 """
 
 
-# Knuth's multiplicative-hash constant — deterministic, engine-neutral
+# The retired multiplicative-hash constants, kept ONLY as the
+# deliberately degenerate negative-control family for the
+# distribution pins (tests/test_estimator_pins.py) — see
+# split_bucket's docstring for why they left the split path.
 _SPLIT_MULT = 2654435761
-# Reduce the id BEFORE multiplying: id % _SPLIT_RED caps the operand so
-# the product stays < 2^63 for any 64-bit id (Spark 4 ANSI mode throws
-# on long overflow; DuckDB errors too). Identity for ids < ~1e9, so
-# small-SF bucket assignments are unchanged.
 _SPLIT_RED = 1_000_000_007
 
 
 def split_bucket(col, mod: int):
-    """Deterministic, engine-neutral, overflow-safe hash bucket in
-    [0, mod) — the shared primitive behind the train/val/test split,
-    deterministic sampling, and contamination queries."""
-    return ((col % F.lit(_SPLIT_RED)) * F.lit(_SPLIT_MULT)) % mod
+    """Deterministic, engine-neutral hash bucket in [0, mod) — the
+    shared primitive behind the train/val/test split, deterministic
+    sampling, source capping, and the packing shards.
+
+    r10 fix (the MinHash-class constant-family sweep): the previous
+    ((id % p) · M) % mod multiplicative family was degenerate on any
+    id stride sharing a factor with the composite mod — ids that are
+    multiples of 100 satisfied (100k·M) % 100 = 0 for every k, so a
+    structured-id corpus (snowflake-style ids with constant low
+    digits) went 100% train, always-sampled, and cap-exempt; even ids
+    could never reach an odd bucket. Bucketing now goes through the
+    repo's base md5-60-bit hash of the stringified id (`_h60` in
+    operators/dedup.py): full avalanche, no stride can correlate with
+    the bucket, still bitwise engine-portable (DuckDB derives the
+    identical digits). The degeneracy and the fix are pinned
+    distribution-level in tests/test_estimator_pins.py."""
+    key = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    return key % mod
 
 
 def split_bucket_sql(col: str, mod: int) -> str:
     """The identical expression in ANSI SQL for the DuckDB oracles."""
-    return f"(({col} % {_SPLIT_RED}) * {_SPLIT_MULT}) % {mod}"
+    return f"(CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) % {mod})"
 
 
 def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/val/test split by key hash — the training-pipeline
     requirement rand() can't satisfy (same row → same split on every
-    engine, every run, any partitioning). Multiplicative hash mod 100:
+    engine, every run, any partitioning). md5-60bit hash mod 100:
     80/10/10."""
     docs = load(spark, sf_dir, "documents")
     bucket = split_bucket(F.col("doc_id"), 100)

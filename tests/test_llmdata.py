@@ -814,3 +814,41 @@ def test_table_rows_metadata_recurses_and_rejects_empty(tmp_path, spark, sf_smal
     (tmp_path / "orders.parquet").mkdir()
     with pytest.raises(FileNotFoundError, match="no .*parquet files"):
         table_rows_metadata(str(tmp_path), "orders")
+
+
+def test_ngram_face_route_switch_and_lsh_twin(spark, sf_small):
+    """r9 verdict #5: the registered llm_dedup_ngram_jaccard face now
+    route-switches by corpus size like q_dedup_clusters. Pins: (a) the
+    oracle callable picks the twin matching the route the query takes;
+    (b) forcing the LSH route on the driver corpus produces EXACTLY
+    the rows the LSH SQL twin computes (bitwise, both engines), so the
+    soak-scale route stays oracle-checked; (c) on this margin-bearing
+    corpus both routes agree."""
+    import duckdb
+
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        _NGRAM_JACCARD_SQL,
+        _NGRAM_LSH_SWITCH,
+        _ngram_jaccard_lsh_sql,
+        _ngram_jaccard_oracle_sql,
+        q_ngram_jaccard,
+    )
+    from real_time_event_streaming_pipeline_spark.catalog import table_rows_metadata
+
+    n_docs = table_rows_metadata(sf_small, "documents")
+    assert n_docs < _NGRAM_LSH_SWITCH  # driver corpora stay exact
+    assert _ngram_jaccard_oracle_sql(sf_small) == _NGRAM_JACCARD_SQL
+
+    exact = {tuple(map(str, r)) for r in q_ngram_jaccard(spark, sf_small).collect()}
+    lsh = {
+        tuple(map(str, r))
+        for r in q_ngram_jaccard(spark, sf_small, pair_method="lsh").collect()
+    }
+    assert exact and lsh == exact
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small}/documents.parquet'"
+    )
+    twin = {tuple(map(str, r)) for r in con.sql(_ngram_jaccard_lsh_sql()).fetchall()}
+    assert twin == lsh

@@ -105,16 +105,21 @@ def test_jaccard_pair_explode_equals_naive_join(spark, texts, parts):
 def test_hash_sample_partitioning_invariant(spark, parts, seed_rows):
     """The deterministic Bernoulli sample picks the same ids under any
     partitioning (rand()-based sampling has no such property)."""
-    from real_time_event_streaming_pipeline_spark.plans.relational import _SPLIT_MULT
+    import hashlib
+
+    from real_time_event_streaming_pipeline_spark.plans.relational import split_bucket
 
     df = spark.createDataFrame(
         [(i,) for i in range(seed_rows)], "doc_id long"
     ).repartition(parts)
     picked = {
-        r.doc_id
-        for r in df.filter((F.col("doc_id") * _SPLIT_MULT) % 1000 < 100).collect()
+        r.doc_id for r in df.filter(split_bucket(F.col("doc_id"), 1000) < 100).collect()
     }
-    want = {i for i in range(seed_rows) if (i * _SPLIT_MULT) % 1000 < 100}
+    want = {
+        i
+        for i in range(seed_rows)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 1000 < 100
+    }
     assert picked == want
 
 
