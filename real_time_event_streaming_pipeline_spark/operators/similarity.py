@@ -455,18 +455,22 @@ def neardup_pairs(
             raise ValueError(f"zero-norm embedding(s) {bad[:5]}: cosine undefined")
         ra, rb = np.sqrt(na), np.sqrt(nb)
         # two-stage scoring, same discipline as _cell_cos (r7 verdict
-        # #3): one BLAS GEMM over normalized vectors gates a SUPERSET
-        # mask (1e-9 margin ≫ the float64 GEMM error); survivors are
-        # rescored with the exact left-to-right fold so emitted values
-        # stay bit-identical to the zip_with/aggregate expression.
-        fast = (A * (1.0 / ra)[:, None]) @ (B * (1.0 / rb)[:, None]).T
+        # #3; r10 moved the gate to FLOAT32 — see _cell_cos for the
+        # bandwidth arithmetic): one sgemm over normalized vectors
+        # gates a SUPERSET mask (|cos| ≤ 1 ⇒ the 1e-4 margin dwarfs
+        # the ~4e-6 f32 GEMM error); survivors are rescored with the
+        # exact float64 left-to-right fold so emitted values stay
+        # bit-identical to the zip_with/aggregate expression.
+        fast = (A * (1.0 / ra)[:, None]).astype(np.float32) @ (
+            B * (1.0 / rb)[:, None]
+        ).astype(np.float32).T
         if diag:
             # same id set on both sides: strict < dedupes and drops self
-            mask = (a_ids[:, None] < b_ids[None, :]) & (fast >= pre_threshold - 1e-9)
+            mask = (a_ids[:, None] < b_ids[None, :]) & (fast >= pre_threshold - 1e-4)
         else:
             # disjoint blocks: every (a, b) is a distinct unordered
             # pair, but ids may order either way — emit (min, max)
-            mask = fast >= pre_threshold - 1e-9
+            mask = fast >= pre_threshold - 1e-4
         ai, bi = np.nonzero(mask)
         if len(ai) == 0:
             return empty
@@ -542,20 +546,27 @@ def neardup_pairs_ivf_candidates(
     mandatory; this path wins when the data has margin.
 
     ``n_centroids=None`` (default) scales the cell count with the
-    corpus — min(1024, max(64, n // 256)) — holding target cell
+    corpus — min(16384, max(64, n // 256)) — holding target cell
     occupancy ~constant. A FIXED cell count is a scale trap the sf3
     soak measured directly: per-cell population grows linearly with
     n, the per-cell GEMM quadratically, and the whole candidate
-    stage goes ~n² (exponent 2.5 at 3×). With occupancy pinned the
-    verify work is ~n · cell_size · n_probe — linear. The 1024 cap
-    bounds the literal-folded centroid assignment expression; past
-    it, raise n_probe-side pruning or shard the index."""
+    stage goes ~n² (exponent 2.5 at 3×). r10 raised the cap from
+    1024 to 16384: the old cap existed to bound the literal-folded
+    assignment EXPRESSION, but assignment moved to the Arrow kernel
+    in r9 (centroids are a numpy array, not plan literals), and the
+    r9-verdict sf30 soak measured the cap binding at n > 262k —
+    occupancy grew to 5860 and the semdedup faces went superlinear
+    (exp 1.57/1.44 sf10→sf30) exactly as this docstring predicts for
+    a fixed count. The new cap (≈4.2M vectors before it binds)
+    bounds the driver-side Lloyd sample at 16·16384 = 262k rows
+    (~134 MB at dim 64) — past THAT, switch kmeans='aggs' and shard
+    the index."""
     if cents is None:
         if n_centroids is None:
             # callers that already counted the corpus (the calibrated
             # semdedup queries) pass n_rows to avoid a second full scan
             n = emb.count() if n_rows is None else int(n_rows)
-            n_centroids = int(min(1024, max(64, n // 256)))
+            n_centroids = int(min(16384, max(64, n // 256)))
         cents = sample_centroids(emb, n_centroids, id_col, vec_col)
     # assignment via the Arrow kernel (bit-identical to the
     # nearest_cells expression — parity pinned in tests): O(n·k) as
@@ -609,15 +620,21 @@ def pairs_from_cell_rows(tagged: DataFrame, threshold: float) -> DataFrame:
         # two-stage scoring (r7 verdict #3 — the constant factor): the
         # O(n²·dim) work runs as ONE BLAS GEMM over normalized vectors
         # (SIMD + blocked, ~dim× less memory traffic than the python
-        # dim-loop over full n² temporaries). BLAS pairwise summation
-        # is NOT the oracle's fold order, so its scores only gate a
-        # SUPERSET mask (margin 1e-9 ≫ the ~1e-12 float64 GEMM error
-        # at any practical dim); every surviving pair is then rescored
-        # with the exact left-to-right fold — emitted values bitwise
-        # unchanged, verified strict at three sfs.
-        An = A * (1.0 / rnorm)[:, None]
+        # dim-loop over full n² temporaries). r10: the GEMM runs in
+        # FLOAT32 — the occupancy² score matrix is the dominant DRAM
+        # write of the whole pair stage (at sf30 the 32 workers share
+        # ~50 GB/s and the f64 matrices summed to hundreds of GB), so
+        # halving its bytes halves the stage's bandwidth bill. Neither
+        # f32 nor BLAS summation is the oracle's fold order, so the
+        # scores only gate a SUPERSET mask: rows are normalized, every
+        # |cos| ≤ 1, and the 1e-4 margin dwarfs the ~4e-6 f32 GEMM
+        # error at any practical dim; every surviving pair is then
+        # rescored with the exact float64 left-to-right fold —
+        # emitted values bitwise unchanged, verified strict at three
+        # sfs.
+        An = (A * (1.0 / rnorm)[:, None]).astype(np.float32)
         fast = An @ An.T
-        mask = (ids[:, None] < ids[None, :]) & (fast >= pre_threshold - 1e-9)
+        mask = (ids[:, None] < ids[None, :]) & (fast >= pre_threshold - 1e-4)
         ai, bi = np.nonzero(mask)
         if len(ai) == 0:
             return empty
@@ -826,7 +843,6 @@ def assign_cells_kernel(
     n_probe: int,
     id_col: str = "_id",
     vec_col: str = "_vec",
-    assert_unique_ids: bool = False,
 ) -> DataFrame:
     """(id, vec) -> exploded (cell, id, vec) rows for each of the
     ``n_probe`` nearest cells — the Arrow-batched numpy twin of
@@ -840,82 +856,100 @@ def assign_cells_kernel(
     folds per row in the interpreter/codegen — O(n·k) JVM expression
     work, and with the corpus-scaled cell count k ~ n/256 that is the
     residual superlinear term the sf3 soak isolated after the
-    occupancy fix (exp ~1.3-1.5). Here the same arithmetic is one
-    n×k float64 accumulation per Arrow batch. The assignment parity
-    is pinned in tests/test_llmdata.py against the expression path
-    on both real testdata and random vectors.
+    occupancy fix (exp ~1.3-1.5). Since r10 the kernel is two-stage
+    (the r9 sf30 soak named the n×k dim-at-a-time accumulation as
+    memory-bound dominant cost): a BLAS dgemm gates a superset of
+    candidate columns per row, and the exact fold re-scores only
+    those ~n_probe columns — see the stage-1 comment in ``run`` for
+    the bit-identity argument. The assignment parity is pinned in
+    tests/test_llmdata.py against the expression path on both real
+    testdata and random vectors.
 
-    The kernel emits ONLY (cell, id) through Arrow and the vectors
-    join back JVM-side (r9: the previous version duplicated every
-    vector n_probe× through a Python list comprehension and shipped
-    n·n_probe object-typed array cells back across Arrow — measured
-    as 90.6 s of semdedup's 101 s pairs stage at sf10; the
-    equi-join re-attach is all Tungsten and cut assignment to ~9 s).
-    Output schema and semantics are unchanged.
-
-    PRECONDITION: ``id_col`` must be unique in ``df`` (r9 ADVICE). The
-    equi-join re-attach pairs each (cell, id) assignment with every
-    vector row carrying that id — a duplicated id would cross-product
-    into inflated candidate sets where the old Arrow path emitted each
-    input row's own vector exactly n_probe times. All internal callers
-    synthesize unique ids; ``assert_unique_ids=True`` makes an
-    external caller with duplicates fail loudly at execution time
-    (a per-id window count + assert_true folded into the join side —
-    the window hash-partitions on id_col, the same partitioning the
-    join needs, so the exchange is shared; off by default because the
-    within-partition sort is not free on the soak-scale hot path)."""
+    Topology (r10, third iteration): assignment is a SCALAR Pandas
+    UDF returning ``array<int>`` of the n_probe cells, exploded
+    JVM-side. Only the vec column crosses Arrow INTO python and only
+    a small int array comes back; the id and vector columns ride the
+    JVM row the whole way, so there is no join, no id-exchange, and
+    no sort. History: r8 shipped every vector n_probe× back across
+    Arrow (90.6 s of semdedup's 101 s sf10 pairs stage); r9 emitted
+    (cell, id) from mapInPandas and re-attached vectors with an
+    equi-join (~9 s at sf10) — but the r9-verdict sf30 soak measured
+    that join (6M-row SMJ + vector payload) at ~36 s of the 60 s
+    face, and the join's duplicate-id cross-product hazard (r9
+    ADVICE) needed a guard. The UDF+explode topology removes the
+    join and the hazard at once: a duplicated id emits each input
+    row's OWN vector exactly n_probe times, by construction (pinned
+    in tests/test_llmdata.py). Output schema and row multiset are
+    unchanged from both predecessors on unique-id input."""
     import numpy as np  # noqa: F401 (kernel body imports on executors)
 
     cell_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
     C = np.array([cvec for _, cvec in cents], dtype=np.float64)
+    C32T = np.ascontiguousarray(C.T.astype(np.float32))
+    cmax_norm = float(np.sqrt((C * C).sum(axis=1)).max()) if len(C) else 0.0
     n_probe = int(n_probe)
 
-    ids_ascending = bool(np.all(np.diff(cell_ids) > 0))
-
-    def run(batches):
+    def cells_of(vecs):
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            neg = np.zeros((len(X), len(C)))
+        k = len(C)
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = len(X)
+        if k > n_probe:
+            # r10 two-stage (the r9 sf30 soak's named cause: the
+            # dim-at-a-time fold materializes an n×k temp 64 times
+            # — memory-bound, 37.9 s of semdedup's 60 s wall at
+            # 600k×1024; measured on this box, 32 concurrent
+            # workers share ~50 GB/s of DRAM bandwidth and every
+            # (n, k) float64 temp costs ~8× its solo wall).
+            # Stage 1: ONE float32 BLAS sgemm computes fast
+            # scores — half the bytes of f64, and NOT the
+            # oracle's fold order, so it only gates a SUPERSET:
+            # every column within eps of the row's n_probe-th
+            # fast score is a candidate. eps scales with the
+            # NORM product (not the score — near-orthogonal
+            # large vectors have tiny scores but norm-scaled
+            # rounding error): |f32dot − dot| ≤ dim·u32·‖x‖·‖c‖
+            # ≈ 4e-6·‖x‖·‖c‖ at dim 64, so 1e-4·(1+‖x‖·max‖c‖)
+            # dominates it with two orders of margin (the
+            # pairs_from_cell_rows precedent, r7 verdict #3).
+            # Stage 2: the exact float64 left-to-right fold
+            # re-scores ONLY the ~n_probe candidate columns per
+            # row, and (negdot, cell) lexsort over exact values
+            # picks and orders the emitted cells — bit-identical
+            # to the full exact path by the superset argument
+            # (any column beaten by n_probe strictly-better
+            # exact scores can never be within eps of the fast
+            # threshold).
+            neg_fast = -(X.astype(np.float32) @ C32T)
+            xnorm = np.sqrt((X * X).sum(axis=1, keepdims=True))
+            eps = (1e-4 * (1.0 + xnorm * cmax_norm)).astype(np.float32)
+            kth = np.partition(neg_fast, n_probe - 1, axis=1)[
+                :, n_probe - 1 : n_probe
+            ]
+            m = int((neg_fast <= kth + eps).sum(axis=1).max())
+            cols = np.argpartition(neg_fast, m - 1, axis=1)[:, :m]
+            cand_cells = cell_ids[cols]
+            # exact fold, dim-at-a-time, candidates only: (n, m)
+            # temps instead of (n, k) — contiguous per-d slices
+            Cct = np.ascontiguousarray(C[cols].transpose(2, 0, 1))
+            neg = np.zeros((n, m))
+            for d in range(X.shape[1]):
+                neg -= X[:, d : d + 1] * Cct[d]
+            order = np.lexsort((cand_cells, neg), axis=1)[:, :n_probe]
+            cells = np.take_along_axis(cand_cells, order, axis=1)
+        else:
+            neg = np.zeros((n, k))
             for d in range(X.shape[1]):
                 neg -= X[:, d : d + 1] * C[None, :, d]
-            if ids_ascending and len(C) > n_probe:
-                # two-stage top-n_probe by (negdot asc, cell asc):
-                # O(n·k) partition SELECTS the member columns (every
-                # strictly-better column + the smallest-cell-id
-                # boundary ties — cell_ids ascend with column index,
-                # so "smallest tie ids" = first tie columns), then a
-                # lexsort over just the n_probe selected columns
-                # restores nearest-first emission order. Replaces the
-                # full-k lexsort the old path paid (r9: that sort was
-                # ~a third of the 90 s sf10 assignment wall).
-                kth = np.partition(neg, n_probe - 1, axis=1)[:, n_probe - 1 : n_probe]
-                strict = neg < kth
-                tie = neg == kth
-                need = n_probe - strict.sum(axis=1, keepdims=True)
-                mask = strict | (tie & (np.cumsum(tie, axis=1) <= need))
-                rows, cols = np.nonzero(mask)  # row-major: per-row groups
-                sel_neg = neg[rows, cols].reshape(len(X), n_probe)
-                sel_cell = cell_ids[cols].reshape(len(X), n_probe)
-                order = np.lexsort((sel_cell, sel_neg), axis=1)
-                cells = np.take_along_axis(sel_cell, order, axis=1).reshape(-1)
-                out_ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
-            else:
-                order = np.lexsort(
-                    (np.broadcast_to(cell_ids, neg.shape), neg), axis=1
-                )[:, :n_probe]
-                cells = cell_ids[order].reshape(-1)
-                out_ids = np.repeat(pdf[id_col].to_numpy(), order.shape[1])
-            yield pd.DataFrame(
-                {
-                    "cell": cells.astype(np.int32),
-                    id_col: out_ids,
-                }
-            )
+            order = np.lexsort(
+                (np.broadcast_to(cell_ids, neg.shape), neg), axis=1
+            )[:, :n_probe]
+            cells = cell_ids[order]
+        return pd.Series(list(cells.astype(np.int32)))
 
     # id/vec types are carried over from the input schema — the kernel
     # replaces the expression path for ANY id type (string doc ids
@@ -925,25 +959,11 @@ def assign_cells_kernel(
     # n×k accumulation on a handful of cores (the dominant wall).
     from .dedup import _spread
 
-    col_type = dict(zip(df.columns, (f.dataType.simpleString() for f in df.schema)))
+    assign = F.pandas_udf(cells_of, "array<int>")
     src = _spread(df.select(F.col(id_col), F.col(vec_col)))
-    vec_side = src
-    if assert_unique_ids:
-        from pyspark.sql import Window
-
-        vec_side = src.withColumn(
-            "_idc", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-        ).filter(
-            F.assert_true(
-                F.col("_idc") <= 1,
-                F.concat(
-                    F.lit("assign_cells_kernel: duplicate value in id_col — "),
-                    F.col(id_col).cast("string"),
-                ),
-            ).isNull()
-        ).drop("_idc")
-    assigned = src.mapInPandas(run, f"cell int, {id_col} {col_type[id_col]}")
-    return assigned.join(vec_side, id_col).select("cell", id_col, vec_col)
+    return src.select(
+        F.explode(assign(F.col(vec_col))).alias("cell"), id_col, vec_col
+    )
 
 
 def nearest_cells(vec, cents: list[tuple[int, list[float]]], n: int) -> Column:

@@ -763,31 +763,31 @@ def test_exact_median_ignores_nulls(spark):
     assert _exact_median(df, "v") == 2.5
 
 
-def test_assign_cells_kernel_duplicate_id_guard(spark):
-    """r9 ADVICE: the equi-join vector re-attach assumes unique ids —
-    a duplicated id silently cross-products (assignments × vector
-    rows) where the old Arrow path emitted each row's own vector
-    exactly n_probe times. assert_unique_ids=True must fail loudly on
-    duplicates and stay bit-for-bit invisible on unique ids."""
-    import pytest
-    from pyspark.errors import SparkRuntimeException
-
+def test_assign_cells_kernel_duplicate_ids_emit_per_row(spark):
+    """r9 ADVICE, closed by design change: the r9 equi-join re-attach
+    silently cross-producted (assignments × vector rows) under a
+    duplicated id. The r10 UDF+explode topology has no join — a
+    duplicated id must emit each input row's OWN vector exactly
+    n_probe times (the r8 per-row Arrow semantics, without its
+    per-row Arrow cost)."""
     cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])]
     uniq = spark.createDataFrame(
         [(i, [float(i % 3), float(i % 2)]) for i in range(8)],
         "_id long, _vec array<double>",
     )
-    guarded = S.assign_cells_kernel(uniq, cents, n_probe=2, assert_unique_ids=True)
-    plain = S.assign_cells_kernel(uniq, cents, n_probe=2)
-    assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, plain.collect()))
-
     dup = uniq.union(spark.createDataFrame([(3, [9.0, 9.0])], "_id long, _vec array<double>"))
-    # silent inflation without the guard: id 3's 2 input rows emit 4
-    # assignments, each re-attaching BOTH vector rows (4×2=8), vs the
-    # 18 rows (9×n_probe) the old per-row Arrow path would emit
-    assert S.assign_cells_kernel(dup, cents, n_probe=2).count() == 7 * 2 + 8
-    with pytest.raises(SparkRuntimeException, match="duplicate value in id_col"):
-        S.assign_cells_kernel(dup, cents, n_probe=2, assert_unique_ids=True).count()
+    rows = S.assign_cells_kernel(dup, cents, n_probe=2).collect()
+    assert len(rows) == 9 * 2  # per input row, never (assignments × rows)
+    # each duplicate row keeps ITS vector: the original id-3 row is
+    # [0,1] (nearest cells 1 and 2, dot-1 tie) while its [9,9] twin is
+    # nearest cells {2 (dot 18), 0 (dot-9 tie with 1 → smaller id)}
+    id3 = sorted((r.cell, tuple(r._vec)) for r in rows if r._id == 3)
+    assert id3 == [
+        (0, (9.0, 9.0)),
+        (1, (0.0, 1.0)),
+        (2, (0.0, 1.0)),
+        (2, (9.0, 9.0)),
+    ]
 
 
 def test_table_rows_metadata_recurses_and_rejects_empty(tmp_path, spark, sf_small):

@@ -261,16 +261,22 @@ def generate() -> None:
 
 SF3_DIR = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/spark_graft_sf3")
 SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
+SF30_DIR = os.environ.get("SPARK_GRAFT_SF30_DIR", "/tmp/spark_graft_sf30")
 
 # the dedup/ANN/corpus family measured at the extra sf3 point
 # (VERDICT r5 #7). Documents+embeddings only — these queries read no
-# TPC-H table. The EXACT n-gram pair queries are deliberately absent:
-# their superlinear slope on this closed-31-word vocabulary is already
-# measured and documented at sf1 (SCALING.md; cap regime 16.5% of
-# instances), they are the oracle-twin family, and MinHash/LSH — which
-# IS here — is the designated scale route.
+# TPC-H table. The EXACT n-gram pair path's superlinear slope on this
+# closed-31-word vocabulary is measured and documented at sf1
+# (SCALING.md; cap regime 16.5% of instances); since r10 the
+# REGISTERED ngram face route-switches onto MinHash-LSH at >=20k docs,
+# so it joins the family below to measure the routed slope.
 FAMILY_SF3 = [
     "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_clusters",
+    # registered face routes through LSH at >=20k docs since r10
+    # (below that it is the exact join — the sf0.1 column measures the
+    # exact path, sf1+ measure the LSH route; the discontinuity at the
+    # switch is expected and documented)
+    "llm_dedup_ngram_jaccard",
     "llm_semdedup", "llm_semdedup_survivors", "llm_emb_cosine_topk",
     "llm_emb_ann_lsh", "llm_emb_ann_ivf", "llm_emb_ann_pq",
     "llm_corpus_pipeline",
@@ -364,6 +370,10 @@ def run_family() -> None:
     dirs = {"sf0.1": "/root/testdata/sf0.1", "sf1": SF1_DIR, "sf3": SF3_DIR}
     if os.path.isdir(SF10_DIR):  # fourth point, present when generated
         dirs["sf10"] = SF10_DIR
+    if os.path.isdir(SF30_DIR):  # fifth point (r9 verdict #6): the
+        # sf10 exponents for semdedup/PQ looked fixed-cost-dominated
+        # (0.58 / 0.21) — one more 3x step shows the true asymptote
+        dirs["sf30"] = SF30_DIR
     queries["llm_dedup_exact"](spark, dirs["sf0.1"]).collect()  # warm-up
 
     only = [
@@ -390,7 +400,8 @@ def run_family() -> None:
                   flush=True)
 
     labels = list(dirs)
-    ratios = {"sf1": ("sf0.1", 10.0), "sf3": ("sf1", 3.0), "sf10": ("sf3", 10.0 / 3.0)}
+    ratios = {"sf1": ("sf0.1", 10.0), "sf3": ("sf1", 3.0), "sf10": ("sf3", 10.0 / 3.0),
+              "sf30": ("sf10", 3.0)}
     hdr = " | ".join(f"{l} (s)" for l in labels)
     exps = [l for l in labels[1:]]
     print("\n| query | " + hdr + " | " + " | ".join(f"exp →{l}" for l in exps) + " |")
@@ -866,6 +877,8 @@ def main() -> None:
         generate_sf3()
     if "--generate-sf10" in sys.argv:
         generate_sf3(mult=10, out_dir=SF10_DIR)
+    if "--generate-sf30" in sys.argv:
+        generate_sf3(mult=30, out_dir=SF30_DIR)
     if "--run" in sys.argv:
         run()
     if "--run-sf3" in sys.argv:
