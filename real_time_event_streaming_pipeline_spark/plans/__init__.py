@@ -369,22 +369,23 @@ PRIORITY_WINDOW = _PRIORITY_R10
 # With _PRIORITY_R10 landing in round 10, ZERO rows are due by r11 and
 # 41 by r12 — this plan pre-drains all 41 deadline-r12 rows (the
 # entire r8-verdict block: the cs_* reference family, the multimodal
-# codec faces, the relational/TPC-H wave) and fills the 9 remaining
+# codec faces, the relational/TPC-H wave) and fills the remaining
 # slots with deadline-r13 rows from the r9 window, preferring faces
-# round 10 touches (one-round-lag commitment — the estimator-pin and
-# LSH-route work this round): llm_dedup_ngram_jaccard (r10 gives the
-# registered face the corpus-size LSH route switch),
-# llm_dedup_simhash_pairs and llm_dedup_minhash_lsh (r10 adds
-# distribution-level pins over their constant families; results
-# unchanged, bitwise re-verified locally), plus the most stable
-# r9-verdict relational rows. Revisited at r10 close-out: anything
-# else r10 ends up changing swaps in, displacing the stable tail
-# first.
+# whose CODE round 10 touched (one-round-lag commitment):
+# llm_dedup_ngram_jaccard (the corpus-size LSH route switch landed on
+# the registered face), and the semdedup/cosine family whose kernels
+# r10 rewrote for the sf30 superlinearity fix (two-stage f32-gated
+# assignment, UDF+explode topology, f32 pair gates) — results
+# bitwise-unchanged at driver sfs (r10 gate green) but the discipline
+# re-verifies changed code externally next round. The estimator pins
+# (test-only) did not change simhash/minhash code, so those faces
+# keep their r9 verdicts. Revisited at r10 close-out.
 _PRIORITY_R11_PLAN = (
     # r10-touched faces — one-round-lag commitment
     "llm_dedup_ngram_jaccard",
-    "llm_dedup_simhash_pairs",
-    "llm_dedup_minhash_lsh",
+    "llm_semdedup",
+    "llm_semdedup_survivors",
+    "llm_emb_neardup",
     # deadline-r12 block: cs_* reference family (r8 verdicts)
     "cs_aggregations_filtered",
     "cs_alerts",
@@ -438,9 +439,8 @@ _PRIORITY_R11_PLAN = (
     "rel_session_window_native",
     "rel_null_aware_anti_join",
     "rel_customers_without_orders",
-    # deadline-r13 fillers — stable r9-verdict relational rows
+    # deadline-r13 filler — stable r9-verdict relational row
     "rel_promo_revenue",
-    "rel_supplier_part_cnt",
 )
 
 STAGED_NEXT_WINDOW = _PRIORITY_R11_PLAN
