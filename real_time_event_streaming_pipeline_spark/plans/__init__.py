@@ -358,10 +358,6 @@ _PRIORITY_R10 = (
     "rel_top_orders_per_customer",
 )
 
-# The live window alias: rotation tooling and tests reference THIS
-# name so each round's rewire is a one-line change, not a test edit.
-PRIORITY_WINDOW = _PRIORITY_R10
-
 # The PLANNED r11 window, staged ahead so the repo does not go
 # structurally red the moment CORRECTNESS_r10.json lands (the handoff
 # discipline; tools/rotation_check.py presumes this plan as the next
@@ -443,7 +439,22 @@ _PRIORITY_R11_PLAN = (
     "rel_promo_revenue",
 )
 
-STAGED_NEXT_WINDOW = _PRIORITY_R11_PLAN
+# Wired live in round 11's first commit (r10 verdict #2): the staged
+# plan above lands verbatim as the round's window.
+_PRIORITY_R11 = _PRIORITY_R11_PLAN
+
+# The live window alias: rotation tooling and tests reference THIS
+# name so each round's rewire is a one-line change, not a test edit.
+PRIORITY_WINDOW = _PRIORITY_R11
+
+# The PLANNED r12 window — re-staged at r11 close-out with the usual
+# deadline analysis; seeded here at wire-time so the handoff invariant
+# never lapses even if the round ends abruptly. Placeholder = the r10
+# window (every row due ≤r13 by construction); the close-out commit
+# replaces it with the deadline-driven plan.
+_PRIORITY_R12_PLAN = _PRIORITY_R10
+
+STAGED_NEXT_WINDOW = _PRIORITY_R12_PLAN
 
 _PRIORITY_R6 = (
     # new in round 6 — no driver verdict yet (rotation_check enforces
