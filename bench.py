@@ -157,8 +157,21 @@ def main() -> None:
     prev_round, prev_q = None, None
     import glob
 
-    for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # r10 ADVICE #2: a bench re-run inside the round being recorded
+    # must not compare against its own round's sidecar (ratio ≈ 1.0).
+    # The round in progress is max(CORRECTNESS_r*) + 1, so only BENCH
+    # records from completed rounds (≤ max correctness round) qualify.
+    done_rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    last_done = max(done_rounds) if done_rounds else None
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         mm = re.search(r"BENCH_r(\d+)\.json$", p)
+        if mm and last_done is not None and int(mm.group(1)) > last_done:
+            continue
         if mm and (prev_round is None or int(mm.group(1)) > prev_round):
             try:
                 with open(p) as fh:

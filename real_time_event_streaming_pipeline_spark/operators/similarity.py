@@ -23,6 +23,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def f32_gate_margin(dim: int) -> float:
+    """Superset margin for the two-stage f32-sgemm gates, scaled by
+    vector dimension (r10 ADVICE #1: the old fixed 1e-4 margin is only
+    valid below dim ≈ 1500 — the worst-case f32 dot error over unit
+    vectors is ~(dim+2)·2⁻²⁴·‖a‖·‖b‖ ≈ 6e-8·dim for normalized rows,
+    which crosses 1e-4 around dim 1667, so a 2048-dim corpus could
+    silently drop true pairs). 4·dim·2⁻²⁴ gives ≥4× headroom over the
+    one-sided bound at every dim — and ≥2× over the TWO-sided 2e bound
+    the top-k gate needs (|fast−exact| ≤ e on both the kth score and
+    the candidate score) — while the 1e-4 floor preserves the old
+    behaviour (and its two-orders-of-margin slack) at small dims.
+    Callers over non-normalized vectors must additionally scale by the
+    norm product (see assign_cells_kernel's eps)."""
+    return max(1e-4, 4.0 * dim * 2.0**-24)
+
+
 def dot(a, b) -> Column:
     """Σ a_i·b_i in double, left-to-right — matches the oracle's
     list_sum(list_transform(...)) fold order."""
@@ -247,12 +263,27 @@ def _topk_kernel(k: int):
     """Per-group GEMM top-k kernel factory, shared by the brute-force
     (id-block), IVF (cell), and LSH (bucket) groupings: each group
     holds a corpus slice (role 'c') plus the query rows routed to it
-    (role 'q'); the kernel computes the group's cosine sub-matrix with
-    the same dimension-at-a-time float64 accumulation as the
-    zip_with/aggregate fold (bitwise-equal doubles) and emits the
-    group-local top-k per query — top-k of a union is the top-k of
-    per-group top-ks, so only |groups-routed-to| * k candidate rows
-    per query reach the global ranking."""
+    (role 'q'); the kernel scores the group's cosine sub-matrix and
+    emits the group-local top-k per query — top-k of a union is the
+    top-k of per-group top-ks, so only |groups-routed-to| * k
+    candidate rows per query reach the global ranking.
+
+    r11 (the named r10 leftover, SCALING.md item 12): the scoring is
+    two-stage like the semdedup family's kernels. The old form ran the
+    dimension-at-a-time float64 fold over the FULL (n_q, n_c) matrix —
+    dim temporaries of n_q·n_c doubles, the last bandwidth-heavy
+    kernel in the engine (dominant term in the IVF face's sf30 wall).
+    Now ONE float32 sgemm over exactly-normalized rows gates a
+    candidate-column SUPERSET per query, and the exact float64
+    left-to-right fold rescores only those candidates. Superset
+    argument (two-sided): with e = the f32 score error bound, at most
+    kk−1 columns can have fast > exact₍kk₎ + e, so fast_kth ≤
+    exact₍kk₎ + e; any column of the true exact top-kk (including
+    id-tie-break peers at exact₍kk₎) has fast ≥ exact₍kk₎ − e ≥
+    fast_kth − 2e — and f32_gate_margin(dim) ≥ 2e at every dim with
+    ≥2× slack. The exact rescore replays the identical per-pair
+    left-to-right fold, so emitted doubles are bit-identical to the
+    full-fold form (pinned in tests/test_twostage_kernel.py)."""
     import pandas as pd
 
     def _block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -273,13 +304,13 @@ def _topk_kernel(k: int):
         C = np.stack(cs["_vec"].to_numpy()).astype(np.float64)
         q_ids = qs["_id"].to_numpy()
         c_ids = cs["_id"].to_numpy()
-        # dimension-at-a-time accumulation == the zip_with/aggregate
-        # left-to-right float64 fold, vectorized across the matrix
-        dots = np.zeros((len(Q), len(C)))
+        dim = Q.shape[1]
+        kk = min(k, len(c_ids))
+        # exact norms via the oracle's dim-at-a-time float64 fold
+        # (O(n·dim) — never the bottleneck)
         nq = np.zeros(len(Q))
         nc = np.zeros(len(C))
-        for d in range(Q.shape[1]):
-            dots += Q[:, d : d + 1] * C[None, :, d]
+        for d in range(dim):
             nq += Q[:, d] * Q[:, d]
             nc += C[:, d] * C[:, d]
         # zero-norm vectors have no cosine: the expression twin throws
@@ -292,18 +323,45 @@ def _topk_kernel(k: int):
                 f"zero-norm embedding(s) {bad[:5]}: cosine undefined "
                 "(the expression twin raises DIVIDE_BY_ZERO under ANSI)"
             )
-        cos = dots / (np.sqrt(nq)[:, None] * np.sqrt(nc)[None, :])
+        rq, rc = np.sqrt(nq), np.sqrt(nc)
+        self_mask = q_ids[:, None] == c_ids[None, :]
+        # stage 1: f32 sgemm over normalized rows — half the bytes of
+        # the f64 score matrix, and the only O(n_q·n_c) temporary left
+        fast = (Q * (1.0 / rq)[:, None]).astype(np.float32) @ (
+            C * (1.0 / rc)[:, None]
+        ).astype(np.float32).T
+        fast[self_mask] = -np.inf  # self-exclusion before the kth cut
+        gate = f32_gate_margin(dim)
+        # per-row kth-largest fast score; every column within 2e of it
+        # is a candidate (see the superset argument above). m = the
+        # worst row's candidate count keeps the gather rectangular.
+        kth = -np.partition(-fast, kk - 1, axis=1)[:, kk - 1 : kk]
+        cand = fast >= kth - gate
+        m = int(cand.sum(axis=1).max())
+        if m >= len(c_ids):
+            cols = np.broadcast_to(np.arange(len(c_ids)), (len(Q), len(c_ids)))
+        else:
+            cols = np.argpartition(-fast, m - 1, axis=1)[:, :m]
+        # stage 2: exact dim-at-a-time float64 fold over candidate
+        # columns only — (n_q, m) temps instead of (n_q, n_c); the
+        # per-pair accumulation order is identical to the full fold,
+        # so the doubles are bitwise the same
+        Cc = np.ascontiguousarray(C[cols].transpose(2, 0, 1))  # (dim, n_q, m)
+        dots = np.zeros((len(Q), cols.shape[1]))
+        for d in range(dim):
+            dots += Q[:, d : d + 1] * Cc[d]
+        cos = dots / (rq[:, None] * rc[cols])
         rank_cos = cos.copy()
-        rank_cos[q_ids[:, None] == c_ids[None, :]] = -np.inf  # self-exclusion
-        kk = min(k, len(c_ids))
+        rank_cos[self_mask[np.arange(len(Q))[:, None], cols]] = -np.inf
+        cand_ids = c_ids[cols]
         out_q, out_n, out_c = [], [], []
         for i in range(len(Q)):
             # group-local (cos desc, n_id asc): lexsort's last key is
             # primary, ties on the exact double broken by id
-            order = np.lexsort((c_ids, -rank_cos[i]))[:kk]
+            order = np.lexsort((cand_ids[i], -rank_cos[i]))[:kk]
             keep = order[rank_cos[i][order] != -np.inf]
             out_q.append(np.full(len(keep), q_ids[i]))
-            out_n.append(c_ids[keep])
+            out_n.append(cand_ids[i][keep])
             out_c.append(cos[i][keep])
         return pd.DataFrame(
             {
@@ -457,20 +515,21 @@ def neardup_pairs(
         # two-stage scoring, same discipline as _cell_cos (r7 verdict
         # #3; r10 moved the gate to FLOAT32 — see _cell_cos for the
         # bandwidth arithmetic): one sgemm over normalized vectors
-        # gates a SUPERSET mask (|cos| ≤ 1 ⇒ the 1e-4 margin dwarfs
+        # gates a SUPERSET mask (|cos| ≤ 1 ⇒ the dim-scaled margin dwarfs
         # the ~4e-6 f32 GEMM error); survivors are rescored with the
         # exact float64 left-to-right fold so emitted values stay
         # bit-identical to the zip_with/aggregate expression.
         fast = (A * (1.0 / ra)[:, None]).astype(np.float32) @ (
             B * (1.0 / rb)[:, None]
         ).astype(np.float32).T
+        gate = f32_gate_margin(dim)  # dim-scaled (r10 ADVICE #1)
         if diag:
             # same id set on both sides: strict < dedupes and drops self
-            mask = (a_ids[:, None] < b_ids[None, :]) & (fast >= pre_threshold - 1e-4)
+            mask = (a_ids[:, None] < b_ids[None, :]) & (fast >= pre_threshold - gate)
         else:
             # disjoint blocks: every (a, b) is a distinct unordered
             # pair, but ids may order either way — emit (min, max)
-            mask = fast >= pre_threshold - 1e-4
+            mask = fast >= pre_threshold - gate
         ai, bi = np.nonzero(mask)
         if len(ai) == 0:
             return empty
@@ -627,14 +686,17 @@ def pairs_from_cell_rows(tagged: DataFrame, threshold: float) -> DataFrame:
         # halving its bytes halves the stage's bandwidth bill. Neither
         # f32 nor BLAS summation is the oracle's fold order, so the
         # scores only gate a SUPERSET mask: rows are normalized, every
-        # |cos| ≤ 1, and the 1e-4 margin dwarfs the ~4e-6 f32 GEMM
-        # error at any practical dim; every surviving pair is then
-        # rescored with the exact float64 left-to-right fold —
-        # emitted values bitwise unchanged, verified strict at three
-        # sfs.
+        # |cos| ≤ 1, and the dim-scaled f32_gate_margin dominates the
+        # ~6e-8·dim f32 GEMM error at EVERY dim (r10 ADVICE #1 — the
+        # old fixed 1e-4 broke down above dim ≈ 1500); every surviving
+        # pair is then rescored with the exact float64 left-to-right
+        # fold — emitted values bitwise unchanged, verified strict at
+        # three sfs.
         An = (A * (1.0 / rnorm)[:, None]).astype(np.float32)
         fast = An @ An.T
-        mask = (ids[:, None] < ids[None, :]) & (fast >= pre_threshold - 1e-4)
+        mask = (ids[:, None] < ids[None, :]) & (
+            fast >= pre_threshold - f32_gate_margin(dim)
+        )
         ai, bi = np.nonzero(mask)
         if len(ai) == 0:
             return empty
@@ -913,9 +975,12 @@ def assign_cells_kernel(
             # NORM product (not the score — near-orthogonal
             # large vectors have tiny scores but norm-scaled
             # rounding error): |f32dot − dot| ≤ dim·u32·‖x‖·‖c‖
-            # ≈ 4e-6·‖x‖·‖c‖ at dim 64, so 1e-4·(1+‖x‖·max‖c‖)
-            # dominates it with two orders of margin (the
-            # pairs_from_cell_rows precedent, r7 verdict #3).
+            # ≈ 4e-6·‖x‖·‖c‖ at dim 64 — so the margin is the
+            # dim-scaled f32_gate_margin (r10 ADVICE #1; the 1e-4
+            # floor alone loses its headroom above dim ≈ 1500)
+            # times (1+‖x‖·max‖c‖), which dominates the bound at
+            # every dim with ≥4× slack (the pairs_from_cell_rows
+            # precedent, r7 verdict #3).
             # Stage 2: the exact float64 left-to-right fold
             # re-scores ONLY the ~n_probe candidate columns per
             # row, and (negdot, cell) lexsort over exact values
@@ -926,7 +991,9 @@ def assign_cells_kernel(
             # threshold).
             neg_fast = -(X.astype(np.float32) @ C32T)
             xnorm = np.sqrt((X * X).sum(axis=1, keepdims=True))
-            eps = (1e-4 * (1.0 + xnorm * cmax_norm)).astype(np.float32)
+            eps = (
+                f32_gate_margin(X.shape[1]) * (1.0 + xnorm * cmax_norm)
+            ).astype(np.float32)
             kth = np.partition(neg_fast, n_probe - 1, axis=1)[
                 :, n_probe - 1 : n_probe
             ]

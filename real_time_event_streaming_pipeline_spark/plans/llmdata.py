@@ -150,6 +150,39 @@ FROM documents GROUP BY md5(text)
 """
 
 
+# Route resolutions memoized per sf_dir for the life of the process
+# (r10 ADVICE #3): the query plan and its oracle callable are built at
+# different times during a verify run, so resolving the corpus-size
+# route independently in each could pick DIFFERENT routes if the
+# corpus is rewritten in between — a spurious verify mismatch with
+# both routes individually correct. One resolution per (process,
+# sf_dir) makes query and oracle structurally route-consistent; a
+# harness that legitimately rewrites a corpus in place must call
+# clear_ngram_route_cache() between generations (tests use unique tmp
+# dirs, so in practice the cache is write-once).
+_NGRAM_ROUTE_CACHE: dict[str, str] = {}
+
+
+def resolved_ngram_route(sf_dir: str) -> str:
+    """'lsh' at/above _NGRAM_LSH_SWITCH docs else 'exact' — resolved
+    from parquet footers once per sf_dir and memoized (see above)."""
+    route = _NGRAM_ROUTE_CACHE.get(sf_dir)
+    if route is None:
+        route = (
+            "lsh"
+            if table_rows_metadata(sf_dir, "documents") >= _NGRAM_LSH_SWITCH
+            else "exact"
+        )
+        _NGRAM_ROUTE_CACHE[sf_dir] = route
+    return route
+
+
+def clear_ngram_route_cache() -> None:
+    """Escape hatch for harnesses that rewrite a corpus under an
+    sf_dir already routed this process."""
+    _NGRAM_ROUTE_CACHE.clear()
+
+
 def q_ngram_jaccard(
     spark: SparkSession, sf_dir: str, pair_method: str | None = None
 ) -> DataFrame:
@@ -162,14 +195,11 @@ def q_ngram_jaccard(
     whose recall loss is the banding-miss bound (negligible at the
     0.5 threshold's planted margins; route parity pinned in
     tests/test_operators.py). The oracle callable switches with the
-    query (_ngram_jaccard_oracle_sql), so the face stays bitwise at
-    every sf including soak corpora."""
+    query via the SAME memoized resolution (resolved_ngram_route, r10
+    ADVICE #3), so the face stays bitwise at every sf including soak
+    corpora."""
     if pair_method is None:
-        pair_method = (
-            "lsh"
-            if table_rows_metadata(sf_dir, "documents") >= _NGRAM_LSH_SWITCH
-            else "exact"
-        )
+        pair_method = resolved_ngram_route(sf_dir)
     gen = D.ngram_jaccard_pairs if pair_method == "exact" else D.ngram_jaccard_pairs_lsh
     return gen(load(spark, sf_dir, "documents"), k=3, threshold=0.5, max_doc_freq=100)
 
@@ -238,8 +268,10 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.5
 def _ngram_jaccard_oracle_sql(sf_dir: str) -> str:
     """Oracle generator: follows q_ngram_jaccard's corpus-size route
     switch (exact pair join below _NGRAM_LSH_SWITCH, LSH candidates +
-    exact verify at/above it)."""
-    if table_rows_metadata(sf_dir, "documents") < _NGRAM_LSH_SWITCH:
+    exact verify at/above it) — through the memoized
+    resolved_ngram_route, so query and oracle can never disagree on
+    the route within a process (r10 ADVICE #3)."""
+    if resolved_ngram_route(sf_dir) == "exact":
         return _NGRAM_JACCARD_SQL
     return _ngram_jaccard_lsh_sql()
 
@@ -924,15 +956,13 @@ def q_dedup_clusters(
     corpora; route parity pinned in tests/test_operators.py). Oracle:
     DuckDB recursive CTE computing min reachable id over the SAME
     route's pair set (the twin switches with the query — see
-    _dedup_clusters_sql), so the row stays bitwise at every sf."""
+    _dedup_clusters_sql, both through the memoized
+    resolved_ngram_route — r10 ADVICE #3), so the row stays bitwise
+    at every sf."""
     from ..operators.clustering import dedup_clusters
 
     if pair_method is None:
-        pair_method = (
-            "lsh"
-            if table_rows_metadata(sf_dir, "documents") >= _NGRAM_LSH_SWITCH
-            else "exact"
-        )
+        pair_method = resolved_ngram_route(sf_dir)
     gen = D.ngram_jaccard_pairs if pair_method == "exact" else D.ngram_jaccard_pairs_lsh
     pairs = gen(
         load(spark, sf_dir, "documents"), k=3, threshold=0.5, max_doc_freq=100
@@ -1029,8 +1059,9 @@ FROM cc GROUP BY component
 def _dedup_clusters_sql(sf_dir: str) -> str:
     """Oracle generator: the twin follows q_dedup_clusters' corpus-size
     route switch (exact pair join below _NGRAM_LSH_SWITCH, LSH
-    candidates + exact verify at/above it)."""
-    if table_rows_metadata(sf_dir, "documents") < _NGRAM_LSH_SWITCH:
+    candidates + exact verify at/above it) — through the memoized
+    resolved_ngram_route shared with the query (r10 ADVICE #3)."""
+    if resolved_ngram_route(sf_dir) == "exact":
         return _DEDUP_CLUSTERS_SQL
     return _dedup_clusters_lsh_sql()
 

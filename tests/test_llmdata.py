@@ -3,6 +3,8 @@ expressible) paths, plus planted-fixture tests for dedup."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from real_time_event_streaming_pipeline_spark.catalog import load
@@ -852,3 +854,54 @@ def test_ngram_face_route_switch_and_lsh_twin(spark, sf_small):
     )
     twin = {tuple(map(str, r)) for r in con.sql(_ngram_jaccard_lsh_sql()).fetchall()}
     assert twin == lsh
+
+
+def test_ngram_route_resolved_once_per_process(tmp_path, sf_small):
+    """r10 ADVICE #3: the route the query takes and the route its
+    oracle twin takes must come from ONE resolution — a corpus
+    rewritten between plan build and oracle resolution must not flip
+    the oracle onto the other route."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        _NGRAM_JACCARD_SQL,
+        _NGRAM_LSH_SWITCH,
+        clear_ngram_route_cache,
+        resolved_ngram_route,
+        _ngram_jaccard_oracle_sql,
+    )
+
+    sf = tmp_path / "corpus"
+    sf.mkdir()
+    shutil.copytree(
+        os.path.join(sf_small, "documents.parquet"),
+        sf / "documents.parquet",
+    ) if os.path.isdir(os.path.join(sf_small, "documents.parquet")) else shutil.copy(
+        os.path.join(sf_small, "documents.parquet"), sf / "documents.parquet"
+    )
+    clear_ngram_route_cache()
+    assert resolved_ngram_route(str(sf)) == "exact"
+    # grow the corpus past the switch IN PLACE — the memo must hold
+    # the original resolution so the oracle stays on the query's route
+    big = pa.table(
+        {
+            "doc_id": pa.array(range(_NGRAM_LSH_SWITCH + 1), type=pa.int64()),
+            "text": pa.array(["x"] * (_NGRAM_LSH_SWITCH + 1)),
+        }
+    )
+    target = sf / "documents.parquet"
+    if target.is_dir():
+        shutil.rmtree(target)
+        target.mkdir()
+        pq.write_table(big, target / "part-0.parquet")
+    else:
+        pq.write_table(big, target)
+    assert resolved_ngram_route(str(sf)) == "exact"  # memoized, not re-read
+    assert _ngram_jaccard_oracle_sql(str(sf)) == _NGRAM_JACCARD_SQL
+    # the documented escape hatch re-resolves
+    clear_ngram_route_cache()
+    assert resolved_ngram_route(str(sf)) == "lsh"
+    clear_ngram_route_cache()

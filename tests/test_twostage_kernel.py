@@ -134,3 +134,99 @@ def test_cross_batch_kernel_matches_exact_fold_reference(spark):
     # with any old id over threshold
     want = {b for (a, b) in ref if a in old_ids and b not in old_ids}
     assert got == want
+
+
+def _reference_topk(q_ids, Q, c_ids, C, k):
+    """Full-fold reference for _topk_kernel: exact left-to-right fold
+    over EVERY (q, c), self excluded, (cos desc, n_id asc) top-k."""
+    out = {}
+    for i, qi in enumerate(q_ids):
+        scored = [
+            (_fold_cos(Q[i], C[j]), cj)
+            for j, cj in enumerate(c_ids)
+            if cj != qi
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        out[qi] = [(cj, c) for c, cj in scored[:k]]
+    return out
+
+
+def _run_topk_kernel(q_ids, Q, c_ids, C, k):
+    import pandas as pd
+
+    from real_time_event_streaming_pipeline_spark.operators.similarity import (
+        _topk_kernel,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "role": ["q"] * len(q_ids) + ["c"] * len(c_ids),
+            "_id": list(q_ids) + list(c_ids),
+            "_vec": [list(map(float, v)) for v in Q] + [list(map(float, v)) for v in C],
+        }
+    )
+    res = _topk_kernel(k)(pdf)
+    got = {}
+    for _, r in res.iterrows():
+        got.setdefault(int(r["q_id"]), []).append((int(r["n_id"]), float(r["cos_raw"])))
+    return got
+
+
+def test_topk_kernel_matches_full_fold_reference():
+    """r11: the two-stage f32-gated _topk_kernel must emit the same
+    (neighbor, exact double) list as the old full-fold form — bitwise,
+    including exact-tie id ordering — across self-overlapping and
+    disjoint query/corpus sets."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n, dim, k = 60, 24, 7
+    C = rng.standard_normal((n, dim))
+    # plant exact ties: duplicate vectors under distinct ids tie on the
+    # exact double and must order by id
+    C[10] = C[3]
+    C[11] = C[3]
+    c_ids = list(range(n))
+    # queries overlap the corpus (self-exclusion) and extend past it
+    Q = np.vstack([C[:8], rng.standard_normal((5, dim))])
+    q_ids = list(range(8)) + list(range(1000, 1005))
+    got = _run_topk_kernel(q_ids, Q, c_ids, C, k)
+    assert got == _reference_topk(q_ids, Q, c_ids, C, k)
+
+
+def test_topk_kernel_matches_reference_at_high_dim():
+    """The dim-scaled gate (r10 ADVICE #1): at dim 2048 the worst-case
+    f32 sgemm error (~6e-8·dim ≈ 1.2e-4) exceeds the old fixed 1e-4
+    margin, so this pin fails if the margin stops scaling with dim."""
+    import numpy as np
+
+    from real_time_event_streaming_pipeline_spark.operators.similarity import (
+        f32_gate_margin,
+    )
+
+    dim = 2048
+    assert f32_gate_margin(dim) >= 2 * (dim + 2) * 2.0**-24  # ≥ the 2e bound
+    assert f32_gate_margin(64) == 1e-4  # small dims keep the old floor
+    rng = np.random.default_rng(17)
+    n, k = 40, 5
+    # near-duplicate cluster: tiny perturbations make the fast scores
+    # crowd within the f32 error band, where an under-sized margin
+    # drops true top-k columns
+    base = rng.standard_normal(dim)
+    C = base + 1e-5 * rng.standard_normal((n, dim))
+    c_ids = list(range(n))
+    Q = C[:6]
+    q_ids = list(range(6))
+    got = _run_topk_kernel(q_ids, Q, c_ids, C, k)
+    assert got == _reference_topk(q_ids, Q, c_ids, C, k)
+
+
+def test_topk_kernel_small_group_full_gather():
+    """Groups smaller than k take the m >= n_c branch (full gather):
+    every non-self column must be emitted, exactly ordered."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    C = rng.standard_normal((4, 8))
+    got = _run_topk_kernel([0, 99], C[:2], [0, 1, 2, 3], C, 10)
+    assert got == _reference_topk([0, 99], C[:2], [0, 1, 2, 3], C, 10)
