@@ -150,12 +150,38 @@ def doc_shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFrame
     )
 
 
+def _observe_df_cap(grp: DataFrame, max_doc_freq: int, observation) -> DataFrame:
+    """Query-side visibility for the stop-shingle df-cap (r10 verdict
+    #4): the cap is correct and load-bearing — both engines apply it
+    identically — but at scale the capped fraction is a corpus-shape
+    alarm (sf1 already caps 16.5% of shingle INSTANCES; a shape change
+    could quietly turn 'contamination/near-dup among all shingles'
+    into 'among rare shingles only'). Attach a pyspark.sql.Observation
+    and read n_shingles / capped_shingles / n_instances /
+    capped_instances after the action — the soak harness derives
+    capped_shingle_frac and capped_instance_frac from these and alarms
+    past the documented threshold (SCALING.md). Same discipline as the
+    LSH bucket-saturation counters in _cap_buckets."""
+    if observation is None:
+        return grp
+    return grp.observe(
+        observation,
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count_if(F.size("ids") > max_doc_freq).alias("capped_shingles"),
+        F.sum(F.size("ids")).alias("n_instances"),
+        F.sum(
+            F.when(F.size("ids") > max_doc_freq, F.size("ids")).otherwise(F.lit(0))
+        ).alias("capped_instances"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int = 100,
     id_col: str = "doc_id",
+    cap_observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.
 
@@ -175,12 +201,13 @@ def ngram_jaccard_pairs(
     small (a forced broadcast of a per-document table would OOM the
     driver at scale).
     """
-    grp = (
+    grp = _observe_df_cap(
         doc_shingles(df, k, id_col)
         .groupBy("shingle")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") <= max_doc_freq)
-    )
+        .agg(F.collect_list(id_col).alias("ids")),
+        max_doc_freq,
+        cap_observation,
+    ).filter(F.size("ids") <= max_doc_freq)
     # all ordered pairs from the sorted id list: for the i-th id (0-based),
     # pair it with every id after position i+1 (1-based slice start i+2)
     s = F.array_sort("ids")
@@ -237,6 +264,7 @@ def ngram_jaccard_pairs_lsh(
     bands: int = 8,
     max_bucket: int = 256,
     observation=None,
+    cap_observation=None,
 ) -> DataFrame:
     """n-gram Jaccard pairs via MinHash-LSH candidates + EXACT
     verification — the designated scale route for the exact path's one
@@ -279,12 +307,13 @@ def ngram_jaccard_pairs_lsh(
     cand = minhash_lsh_pairs(
         df, k, num_hashes, bands, id_col, max_bucket, observation
     ).select("a_id", "b_id")
-    grp = (
+    grp = _observe_df_cap(
         doc_shingles(df, k, id_col)
         .groupBy("shingle")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") <= max_doc_freq)
-    )
+        .agg(F.collect_list(id_col).alias("ids")),
+        max_doc_freq,
+        cap_observation,
+    ).filter(F.size("ids") <= max_doc_freq)
     per_doc = (
         grp.select("shingle", F.explode("ids").alias(id_col))
         .groupBy(id_col)

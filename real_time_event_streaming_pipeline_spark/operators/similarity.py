@@ -554,6 +554,19 @@ def neardup_pairs(
     )
 
 
+def scaled_cell_count(n: int) -> int:
+    """The corpus-scaled IVF cell count shared by the semdedup kernel
+    scheme and (since r11, verdict #3) the scaled ANN face:
+    min(16384, max(64, n // 256)) holds target cell occupancy ~256 as
+    the corpus grows — a FIXED cell count is the scale trap the sf3
+    soak measured directly (per-cell population grows linearly with n,
+    the per-cell GEMM quadratically). The 16384 cap bounds the
+    driver-side Lloyd sample at 16·16384 = 262k rows (~134 MB at
+    dim 64, binding only past ~4.2M vectors — past THAT, switch
+    kmeans='aggs' and shard the index)."""
+    return int(min(16384, max(64, n // 256)))
+
+
 def neardup_pairs_ivf_candidates(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -625,7 +638,7 @@ def neardup_pairs_ivf_candidates(
             # callers that already counted the corpus (the calibrated
             # semdedup queries) pass n_rows to avoid a second full scan
             n = emb.count() if n_rows is None else int(n_rows)
-            n_centroids = int(min(16384, max(64, n // 256)))
+            n_centroids = scaled_cell_count(n)
         cents = sample_centroids(emb, n_centroids, id_col, vec_col)
     # assignment via the Arrow kernel (bit-identical to the
     # nearest_cells expression — parity pinned in tests): O(n·k) as
@@ -1053,11 +1066,13 @@ def ivf_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     order: str = "xxhash64",
+    scheme: str = "expr",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN — the other mandated scale path besides
     LSH: partition the corpus into Voronoi cells around centroids,
@@ -1069,8 +1084,38 @@ def ivf_ann_topk(
     candidates ≈ corpus × n_probe/n_centroids and per-candidate cost
     is a numpy multiply, not a per-row interpreter fold. A corpus
     vector lives in exactly one cell, so no (q, n) pair is scored
-    twice and no pre-ranking dedup is needed."""
+    twice and no pre-ranking dedup is needed.
+
+    ``scheme`` picks the cell-assignment implementation (r11, the
+    r10 verdict's #3 — the fixed-16-cell face was the registry's one
+    scale-killer):
+    - "expr" (default, the oracle-literal face): ``nearest_cells``
+      folds the centroids into the plan as literals — the right shape
+      while k is small, O(n·k) JVM expression work once it is not.
+    - "kernel": ``assign_cells_kernel`` — the Arrow-batched two-stage
+      f32-gated numpy assignment the semdedup family scales with,
+      BIT-IDENTICAL to the expression (parity pinned in
+      tests/test_llmdata.py), so the SQL twin is unchanged. Pair with
+      ``n_centroids=None`` (corpus-scaled via ``scaled_cell_count`` —
+      pass ``n_rows`` from footer metadata to avoid a count scan) to
+      hold cell occupancy ~constant as the corpus grows."""
+    if n_centroids is None:
+        n = emb.count() if n_rows is None else int(n_rows)
+        n_centroids = scaled_cell_count(n)
     cents = sample_centroids(emb, n_centroids, id_col, vec_col, order=order)
+    if scheme == "kernel":
+        c = assign_cells_kernel(
+            emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+            cents,
+            1,
+        ).withColumn("role", F.lit("c"))
+        q = assign_cells_kernel(
+            queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+            cents,
+            n_probe,
+        ).withColumn("role", F.lit("q"))
+        return _grouped_gemm_topk(c.unionByName(q), "cell", k)
+    assert scheme == "expr", scheme
 
     c = emb.select(
         F.col(id_col).alias("_id"),

@@ -92,7 +92,9 @@ FROM tri
 _CONTAM_MAX_DF = 100
 
 
-def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_contamination(
+    spark: SparkSession, sf_dir: str, cap_observation=None
+) -> DataFrame:
     """Benchmark-contamination check: test-split documents sharing any
     5-gram with the train split (split = the deterministic hash split
     of rel_deterministic_split, so both engines agree on membership).
@@ -102,7 +104,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the stop-shingle guard of ngram_jaccard_pairs): a 5-gram shared
     by most train docs would otherwise collect an unbounded `tr` list
     on one reducer and replicate it across every test hit. The oracle
-    applies the identical cap."""
+    applies the identical cap.
+
+    r11 (r10 verdict #4): pass a pyspark.sql.Observation as
+    ``cap_observation`` to surface how much the cap bites — the soak
+    harness reads cross_shingles / capped_shingles / n_instances /
+    capped_instances after the action and alarms past the documented
+    SCALING.md threshold, the same discipline as the LSH
+    bucket-saturation counters."""
     docs = load(spark, sf_dir, "documents")
     sh = doc_shingles(docs, k=5)
     bucket = split_bucket(F.col("doc_id"), 100)
@@ -110,18 +119,30 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per shingle (collect_list drops the NULLs the other split
     # produces), then cross the two small per-shingle lists map-side —
     # no second shingle shuffle, no recomputation per join side
-    grp = (
-        sh.groupBy("shingle")
-        .agg(
-            F.collect_list(F.when(bucket < 80, F.col("doc_id"))).alias("tr"),
-            F.collect_list(F.when(bucket >= 90, F.col("doc_id"))).alias("te"),
+    grp = sh.groupBy("shingle").agg(
+        F.collect_list(F.when(bucket < 80, F.col("doc_id"))).alias("tr"),
+        F.collect_list(F.when(bucket >= 90, F.col("doc_id"))).alias("te"),
+    )
+    if cap_observation is not None:
+        # counters over CROSS-SPLIT shingles only (others never reach
+        # the output regardless of the cap)
+        cross = (F.size("te") > 0) & (F.size("tr") > 0)
+        over = (F.size("tr") > _CONTAM_MAX_DF) | (F.size("te") > _CONTAM_MAX_DF)
+        inst = F.size("tr") + F.size("te")
+        grp = grp.observe(
+            cap_observation,
+            F.count_if(cross).alias("cross_shingles"),
+            F.count_if(cross & over).alias("capped_shingles"),
+            F.sum(F.when(cross, inst).otherwise(F.lit(0))).alias("n_instances"),
+            F.sum(F.when(cross & over, inst).otherwise(F.lit(0))).alias(
+                "capped_instances"
+            ),
         )
-        .filter(
-            (F.size("te") > 0)
-            & (F.size("tr") > 0)
-            & (F.size("tr") <= _CONTAM_MAX_DF)
-            & (F.size("te") <= _CONTAM_MAX_DF)
-        )
+    grp = grp.filter(
+        (F.size("te") > 0)
+        & (F.size("tr") > 0)
+        & (F.size("tr") <= _CONTAM_MAX_DF)
+        & (F.size("te") <= _CONTAM_MAX_DF)
     )
     hits = F.flatten(
         F.transform(
@@ -605,7 +626,19 @@ FROM documents d LEFT JOIN rebuilt USING (doc_id)
 """
 
 
-def _exact_median(df: DataFrame, col: str) -> float:
+# The histogram-median collect is bounded by the DISTINCT-value count,
+# not the row count — fine for token-count-like integer domains, a
+# driver bomb on a continuous double column (~one histogram row per
+# row). r10 verdict #5: ENFORCE the bounded-collect contract instead
+# of assuming it — past this many distinct values _exact_median falls
+# back to the distributed rank-selection walk. 65536 (value, count)
+# rows ≈ 1.5 MB on the driver.
+_MEDIAN_MAX_DISTINCT = 65_536
+
+
+def _exact_median(
+    df: DataFrame, col: str, max_distinct: int = _MEDIAN_MAX_DISTINCT
+) -> float:
     """Global EXACT median without the full-sort single-reducer trap:
     histogram the column (groupBy value — state bounded by DISTINCT
     values, not rows), cumulative-count the histogram (a window over
@@ -627,11 +660,20 @@ def _exact_median(df: DataFrame, col: str) -> float:
     # would raise on a (None, count) tuple, and the DuckDB oracle's
     # quantile_cont ignores NULLs, so dropping them keeps both the
     # walk alive and the cross-engine contract on dirty input
-    hist = sorted(
-        (r[0], r[1])
-        for r in df.groupBy(col).agg(F.count(F.lit(1)).alias("_c")).collect()
-        if r[0] is not None
+    # limit(max_distinct + 1) makes the collect's bound EXECUTABLE:
+    # getting back <= max_distinct rows proves the histogram is
+    # complete; max_distinct + 1 rows proves the domain is too wide
+    # for a driver-side walk (a continuous double column), and the
+    # distributed rank-selection fallback takes over (r10 verdict #5).
+    collected = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .limit(max_distinct + 1)
+        .collect()
     )
+    if len(collected) > max_distinct:
+        return _exact_median_distributed(df, col)
+    hist = sorted((r[0], r[1]) for r in collected if r[0] is not None)
     tot = sum(c for _, c in hist)
     if tot == 0:
         raise ValueError("median of empty input")
@@ -646,6 +688,54 @@ def _exact_median(df: DataFrame, col: str) -> float:
             v2 = v
             break
     return (float(v1) + float(v2)) / 2.0
+
+
+def _exact_median_distributed(df: DataFrame, col: str) -> float:
+    """Exact median when the value domain is too wide for the
+    histogram walk (continuous columns): distributed rank selection.
+    repartitionByRange orders the partitions by value; the per-
+    partition counts (a BOUNDED collect — one row per partition)
+    locate the partition holding each middle rank, and one
+    sort-limit-agg job per rank extracts the value, touching only
+    ~1/P of the rows. No full sort, no driver-side histogram."""
+    vals = df.select(F.col(col).alias("_v")).filter(F.col("_v").isNotNull())
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = (
+        vals.repartitionByRange(n_part, F.col("_v"))
+        .select("_v", F.spark_partition_id().alias("_pid"))
+        .localCheckpoint(eager=False)  # reused by the count and both rank probes
+    )
+    counts = sorted(
+        (r["_pid"], r["_cnt"])
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    )  # bounded: one row per range partition
+    tot = sum(c for _, c in counts)
+    if tot == 0:
+        raise ValueError("median of empty input")
+
+    def kth(k: int) -> float:
+        prior = 0
+        for pid, c in counts:
+            if prior + c >= k:
+                # (k - prior)-th smallest within this range partition:
+                # sort only this partition's slice, keep k-prior rows,
+                # take the max — rows gathered per job <= k - prior
+                row = (
+                    parts.filter(F.col("_pid") == pid)
+                    .orderBy("_v")
+                    .limit(k - prior)
+                    .agg(F.max("_v").alias("_m"))
+                    .collect()[0]
+                )
+                return float(row["_m"])
+            prior += c
+        raise AssertionError(f"rank {k} > total {tot}")  # unreachable
+
+    k1, k2 = (tot + 1) // 2, (tot + 2) // 2
+    v1 = kth(k1)
+    v2 = v1 if k2 == k1 else kth(k2)
+    return (v1 + v2) / 2.0
 
 
 def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -184,7 +184,10 @@ def clear_ngram_route_cache() -> None:
 
 
 def q_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, pair_method: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pair_method: str | None = None,
+    cap_observation=None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs, route-switched by corpus size
     exactly like q_dedup_clusters (r9 verdict #5 — this was the one
@@ -201,7 +204,13 @@ def q_ngram_jaccard(
     if pair_method is None:
         pair_method = resolved_ngram_route(sf_dir)
     gen = D.ngram_jaccard_pairs if pair_method == "exact" else D.ngram_jaccard_pairs_lsh
-    return gen(load(spark, sf_dir, "documents"), k=3, threshold=0.5, max_doc_freq=100)
+    return gen(
+        load(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.5,
+        max_doc_freq=100,
+        cap_observation=cap_observation,
+    )
 
 
 def _ngram_jaccard_sql(src: str = "documents") -> str:
@@ -604,6 +613,41 @@ WHERE rank <= {k}
 """
 
 
+# Corpus-size scheme switch for the registered IVF face (r10 verdict
+# #3 — the fixed-16-cell face was the registry's one scale-killer):
+# below _IVF_SCALED_SWITCH vectors the historical fixed-16-cell
+# expression scheme (literal-folded assignment, the original
+# oracle-frozen face); at/above it the corpus-scaled kernel scheme —
+# scaled_cell_count(n) cells (occupancy ~256 held constant) assigned
+# by the Arrow two-stage kernel. The assignment kernel is bit-identical
+# to the expression (pinned), so ONE SQL template serves both routes;
+# only the centroid count (and hence the regenerated literals) differs.
+# Resolution is memoized per (process, sf_dir) exactly like the ngram
+# route (r10 ADVICE #3) so query and oracle can never disagree.
+_IVF_SCALED_SWITCH = 20_000
+_IVF_SCHEME_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def resolved_ivf_scheme(sf_dir: str) -> tuple[str, int]:
+    """('fixed16', 16) below _IVF_SCALED_SWITCH embedding rows, else
+    ('scaled', scaled_cell_count(n)) — resolved from parquet footers
+    once per sf_dir and memoized."""
+    got = _IVF_SCHEME_CACHE.get(sf_dir)
+    if got is None:
+        n = table_rows_metadata(sf_dir, "embeddings")
+        if n >= _IVF_SCALED_SWITCH:
+            got = ("scaled", S.scaled_cell_count(n))
+        else:
+            got = ("fixed16", 16)
+        _IVF_SCHEME_CACHE[sf_dir] = got
+    return got
+
+
+def clear_ivf_scheme_cache() -> None:
+    """Escape hatch mirroring clear_ngram_route_cache."""
+    _IVF_SCHEME_CACHE.clear()
+
+
 def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise oracle-checked since r7 (was rows-only): the centroid
     sample orders by the engine-portable md5-60bit hash, so the twin's
@@ -611,13 +655,32 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark, replays the same _lloyd_spherical numpy rounds, and freezes
     the centroids into the SQL as literals — then cell assignment,
     probing, scoring, and ranking replay in ANSI SQL. Recall vs brute
-    force additionally asserted in tests/test_llmdata.py."""
+    force additionally asserted in tests/test_llmdata.py.
+
+    r11: scheme-switched by corpus size (resolved_ivf_scheme) — large
+    corpora get scaled_cell_count(n) cells assigned by the two-stage
+    Arrow kernel instead of the fixed 16-cell literal expression, so
+    per-cell population (and with it the probed-cell GEMM) stays
+    bounded as n grows. The oracle callable regenerates the centroid
+    literals at the matching cell count via the same memoized
+    resolution, so the face stays bitwise on BOTH routes (scaled-route
+    pin in tests/test_llmdata.py)."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, order="md5h60")
+    queries = emb.filter(F.col("vec_id") < 5)
+    scheme, k_cells = resolved_ivf_scheme(sf_dir)
+    if scheme == "fixed16":
+        return S.ivf_ann_topk(emb, queries, k=5, order="md5h60")
+    return S.ivf_ann_topk(
+        emb, queries, k=5, n_centroids=k_cells, order="md5h60", scheme="kernel"
+    )
 
 
 def _emb_ann_ivf_sql(
-    sf_dir: str, k: int = 5, n_centroids: int = 16, n_probe: int = 4, iters: int = 3
+    sf_dir: str,
+    k: int = 5,
+    n_centroids: int | None = None,
+    n_probe: int = 4,
+    iters: int = 3,
 ) -> str:
     """Twin generator: replays sample_centroids(order='md5h60',
     kmeans='driver') via portable_sample_matrix + _lloyd_spherical —
@@ -629,7 +692,15 @@ def _emb_ann_ivf_sql(
     left-to-right dot fold (the _topk_kernel GEMM equivalence carried
     over from the LSH/cosine twins), and the (cos DESC, n_id) global
     rank — which equals the per-cell-topk ∪ global-rank decomposition
-    because each corpus vector lives in exactly one cell."""
+    because each corpus vector lives in exactly one cell.
+
+    ``n_centroids=None`` follows the query's memoized scheme
+    resolution (resolved_ivf_scheme): 16 literals on the fixed route,
+    scaled_cell_count(n) on the scaled route — the assignment kernel
+    is bit-identical to the expression the SQL replays, so the same
+    template serves both routes."""
+    if n_centroids is None:
+        n_centroids = resolved_ivf_scheme(sf_dir)[1]
     C = S._lloyd_spherical(
         S.portable_sample_matrix(sf_dir, max(16 * n_centroids, 256)),
         n_centroids,

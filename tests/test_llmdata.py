@@ -905,3 +905,146 @@ def test_ngram_route_resolved_once_per_process(tmp_path, sf_small):
     clear_ngram_route_cache()
     assert resolved_ngram_route(str(sf)) == "lsh"
     clear_ngram_route_cache()
+
+
+def test_ivf_kernel_scheme_matches_expr_scheme(spark, sf_small):
+    """r11 (r10 verdict #3): ivf_ann_topk's kernel scheme (Arrow
+    two-stage assignment + grouped top-k) must emit EXACTLY the rows
+    of the expression scheme at the same cell count — the assignment
+    kernel is pinned bit-identical to nearest_cells, so the schemes
+    may only differ in where the work runs."""
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    expr = {
+        tuple(map(str, r))
+        for r in S.ivf_ann_topk(
+            emb, queries, k=5, n_centroids=16, order="md5h60"
+        ).collect()
+    }
+    kern = {
+        tuple(map(str, r))
+        for r in S.ivf_ann_topk(
+            emb, queries, k=5, n_centroids=16, order="md5h60", scheme="kernel"
+        ).collect()
+    }
+    assert expr and kern == expr
+
+
+def test_ivf_scaled_route_bitwise_vs_twin(spark, monkeypatch):
+    """The scaled route end-to-end: force the corpus-size switch below
+    sf0.1's 2000 vectors, so the registered face takes the
+    scaled_cell_count kernel scheme, and pin it BITWISE against the
+    callable oracle twin at the matching (regenerated) centroid count.
+    This is the scaled-route analogue of the r10 ngram-LSH sf1 pin."""
+    import duckdb
+
+    from real_time_event_streaming_pipeline_spark.plans import llmdata as L
+
+    sf_dir = "/root/testdata/sf0.1"  # 2000 vectors — over the patched switch
+    monkeypatch.setattr(L, "_IVF_SCALED_SWITCH", 1000)
+    L.clear_ivf_scheme_cache()
+    try:
+        scheme, k_cells = L.resolved_ivf_scheme(sf_dir)
+        assert scheme == "scaled" and k_cells == S.scaled_cell_count(2000) == 64
+        got = {
+            tuple(map(str, r)) for r in L.q_emb_ann_ivf(spark, sf_dir).collect()
+        }
+        sql = L._emb_ann_ivf_sql(sf_dir)
+        assert sql.count("\n    (") >= 64  # scaled literals, not 16
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        twin = {tuple(map(str, r)) for r in con.sql(sql).fetchall()}
+        assert got and twin == got
+    finally:
+        L.clear_ivf_scheme_cache()
+
+
+def test_ivf_scheme_resolved_once_and_occupancy_pins():
+    """(a) The scheme memo mirrors the ngram-route discipline: one
+    resolution per (process, sf_dir). (b) Sizing negative control: the
+    scaled cell count holds occupancy bounded (~256, never >512 below
+    the cap) where ANY fixed cell count's occupancy grows linearly —
+    the measured sf30 failure mode of the old fixed-16 face."""
+    for n in [20_000, 100_000, 600_000, 4_000_000]:
+        k = S.scaled_cell_count(n)
+        assert n / k <= 512, (n, k)          # scaled: bounded occupancy
+        assert n / 16 > 1000                  # fixed-16: already blown at 20k
+    assert S.scaled_cell_count(4_200_000 * 2) == 16384  # cap binds
+    from real_time_event_streaming_pipeline_spark.plans import llmdata as L
+
+    from tests.conftest import SF_SMALL
+
+    L.clear_ivf_scheme_cache()
+    got = L.resolved_ivf_scheme(SF_SMALL)
+    assert got == ("fixed16", 16)
+    # memoized: a second call must not re-read footers (poison the
+    # reader to prove it)
+    import real_time_event_streaming_pipeline_spark.plans.llmdata as mod
+
+    orig = mod.table_rows_metadata
+    mod.table_rows_metadata = lambda *a, **k: (_ for _ in ()).throw(AssertionError)
+    try:
+        assert L.resolved_ivf_scheme(SF_SMALL) == got
+    finally:
+        mod.table_rows_metadata = orig
+        L.clear_ivf_scheme_cache()
+
+
+def test_df_cap_observation_counters(spark):
+    """r10 verdict #4: the stop-shingle df-cap surfaces its truncation
+    through the Observation hook — counters must match a by-hand count
+    on a corpus engineered to cap one shingle."""
+    from pyspark.sql import Observation
+
+    # 5 docs all sharing the trigram "a b c"; cap=3 drops it, while
+    # "d e f" (2 docs) survives
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),
+        (3, "a b c x y z"),
+        (4, "a b c p q r"),
+        (5, "a b c m n o"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation()
+    D.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.1, max_doc_freq=3, cap_observation=obs
+    ).collect()
+    got = {k: int(v or 0) for k, v in obs.get.items()}
+    # distinct shingles: per-doc 4 shingles each, "a b c" shared by all
+    # 5 docs (df=5 > 3 -> capped); every other shingle df <= 2
+    assert got["capped_shingles"] == 1
+    assert got["capped_instances"] == 5
+    assert got["n_shingles"] > 1 and got["n_instances"] > 5
+    # and the LSH route threads the same counters
+    obs2 = Observation()
+    D.ngram_jaccard_pairs_lsh(
+        docs, k=3, threshold=0.1, max_doc_freq=3, cap_observation=obs2
+    ).collect()
+    got2 = {k: int(v or 0) for k, v in obs2.get.items()}
+    assert got2["capped_shingles"] == 1 and got2["capped_instances"] == 5
+
+
+def test_contamination_cap_observation(spark, sf_med):
+    """The contamination face's cap counters ride its own query: the
+    observed values must be internally consistent and the query result
+    unchanged by observing."""
+    from pyspark.sql import Observation
+
+    from real_time_event_streaming_pipeline_spark.plans.curation import (
+        q_contamination,
+    )
+
+    plain = {tuple(map(str, r)) for r in q_contamination(spark, sf_med).collect()}
+    obs = Observation()
+    observed = {
+        tuple(map(str, r))
+        for r in q_contamination(spark, sf_med, cap_observation=obs).collect()
+    }
+    assert observed == plain
+    got = {k: int(v or 0) for k, v in obs.get.items()}
+    assert got["cross_shingles"] >= got["capped_shingles"] >= 0
+    assert got["n_instances"] >= got["capped_instances"] >= 0
+    assert got["cross_shingles"] > 0  # the driver corpus does share shingles

@@ -487,38 +487,46 @@ def run() -> None:
               f"{results['semdedup_survivors_recal'][label]}", flush=True)
 
     # the n-gram stop-shingle cap's truncation profile per scale (the
-    # SCALING.md follow-up: make the cap's effect a measured number,
-    # not a silent drop) — fraction of distinct shingles over the
-    # max_doc_freq=100 cap and fraction of (doc, shingle) instances
-    # they carry. A rising instance fraction marks the closed-
-    # vocabulary cap regime responsible for the family's superlinear
-    # slope on this corpus shape.
-    from pyspark.sql import functions as _F
+    # SCALING.md follow-up; r10 verdict #4 moved it from a manual
+    # side-aggregation to the QUERY-SIDE Observation hook — the
+    # counters now ride the registered faces' own cap node, so the
+    # soak measures exactly what the query drops, the same discipline
+    # as lsh_bucket_saturation below). Derived fractions:
+    # capped_shingle_frac / capped_instance_frac; the SCALING.md alarm
+    # threshold is capped_instance_frac > 0.25 (sf1 baseline 0.165).
+    from pyspark.sql import Observation as _Obs
 
-    from real_time_event_streaming_pipeline_spark.operators.dedup import doc_shingles
+    from real_time_event_streaming_pipeline_spark.plans.curation import (
+        q_contamination,
+    )
+    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
+        q_ngram_jaccard,
+    )
 
-    results["ngram_cap_profile"] = {}
-    for label, d in dirs.items():
-        freq = (
-            doc_shingles(_load(spark, d, "documents"), 3)
-            .groupBy("shingle").count()
-        )
-        r = freq.agg(
-            _F.count(_F.lit(1)).alias("n_shingles"),
-            _F.count_if(_F.col("count") > 100).alias("n_capped"),
-            _F.sum("count").alias("n_instances"),
-            _F.sum(_F.when(_F.col("count") > 100, _F.col("count"))).alias("capped_instances"),
-        ).collect()[0]
-        prof = {
-            "shingles": int(r["n_shingles"]),
-            "capped_shingles": int(r["n_capped"]),
-            "capped_shingle_frac": round(r["n_capped"] / max(r["n_shingles"], 1), 4),
+    def _cap_profile(obs) -> dict:
+        got = {k: int(v or 0) for k, v in obs.get.items()}
+        n_sh = max(got.get("n_shingles", got.get("cross_shingles", 0)), 1)
+        return {
+            **got,
+            "capped_shingle_frac": round(got["capped_shingles"] / n_sh, 4),
             "capped_instance_frac": round(
-                (r["capped_instances"] or 0) / max(r["n_instances"], 1), 4
+                got["capped_instances"] / max(got["n_instances"], 1), 4
             ),
         }
+
+    results["ngram_cap_profile"] = {}
+    results["contamination_cap_profile"] = {}
+    for label, d in dirs.items():
+        obs = _Obs()
+        q_ngram_jaccard(spark, d, cap_observation=obs).count()
+        prof = _cap_profile(obs)
         results["ngram_cap_profile"][label] = prof
         print(f"  ngram_cap_profile @ {label}: {prof}", flush=True)
+        obs = _Obs()
+        q_contamination(spark, d, cap_observation=obs).count()
+        prof = _cap_profile(obs)
+        results["contamination_cap_profile"][label] = prof
+        print(f"  contamination_cap_profile @ {label}: {prof}", flush=True)
 
     # LSH bucket-saturation profile (r9 ADVICE): the banded route's
     # SECOND recall-loss term — band buckets over max_bucket are
