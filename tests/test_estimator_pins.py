@@ -19,6 +19,14 @@ Families covered here:
   (plans/relational.py::split_bucket) — whose r10 sweep FOUND a real
   degeneracy: the old multiplicative family collapsed structured id
   strides (multiples of 100 → always bucket 0).
+- (r11, closing the r10 verdict #6 remainder) the PQ codebook Lloyd
+  training (operators/similarity.py::_pq_lloyd — distortion vs the
+  Zador closed form, with a collapsed-sample negative control), the
+  null-calibration constants (calibrate_null_threshold — threshold vs
+  the σ·√(2·ln·pairs) closed form, with a first-n-biased-sample
+  negative control), and the MinHash banding parameterization
+  (bands × rows S-curve at both shoulders, with an
+  all-bands-read-the-same-rows negative control).
 
 The MinHash permutation pin itself lives in
 tests/test_operators.py::test_minhash_estimator_unbiased.
@@ -252,3 +260,180 @@ def test_split_bucket_spark_matches_python_twin(spark):
         for r in df.select("doc_id", split_bucket(F.col("doc_id"), 100).alias("b")).collect()
     }
     assert got == {i: _bucket_md5(i, 100) for i in ids}
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook Lloyd training (r10 verdict #6 — the remaining families)
+# ---------------------------------------------------------------------------
+
+
+def _pq_distortion(X, books):
+    """Mean squared quantization error of X under per-subspace nearest
+    codes — the statistic PQ codebooks exist to minimize (ADC error is
+    bounded by it)."""
+    m, n_codes, sub = books.shape
+    err = 0.0
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        err += float(d2.min(1).mean())
+    return err
+
+
+def test_pq_lloyd_codebooks_reduce_distortion():
+    """Closed form: 16 centroids k-means-fit to a 4-d standard
+    gaussian reach distortion ≈ dim_sub·k^(−2/dim_sub) ≈ 1.0 per
+    subspace (Zador) — far below the no-quantizer variance dim_sub =
+    4.0. Pins: (a) trained books beat a generous 2.2/subspace bound;
+    (b) Lloyd improves on its own init (the iterations do work);
+    (c) teeth — books trained from a COLLAPSED sample (the degenerate
+    family: every sampled row identical, which is what a broken
+    seeded sample would feed Lloyd) quantize at ~the raw variance,
+    tripping the same bound."""
+    from real_time_event_streaming_pipeline_spark.operators.similarity import (
+        _pq_lloyd,
+    )
+
+    rng = np.random.default_rng(11)
+    m, n_codes = 4, 16
+    X = rng.standard_normal((2048, 16))
+    books = _pq_lloyd(X, m, n_codes, iters=5)
+    dist = _pq_distortion(X, books)
+    assert dist < 2.2 * m, dist
+    init_books = _pq_lloyd(X, m, n_codes, iters=0)
+    assert dist < _pq_distortion(X, init_books), "Lloyd must improve on init"
+    degenerate_sample = np.tile(X[0], (n_codes, 1))
+    deg_books = _pq_lloyd(degenerate_sample, m, n_codes, iters=5)
+    deg_dist = _pq_distortion(X, deg_books)
+    assert deg_dist > 3.0 * m, deg_dist  # ~raw variance: bound has teeth
+
+
+# ---------------------------------------------------------------------------
+# Null-calibration constants (calibrate_null_threshold)
+# ---------------------------------------------------------------------------
+
+
+def _md5_ordered_sample(ids, vecs, sample_size=512):
+    """Pure-python twin of the calibration's (md5(id) hex, id) order."""
+    order = sorted(range(len(ids)), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]))
+    return [vecs[i] for i in order[:sample_size]]
+
+
+def test_null_calibration_tracks_closed_form_and_sample_family_matters():
+    """The calibrated threshold exists to keep the expected count of
+    null pairs over threshold O(1) as n grows. Closed form on
+    isotropic unit vectors (dim d): null cos ≈ N(0, 1/d), so thr ≈
+    √(1/d)·√(2·ln(n(n−1)/2)). Pins: (a) the derived threshold lands
+    within ±15% of the closed form; (b) zero of 2000 fresh null pairs
+    cross it; (c) teeth — a FIRST-N sample (the bias the md5 ordering
+    exists to prevent) on a corpus whose low ids are a planted
+    near-dup cluster contaminates the "null" estimate and pushes the
+    threshold above the real signal level, which the hash-ordered
+    family keeps cleanly separated."""
+    import math
+
+    from real_time_event_streaming_pipeline_spark.operators.similarity import (
+        _null_threshold_from_sample,
+    )
+
+    rng = np.random.default_rng(3)
+    d, n_corpus = 64, 10_000
+    n_real = 2000  # materialized rows (statistic targets n_corpus pairs)
+    V = rng.standard_normal((n_real, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    ids = list(range(n_real))
+    sample = _md5_ordered_sample(ids, [list(map(float, v)) for v in V])
+    thr = _null_threshold_from_sample(sample, n_corpus, floor=0.0)
+    closed = math.sqrt(1.0 / d) * math.sqrt(
+        2.0 * math.log(n_corpus * (n_corpus - 1) / 2.0)
+    )
+    assert abs(thr - closed) / closed < 0.15, (thr, closed)
+    # (b) the delivered statistic: fresh null pairs stay under it
+    A = rng.standard_normal((2000, d))
+    B = rng.standard_normal((2000, d))
+    cos = (A * B).sum(1) / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+    assert (cos >= thr).sum() == 0, (cos.max(), thr)
+    # (c) teeth: a SMALL planted near-dup cluster (512 of 20k ids,
+    # sitting exactly in the first-n window) at the soak fixture's
+    # realistic cos≈0.93 operating point. FIRST-N sampling (the bias
+    # the md5 ordering exists to prevent) reads ONLY the cluster, so
+    # the "null" estimate absorbs the signal and the threshold lands
+    # above it — the hash-ordered family dilutes the cluster to its
+    # true ~2.6% prevalence and keeps the threshold cleanly below.
+    n_big = 20_000
+    Vb = rng.standard_normal((n_big, d))
+    Vb /= np.linalg.norm(Vb, axis=1, keepdims=True)
+    base = rng.standard_normal(d)
+    planted = base + 0.4 * rng.standard_normal((512, d))
+    planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+    Vb[:512] = planted
+    sig_cos = (planted[:100] @ planted[100:200].T).mean()  # ≈ 1/1.16 ≈ 0.86
+    first_n = [list(map(float, v)) for v in Vb[:512]]
+    thr_biased = _null_threshold_from_sample(first_n, n_corpus, floor=0.0)
+    assert thr_biased > sig_cos, (thr_biased, sig_cos)
+    hashed = _md5_ordered_sample(
+        list(range(n_big)), [list(map(float, v)) for v in Vb]
+    )
+    thr_hashed = _null_threshold_from_sample(hashed, n_corpus, floor=0.0)
+    assert thr_hashed < sig_cos, (thr_hashed, sig_cos)
+
+
+# ---------------------------------------------------------------------------
+# MinHash banding (bands × rows) parameterization
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sig(shingle_set, num_hashes=32):
+    from real_time_event_streaming_pipeline_spark.operators.dedup import (
+        _MERSENNE,
+        _perm,
+    )
+
+    hs = [_h60_py(s) % _MERSENNE for s in shingle_set]
+    sig = []
+    for i in range(num_hashes):
+        a, b = _perm(i)
+        sig.append(min((a * h + b) % _MERSENNE for h in hs))
+    return sig
+
+
+def _band_collides(sa, sb, band_rows):
+    """True iff any band's full row-slice matches."""
+    return any(
+        sa[lo : lo + len(rows_idx)] == sb[lo : lo + len(rows_idx)]
+        for lo, rows_idx in band_rows
+    )
+
+
+def _candidate_rate(jaccard, band_rows, n_pairs=200, shingle_sets=100):
+    """Empirical P(LSH candidate) for pairs at a fixed true Jaccard:
+    both docs share c of K shingles with J = c/(2K−c)."""
+    K = 90
+    c = round(2 * K * jaccard / (1 + jaccard))
+    hits = 0
+    for g in range(n_pairs):
+        common = [f"c{g}_{j}" for j in range(c)]
+        a = common + [f"a{g}_{j}" for j in range(K - c)]
+        b = common + [f"b{g}_{j}" for j in range(K - c)]
+        sa, sb = _minhash_sig(a), _minhash_sig(b)
+        if _band_collides(sa, sb, band_rows):
+            hits += 1
+    return hits / n_pairs
+
+
+def test_banding_parameterization_s_curve():
+    """bands=8 × rows=4 puts the S-curve threshold at (1/8)^(1/4) ≈
+    0.59: closed form P(cand) = 1−(1−s^4)^8 ≈ 0.985 at s=0.8 and
+    ≈ 0.063 at s=0.3. Pins both sides of the curve, then teeth: a
+    degenerate parameterization where every band reads the SAME four
+    rows collapses to P = s^4 (≈ 0.41 at s=0.8) — high-similarity
+    recall dies while the bitwise oracle (which replays the same
+    degenerate bands) would stay green."""
+    good = [(j * 4, list(range(4))) for j in range(8)]
+    degenerate = [(0, list(range(4)))] * 8
+    high = _candidate_rate(0.8, good)
+    assert high >= 0.9, high
+    low = _candidate_rate(0.3, good)
+    assert low <= 0.2, low
+    deg_high = _candidate_rate(0.8, degenerate)
+    assert deg_high <= 0.65, deg_high
