@@ -447,12 +447,76 @@ _PRIORITY_R11 = _PRIORITY_R11_PLAN
 # name so each round's rewire is a one-line change, not a test edit.
 PRIORITY_WINDOW = _PRIORITY_R11
 
-# The PLANNED r12 window — re-staged at r11 close-out with the usual
-# deadline analysis; seeded here at wire-time so the handoff invariant
-# never lapses even if the round ends abruptly. Placeholder = the r10
-# window (every row due ≤r13 by construction); the close-out commit
-# replaces it with the deadline-driven plan.
-_PRIORITY_R12_PLAN = _PRIORITY_R10
+# The PLANNED r12 window (deadline analysis at r11 mid-round, refined
+# from the wire-time placeholder): with _PRIORITY_R11 landing in r11,
+# ZERO rows are due by r12 and 41 by r13 — the entire r9-verdict block
+# (cs_ producer/upsert faces, the BPE/text-analysis wave, the
+# dedup/ANN faces with r9 verdicts, the CEP/funnel/ts relational
+# rows). This plan pre-drains all 41 and fills the remaining 9 slots
+# with the one-round-lag commitment first: round 11 rewrote
+# _topk_kernel (two-stage f32 gate — consumed by every ANN/cosine
+# face) and gave llm_emb_ann_ivf the corpus-scaled scheme, and added
+# the cap-observation plumbing to llm_contamination — results
+# bitwise-unchanged at driver sfs (r11 full-sweep green) but changed
+# code gets re-verified externally next round. The last 6 fillers are
+# stable deadline-r14 text-battery rows from the r10 window.
+_PRIORITY_R12_PLAN = (
+    # r11-touched faces not already due-r13 — one-round-lag commitment
+    "llm_emb_ann_ivf",
+    "llm_emb_ann_pq",
+    "llm_contamination",
+    # deadline-r13 block: the full r9-verdict wave (41 rows; includes
+    # the r11-touched llm_emb_cosine_topk / llm_emb_ann_lsh /
+    # llm_knn_classify / llm_dedup_clusters / llm_length_outliers)
+    "cs_alert_followups",
+    "cs_kafka_producer_frame",
+    "cs_producer_metrics",
+    "cs_upsert_lww",
+    "fn_kll_quantiles",
+    "fn_percentiles",
+    "fn_variant",
+    "llm_bigram_logprob",
+    "llm_bpe_encode",
+    "llm_bpe_train",
+    "llm_char_entropy",
+    "llm_corpus_ingest_epochs",
+    "llm_corpus_stats_cube",
+    "llm_dedup_clusters",
+    "llm_dedup_exact",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash_pairs",
+    "llm_doc_chunking",
+    "llm_dsir_weights",
+    "llm_dup_span_removal",
+    "llm_emb_ann_lsh",
+    "llm_emb_cosine_topk",
+    "llm_emb_quantize",
+    "llm_fingerprint",
+    "llm_image_dedup_pairs",
+    "llm_knn_classify",
+    "llm_lang_id",
+    "llm_length_outliers",
+    "llm_quality",
+    "llm_text_stats",
+    "llm_token_rarity",
+    "rel_approx_distinct_users",
+    "rel_cep_pattern",
+    "rel_event_transitions",
+    "rel_funnel_conversion",
+    "rel_lateral_topk",
+    "rel_part_value_share",
+    "rel_priority_linecount",
+    "rel_supplier_part_cnt",
+    "rel_ts_similarity",
+    "rel_value_outliers",
+    # deadline-r14 fillers — stable r10-verdict text-battery rows
+    "llm_normalize",
+    "llm_tfidf",
+    "llm_token_freq",
+    "llm_gopher_rules",
+    "llm_pii_redact",
+    "llm_unigram_logprob",
+)
 
 STAGED_NEXT_WINDOW = _PRIORITY_R12_PLAN
 
