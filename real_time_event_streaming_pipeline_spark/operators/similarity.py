@@ -639,7 +639,8 @@ def neardup_pairs_ivf_candidates(
             # semdedup queries) pass n_rows to avoid a second full scan
             n = emb.count() if n_rows is None else int(n_rows)
             n_centroids = scaled_cell_count(n)
-        cents = sample_centroids(emb, n_centroids, id_col, vec_col)
+            n_rows = n  # hint for the sampler's threshold fast path
+        cents = sample_centroids(emb, n_centroids, id_col, vec_col, n_rows=n_rows)
     # assignment via the Arrow kernel (bit-identical to the
     # nearest_cells expression — parity pinned in tests): O(n·k) as
     # one numpy accumulation per batch instead of k interpreter folds
@@ -774,13 +775,24 @@ def _lloyd_spherical(X: np.ndarray, k: int, iters: int) -> np.ndarray:
     C = X[:k].copy()
     for _ in range(max(0, int(iters))):
         assign = (X @ C.T).argmax(axis=1)  # ties: lowest cell id
-        for c in range(k):
-            pts = X[assign == c]
-            if len(pts):
-                m = pts.mean(axis=0)
-                nrm = float(np.linalg.norm(m))
-                if nrm > 0:
-                    C[c] = m / nrm
+        # r11: group rows by cell via ONE stable argsort instead of k
+        # full-array masks — the old `for c in range(k): X[assign==c]`
+        # was k·n comparisons per iter, the quadratic driver term once
+        # k scales with the corpus (measured: ~12 s of the IVF face's
+        # sf30 wall at k=2343). The stable sort preserves each cell's
+        # original row order, so X[seg] is the SAME matrix in the SAME
+        # order as X[assign == c] — pts.mean(axis=0) folds identically
+        # and the centroids stay bit-identical to the old loop (pinned
+        # in tests/test_ann_clustered.py).
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        bounds = np.flatnonzero(np.diff(sorted_assign)) + 1
+        for seg in np.split(order, bounds):
+            c = int(assign[seg[0]])
+            m = X[seg].mean(axis=0)
+            nrm = float(np.linalg.norm(m))
+            if nrm > 0:
+                C[c] = m / nrm
     return C
 
 
@@ -822,6 +834,7 @@ def sample_centroids(
     seed: int = 76923,
     kmeans: str = "driver",
     order: str = "xxhash64",
+    n_rows: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Spherical k-means centroids trained on a SEEDED DISTRIBUTED
     sample — the 100 TB training path: a hash-ordered
@@ -861,13 +874,101 @@ def sample_centroids(
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     )
     if kmeans == "driver":
-        rows = samp_df.collect()  # bounded: sample_size rows, total order
-        if len(rows) < n_centroids:
-            raise ValueError(
-                f"centroid training needs >= n_centroids vectors: "
-                f"got {len(rows)} < {n_centroids}"
+        if sample_size >= 4096 and n_rows is not None and n_rows >= 4 * sample_size:
+            # r11 threshold fast path: the top-S rows by a UNIFORM
+            # hash all sit below the ~S/n quantile of the key space,
+            # so a pre-filter at 2.5× that quantile keeps ~2.5·S rows
+            # w.h.p. (binomial, mean 2.5·S — the uniformity of both
+            # hash families is distribution-pinned in
+            # tests/test_estimator_pins.py) and ONE scan collects
+            # (key, id, vec) for just those rows; the total ordering
+            # finishes driver-side over the ~2.5·S survivors. Same
+            # set, same (hash, id) order as the TakeOrdered — the
+            # threshold only prunes rows that cannot be in the top-S,
+            # and the explicit length check falls back to the skinny
+            # path in the astronomically-unlikely undershoot. n_rows
+            # is a HINT (footer count): a stale value cannot change
+            # the sample, only the prune efficiency.
+            if order == "md5h60":
+                key = F.conv(
+                    F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+                ).cast("long")
+                thr = int(min(1.0, 2.5 * sample_size / n_rows) * (1 << 60))
+            else:
+                key = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+                thr = -(1 << 63) + int(
+                    min(1.0, 2.5 * sample_size / n_rows) * (1 << 64)
+                )
+            cand = (
+                emb.select(
+                    key.alias("_k"),
+                    F.col(id_col).alias("_id"),
+                    F.col(vec_col).alias("_vec"),
+                )
+                .filter(F.col("_k") < thr)
+                .collect()  # bounded: ~2.5·sample_size rows w.h.p.
             )
-        X = np.array([list(r["_vec"]) for r in rows], dtype=np.float64)
+            if len(cand) >= sample_size:
+                cand.sort(key=lambda r: (r["_k"], r["_id"]))
+                rows = cand[: int(sample_size)]
+                if len(rows) < n_centroids:
+                    raise ValueError(
+                        f"centroid training needs >= n_centroids vectors: "
+                        f"got {len(rows)} < {n_centroids}"
+                    )
+                X = np.array([list(r["_vec"]) for r in rows], dtype=np.float64)
+                C = _lloyd_spherical(X, n_centroids, iters)
+                return [(i, [float(x) for x in C[i]]) for i in range(n_centroids)]
+        if sample_size >= 4096:
+            # r11: skinny TakeOrdered for big samples. The naive
+            # orderBy(hash).limit(S) carries the FULL row (vector
+            # payload) through every partition's top-S heap and the
+            # driver merge of partitions×S rows — measured 7.1 s of
+            # the sf30 IVF face for a 37.5k-row sample of 600k
+            # vectors. The hash key is a function of the id alone, so
+            # the ordering runs over an id-only projection (parquet
+            # reads one column; the heap rows are 8 bytes), and the
+            # vectors are fetched afterwards with one broadcast join
+            # on the sampled ids, reordered driver-side to the exact
+            # (hash, id) order — SAME set, SAME order, bit-identical
+            # sample matrix (the DuckDB twin portable_sample_matrix
+            # is unchanged). Precondition: unique ids (the
+            # assign_cells_kernel contract) — a duplicated id would
+            # fan the fetch join.
+            ids_ordered = [
+                r[0]
+                for r in _hash_ordered(
+                    emb.select(F.col(id_col)), id_col, seed, order=order
+                )
+                .limit(int(sample_size))
+                .collect()
+            ]
+            if len(ids_ordered) < n_centroids:
+                raise ValueError(
+                    f"centroid training needs >= n_centroids vectors: "
+                    f"got {len(ids_ordered)} < {n_centroids}"
+                )
+            spark = emb.sparkSession
+            ids_df = spark.createDataFrame(
+                [(i,) for i in ids_ordered], emb.select(F.col(id_col)).schema
+            )
+            fetched = {
+                r["_id"]: r["_vec"]
+                for r in emb.join(F.broadcast(ids_df), id_col)
+                .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+                .collect()  # bounded: sample_size rows
+            }
+            X = np.array(
+                [list(fetched[i]) for i in ids_ordered], dtype=np.float64
+            )
+        else:
+            rows = samp_df.collect()  # bounded: sample_size rows, total order
+            if len(rows) < n_centroids:
+                raise ValueError(
+                    f"centroid training needs >= n_centroids vectors: "
+                    f"got {len(rows)} < {n_centroids}"
+                )
+            X = np.array([list(r["_vec"]) for r in rows], dtype=np.float64)
         C = _lloyd_spherical(X, n_centroids, iters)
         return [(i, [float(x) for x in C[i]]) for i in range(n_centroids)]
 
@@ -1007,20 +1108,37 @@ def assign_cells_kernel(
             eps = (
                 f32_gate_margin(X.shape[1]) * (1.0 + xnorm * cmax_norm)
             ).astype(np.float32)
-            kth = np.partition(neg_fast, n_probe - 1, axis=1)[
-                :, n_probe - 1 : n_probe
-            ]
-            m = int((neg_fast <= kth + eps).sum(axis=1).max())
-            cols = np.argpartition(neg_fast, m - 1, axis=1)[:, :m]
-            cand_cells = cell_ids[cols]
-            # exact fold, dim-at-a-time, candidates only: (n, m)
-            # temps instead of (n, k) — contiguous per-d slices
-            Cct = np.ascontiguousarray(C[cols].transpose(2, 0, 1))
-            neg = np.zeros((n, m))
+            if n_probe == 1:
+                kth = neg_fast.min(axis=1, keepdims=True)  # no (n,k) copy
+            else:
+                kth = np.partition(neg_fast, n_probe - 1, axis=1)[
+                    :, n_probe - 1 : n_probe
+                ]
+            # r11: FLAT candidate walk replacing the rectangular
+            # argpartition gather — np.argpartition materializes a
+            # full (n, k) int64 index array (190 MB/batch at k=2343,
+            # measured 1.6 s/batch solo and the dominant term of the
+            # 31 s sf30 corpus assignment under 32-way DRAM
+            # contention). nonzero on the candidate mask yields the
+            # ~n·n_probe (row, col) pairs directly; the exact fold
+            # runs per-dim on the flat pairs (identical per-candidate
+            # left-to-right f64 accumulation → bit-identical scores),
+            # and ONE lexsort keyed (row, negdot, cell) picks each
+            # row's n_probe cells in the same (−dot, cell) order as
+            # the rectangular path. Every row has ≥ n_probe
+            # candidates by the kth construction, so the reshape is
+            # total.
+            cand = neg_fast <= kth + eps
+            rows_idx, cols_idx = np.nonzero(cand)  # row-major order
+            counts = np.bincount(rows_idx, minlength=n)
+            neg_flat = np.zeros(len(rows_idx))
             for d in range(X.shape[1]):
-                neg -= X[:, d : d + 1] * Cct[d]
-            order = np.lexsort((cand_cells, neg), axis=1)[:, :n_probe]
-            cells = np.take_along_axis(cand_cells, order, axis=1)
+                neg_flat -= X[rows_idx, d] * C[cols_idx, d]
+            cand_cells = cell_ids[cols_idx]
+            order = np.lexsort((cand_cells, neg_flat, rows_idx))
+            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            rank = np.arange(len(rows_idx)) - np.repeat(offs, counts)
+            cells = cand_cells[order][rank < n_probe].reshape(n, n_probe)
         else:
             neg = np.zeros((n, k))
             for d in range(X.shape[1]):
@@ -1102,18 +1220,36 @@ def ivf_ann_topk(
     if n_centroids is None:
         n = emb.count() if n_rows is None else int(n_rows)
         n_centroids = scaled_cell_count(n)
-    cents = sample_centroids(emb, n_centroids, id_col, vec_col, order=order)
+    cents = sample_centroids(
+        emb, n_centroids, id_col, vec_col, order=order, n_rows=n_rows
+    )
     if scheme == "kernel":
-        c = assign_cells_kernel(
-            emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
-            cents,
-            1,
-        ).withColumn("role", F.lit("c"))
         q = assign_cells_kernel(
             queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
             cents,
             n_probe,
         ).withColumn("role", F.lit("q"))
+        c = assign_cells_kernel(
+            emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+            cents,
+            1,
+        ).withColumn("role", F.lit("c"))
+        # prune the corpus to PROBED cells before the shuffle: a cell
+        # no query probes contributes nothing (its kernel group would
+        # return empty), yet with the corpus-scaled cell count the
+        # unprobed cells are ~all of them (5 driver queries × 4 probes
+        # vs 2343 cells at sf30 — the full 600k-row shuffle + Arrow
+        # crossing was the dominant term after the Lloyd fix). The
+        # probed set is a BOUNDED collect (≤ |queries|·n_probe cell
+        # ids, deduped by distinct); the checkpoint materializes the
+        # tiny query assignment once so the collect does not re-run
+        # it inside the union lineage. Skipped when the probed set is
+        # most of the cells anyway (a large query side) — then the
+        # filter costs more than the rows it saves.
+        q = q.localCheckpoint(eager=True)
+        probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+        if len(probed) <= n_centroids // 2:
+            c = c.filter(F.col("cell").isin(probed))
         return _grouped_gemm_topk(c.unionByName(q), "cell", k)
     assert scheme == "expr", scheme
 

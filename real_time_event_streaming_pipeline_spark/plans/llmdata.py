@@ -671,7 +671,15 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if scheme == "fixed16":
         return S.ivf_ann_topk(emb, queries, k=5, order="md5h60")
     return S.ivf_ann_topk(
-        emb, queries, k=5, n_centroids=k_cells, order="md5h60", scheme="kernel"
+        emb,
+        queries,
+        k=5,
+        n_centroids=k_cells,
+        order="md5h60",
+        scheme="kernel",
+        # footer count: a pure prune hint for the sampler's threshold
+        # fast path — cannot change the sample (see sample_centroids)
+        n_rows=table_rows_metadata(sf_dir, "embeddings"),
     )
 
 

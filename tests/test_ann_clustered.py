@@ -203,3 +203,65 @@ def test_pq_training_sample_not_first_n(spark, clustered):
     b2 = S.train_pq_codebooks(clustered.repartition(5), m=4, n_codes=16, sample=256)
     assert (b1 == b2).all()
     assert b1.shape == (4, 16, 16)
+
+
+def test_lloyd_segment_grouping_bitwise_vs_masked_loop():
+    """r11: _lloyd_spherical's argsort-segment grouping must produce
+    BIT-IDENTICAL centroids to the per-cell masked loop it replaced
+    (X[seg] preserves the cell's original row order, so the mean folds
+    identically) — the trained-literal oracles depend on it."""
+    import numpy as np
+
+    from real_time_event_streaming_pipeline_spark.operators.similarity import (
+        _lloyd_spherical,
+    )
+
+    def _lloyd_masked(X, k, iters):
+        C = X[:k].copy()
+        for _ in range(max(0, int(iters))):
+            assign = (X @ C.T).argmax(axis=1)
+            for c in range(k):
+                pts = X[assign == c]
+                if len(pts):
+                    m = pts.mean(axis=0)
+                    nrm = float(np.linalg.norm(m))
+                    if nrm > 0:
+                        C[c] = m / nrm
+        return C
+
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((500, 16))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    for k in (7, 32, 150):
+        got = _lloyd_spherical(X, k, iters=3)
+        want = _lloyd_masked(X, k, iters=3)
+        assert got.tobytes() == want.tobytes(), k
+
+
+def test_sample_centroids_threshold_path_bitwise(spark):
+    """r11: the three sampler paths — threshold-prefilter (n_rows
+    hint), skinny TakeOrdered (>=4096, no hint), and the original fat
+    TakeOrdered (<4096) — must produce the IDENTICAL centroid list
+    for the same (corpus, k, sample, order): the paths differ only in
+    how the same (hash, id)-ordered sample is materialized."""
+    from pyspark.sql import functions as F
+
+    from real_time_event_streaming_pipeline_spark.operators.similarity import (
+        sample_centroids,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.sin(F.col("id") * 1.0),
+            F.cos(F.col("id") * 1.0),
+            F.sin(F.col("id") * 0.5),
+            F.cos(F.col("id") * 0.25),
+        ).alias("embedding"),
+    )
+    for order in ("md5h60", "xxhash64"):
+        fast = sample_centroids(
+            df, 32, sample_size=4096, order=order, n_rows=20_000
+        )
+        skinny = sample_centroids(df, 32, sample_size=4096, order=order)
+        assert fast == skinny, order
