@@ -653,6 +653,131 @@ def neardup_pairs_ivf_candidates(
     return pairs_from_cell_rows(tagged, threshold)
 
 
+def neardup_pairs_ivf_asym(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    n_probe: int = 6,
+    cents: list[tuple[int, list[float]]] | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via ASYMMETRIC home-vs-probe
+    cell pairing — the r10-leftover lever (SCALING.md item 13),
+    landed r11 as a parallel operator; the registered semdedup faces
+    stay on the symmetric path until this one carries an external
+    verdict (one-round-lag).
+
+    Rule: a pair (a, b) is a candidate iff home(a) ∈ probes(b) OR
+    home(b) ∈ probes(a), where home = the single nearest cell and
+    probes = the ``n_probe`` nearest (probes include home, so
+    same-home pairs are covered). Implemented as home-role ×
+    probe-role pairing per cell: every vector enters the by-cell
+    shuffle once as 'h' (its home cell) and ``n_probe``× as 'p' —
+    1 + 6 = 7 payload copies vs the symmetric path's 10, and the
+    per-cell GEMM is (homes × probes) ≈ 256 × 1536 instead of
+    all-pairs (10·256)²/2 — ~16× fewer gate FLOPs at the same
+    measured recall.
+
+    WHY the recall holds where it matters: for a true near-dup at
+    cos ≥ threshold the two vectors' cell rankings nearly coincide,
+    so a's home cell ranks high among b's cells and the OR-rule
+    fires. This is an empirical property of the operating point, not
+    a theorem — the default n_probe=6 is CALIBRATED on the
+    no-geometric-margin worst case (isotropic noise + planted
+    cos≈0.93 duplicates, the same shape as the soak fixture):
+    measured recall vs the exact path there is 0.94 / 0.977 / 0.993 /
+    1.0 / 1.0 at n_probe = 2 / 3 / 4 / 6 / 8, and the n_probe=6
+    equality is pinned (tests/test_llmdata.py::
+    test_asym_pairing_recall_on_planted_margin — the license for the
+    r12 face switch). Corpora with real cluster margin (SemDeDup's
+    use case) hold recall at much lower n_probe; callers can dial it. Verified values are the same
+    exact left-to-right fold as every other pair kernel, so pairs it
+    emits are bit-identical to the exact path's — the only difference
+    is candidate membership.
+
+    Emits one row per surviving unordered pair (self-pairs dropped,
+    multi-cell duplicates deduped AFTER the threshold filter — the
+    dedup runs on the tiny survivor set, identical doubles)."""
+    import pandas as pd
+
+    if cents is None:
+        if n_centroids is None:
+            n = emb.count() if n_rows is None else int(n_rows)
+            n_centroids = scaled_cell_count(n)
+            n_rows = n
+        cents = sample_centroids(emb, n_centroids, id_col, vec_col, n_rows=n_rows)
+    sel = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    home = assign_cells_kernel(sel, cents, 1).withColumn("role", F.lit("h"))
+    probe = assign_cells_kernel(sel, cents, n_probe).withColumn("role", F.lit("p"))
+    tagged = home.unionByName(probe)
+
+    pre_threshold = threshold - 1e-6  # HALF_UP superset margin (see _cell_cos)
+
+    def _hp_cos(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # local import: runs on executors
+
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype="int64"),
+                "b_id": pd.Series(dtype="int64"),
+                "cos_raw": pd.Series(dtype="float64"),
+            }
+        )
+        hs = pdf[pdf["role"] == "h"]
+        ps = pdf[pdf["role"] == "p"]
+        if len(hs) == 0 or len(ps) == 0:
+            return empty
+        H = np.stack(hs["_vec"].to_numpy()).astype(np.float64)
+        P = np.stack(ps["_vec"].to_numpy()).astype(np.float64)
+        h_ids = hs["_id"].to_numpy()
+        p_ids = ps["_id"].to_numpy()
+        dim = H.shape[1]
+        nh = np.zeros(len(H))
+        npr = np.zeros(len(P))
+        for d in range(dim):
+            nh += H[:, d] * H[:, d]
+            npr += P[:, d] * P[:, d]
+        if (nh == 0).any() or (npr == 0).any():
+            bad = list(h_ids[nh == 0]) + list(p_ids[npr == 0])
+            raise ValueError(f"zero-norm embedding(s) {bad[:5]}: cosine undefined")
+        rh, rp = np.sqrt(nh), np.sqrt(npr)
+        # two-stage, same discipline and dim-scaled margin as _cell_cos
+        fast = (H * (1.0 / rh)[:, None]).astype(np.float32) @ (
+            P * (1.0 / rp)[:, None]
+        ).astype(np.float32).T
+        mask = (h_ids[:, None] != p_ids[None, :]) & (
+            fast >= pre_threshold - f32_gate_margin(dim)
+        )
+        hi, pi = np.nonzero(mask)
+        if len(hi) == 0:
+            return empty
+        Hh, Pp = H[hi], P[pi]
+        dots = np.zeros(len(hi))
+        for d in range(dim):
+            dots += Hh[:, d] * Pp[:, d]
+        cos = dots / (rh[hi] * rp[pi])
+        keep = cos >= pre_threshold  # authoritative exact-fold value
+        hi, pi, cos = hi[keep], pi[keep], cos[keep]
+        lo = np.minimum(h_ids[hi], p_ids[pi])
+        hi_id = np.maximum(h_ids[hi], p_ids[pi])
+        return pd.DataFrame({"a_id": lo, "b_id": hi_id, "cos_raw": cos})
+
+    cand = tagged.groupBy("cell").applyInPandas(
+        _hp_cos, "a_id long, b_id long, cos_raw double"
+    )
+    return (
+        cand.withColumn("cos", F.round("cos_raw", 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+        # a pair can surface in up to 2 cells (each side's home) and
+        # from both (h,p)/(p,h) orientations in one cell — identical
+        # doubles, dedup AFTER the threshold filter on the survivors
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 def pairs_from_cell_rows(tagged: DataFrame, threshold: float) -> DataFrame:
     """Verified near-dup pairs from precomputed (cell, _id, _vec) rows
     — the back half of neardup_pairs_ivf_candidates, split out so the

@@ -1145,7 +1145,9 @@ def _dedup_clusters_sql(sf_dir: str) -> str:
     return _dedup_clusters_lsh_sql()
 
 
-def q_semdedup(spark: SparkSession, sf_dir: str, pair_method: str = "ivf") -> DataFrame:
+def q_semdedup(
+    spark: SparkSession, sf_dir: str, pair_method: str = "ivf_asym"
+) -> DataFrame:
     """SemDeDup-style semantic deduplication: embedding-cosine
     near-dup pairs, connected components over them, and a per-vector
     keep/drop decision — keep iff the vector is its cluster's min-id
@@ -1154,10 +1156,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str, pair_method: str = "ivf") -> Da
     shingle-based dedup_clusters pipeline.
 
     ``pair_method`` picks the pair generator (VERDICT r2 #3):
-    - "ivf" (registered default): multi-probe IVF candidates + exact
-      cosine verify — no O(n²) FLOPs, survives 100×; recall 1.0 on
-      this corpus is pinned in tests/test_llmdata.py against the
-      exact path at every testdata sf.
+    - "ivf_asym" (registered default since r11 — SCALING.md item 13):
+      asymmetric home-vs-probe IVF candidates + exact cosine verify —
+      each vector ships 1× as home + 6× as probe instead of the
+      symmetric path's 10×, and the per-cell gate GEMM is
+      homes × probes (~16× fewer FLOPs). Measured sf30: pair stage
+      32.3 → 12.6 s with the IDENTICAL pair set; recall 1.0 pinned on
+      the no-margin planted fixture (the worst case) and vs the exact
+      path at every testdata sf.
+    - "ivf": the symmetric multi-probe candidate path (the r2-r10
+      registered face) — kept callable; the streaming semdedup index
+      still builds on its cell-row layout.
     - "exact": the blocked-GEMM all-pairs product — the test oracle
       and the small-corpus/exactness-mandatory spend.
 
@@ -1184,7 +1193,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str, pair_method: str = "ivf") -> Da
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()  # one scan feeds calibration AND centroid sizing
     thr = S.calibrate_null_threshold(emb, floor=0.45, n_rows=n)
-    if pair_method == "ivf":
+    if pair_method == "ivf_asym":
+        pairs = S.neardup_pairs_ivf_asym(emb, threshold=thr, n_rows=n)
+    elif pair_method == "ivf":
         pairs = S.neardup_pairs_ivf_candidates(emb, threshold=thr, n_rows=n)
     else:
         pairs = S.neardup_pairs(emb, threshold=thr)

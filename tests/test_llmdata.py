@@ -1048,3 +1048,64 @@ def test_contamination_cap_observation(spark, sf_med):
     assert got["cross_shingles"] >= got["capped_shingles"] >= 0
     assert got["n_instances"] >= got["capped_instances"] >= 0
     assert got["cross_shingles"] > 0  # the driver corpus does share shingles
+
+
+def test_asym_pairing_recall_on_planted_margin(spark):
+    """SCALING.md item 13 landed (r11): the asymmetric home-vs-probe
+    candidate rule must find EXACTLY the exact path's pair set — same
+    (a, b, cos) tuples bitwise — on the planted-margin fixture at the
+    SemDeDup operating regime (seeded duplicates at cos≈0.93,
+    threshold 0.9, isotropic noise floor ≈0.45). This pin is the
+    license for switching the registered semdedup faces to the
+    asymmetric generator (staged for r12)."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    n, dim = 3000, 64
+    V = rng.standard_normal((n, dim))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    # every 10th vector gets a planted near-dup at cos ≈ 1/sqrt(1.16)
+    nid = n
+    for i in range(0, n, 10):
+        g = rng.standard_normal(dim)
+        g /= np.linalg.norm(g)
+        w = V[i] + 0.4 * g  # cos(v, w) ≈ 1/sqrt(1.16) ≈ 0.93
+        w /= np.linalg.norm(w)
+        rows.append((nid, [float(x) for x in w]))
+        nid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        tuple(map(str, r)) for r in S.neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert len(exact) >= n // 10  # the plant is present
+    asym = {
+        tuple(map(str, r))
+        for r in S.neardup_pairs_ivf_asym(emb, threshold=0.9, n_rows=len(rows)).collect()
+    }
+    assert asym == exact
+    # and the symmetric candidate path agrees on the same fixture
+    sym = {
+        tuple(map(str, r))
+        for r in S.neardup_pairs_ivf_candidates(
+            emb, threshold=0.9, n_rows=len(rows)
+        ).collect()
+    }
+    assert sym == exact
+
+
+def test_asym_pairing_subset_and_bitwise_at_noise_threshold(spark, sf_med):
+    """On the driver corpus at a below-noise threshold (dense pair
+    set): every asym pair must carry the exact path's bitwise cos, and
+    the asym set must be a subset (candidate rule only restricts)."""
+    emb = load(spark, sf_med, "embeddings")
+    exact = {
+        (r.a_id, r.b_id): r.cos for r in S.neardup_pairs(emb, threshold=0.4).collect()
+    }
+    asym = {
+        (r.a_id, r.b_id): r.cos
+        for r in S.neardup_pairs_ivf_asym(emb, threshold=0.4, n_rows=500).collect()
+    }
+    assert asym  # non-trivial candidate set
+    assert set(asym) <= set(exact)
+    assert all(exact[k] == v for k, v in asym.items())
