@@ -1623,6 +1623,35 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def lsh_signature_kernel(planes: np.ndarray):
+    """Arrow-batched numpy twin of ``lsh_signature`` — BIT-IDENTICAL
+    by construction: the per-plane dot accumulates dimension-at-a-time
+    in float64 (the same left-to-right fold as the zip_with/aggregate
+    expression and the DuckDB list_sum twin), so every sign bit — and
+    hence every bucket id — is exactly the expression's (parity pinned
+    in tests/test_llmdata.py). Why it exists: the literal-folded
+    expression evaluates p interpreted dim-64 folds per row — measured
+    21 s for 6 planes / 40 s for 12 over 600k rows at sf30, the
+    dominant term of the whole LSH face; the kernel's (n, p) per-dim
+    accumulation is a vectorized multiply, ~100× less per row."""
+    P = np.array([[float(x) for x in p_] for p_ in planes], dtype=np.float64)
+    weights = (1 << np.arange(len(P))).astype(np.int64)
+
+    def sig_of(vecs):
+        import numpy as np
+        import pandas as pd
+
+        if not len(vecs):
+            return pd.Series([], dtype="int64")
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        dots = np.zeros((len(X), len(P)))
+        for d in range(X.shape[1]):
+            dots += X[:, d : d + 1] * P[None, :, d]
+        return pd.Series(((dots > 0).astype(np.int64) * weights).sum(axis=1))
+
+    return F.pandas_udf(sig_of, "long")
+
+
 def lsh_signature(vec, planes: np.ndarray) -> Column:
     """Sign-bit signature as a long: bit_i = [vec · plane_i > 0]."""
     sig = None
@@ -1634,15 +1663,28 @@ def lsh_signature(vec, planes: np.ndarray) -> Column:
     return sig
 
 
+def scaled_plane_count(n: int) -> int:
+    """Corpus-scaled LSH plane count: ceil(log2(n/256)) clamped to
+    [6, 16] — bucket occupancy ~256 held constant as the corpus grows
+    (the same fixed-bucket trap as the IVF cell count: with 6 planes
+    frozen, occupancy is n/64 and the probed-bucket GEMM grows
+    linearly per query while the unprobed shuffle grows with n). The
+    16-plane cap (65536 buckets) binds at ~16.7M vectors."""
+    import math
+
+    return int(min(16, max(6, math.ceil(math.log2(max(n, 256) / 256)))))
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     dim: int = 64,
     multiprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus by LSH signature, probe each
     query's own bucket plus all buckets within hamming distance
@@ -1650,7 +1692,9 @@ def lsh_ann_topk(
     one projection + one equi-join — the pairwise scan never happens.
 
     Plane count trades recall for candidate-set size: 2^n_planes
-    buckets should be ~corpus_size/expected_bucket_occupancy. On
+    buckets should be ~corpus_size/expected_bucket_occupancy —
+    ``n_planes=None`` derives exactly that via ``scaled_plane_count``
+    (pass ``n_rows`` from footer metadata to avoid a count scan). On
     near-orthogonal data (this corpus: max cosine ≈ 0.5) recall is
     intrinsically modest; tests assert it beats random candidates.
     Each BUCKET group scores its candidates in one Arrow GEMM kernel
@@ -1658,15 +1702,19 @@ def lsh_ann_topk(
     buckets holding the same corpus row, so repeated (q, n)
     candidates — identical doubles — are deduped before the global
     ranking."""
+    if n_planes is None:
+        n = emb.count() if n_rows is None else int(n_rows)
+        n_planes = scaled_plane_count(n)
     planes = _hyperplanes(dim, n_planes)
+    sig_udf = lsh_signature_kernel(planes)  # bit-identical, ~100× faster
     c = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        sig_udf(F.col(vec_col)).alias("bucket"),
         F.lit("c").alias("role"),
     )
     q = queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")).withColumn(
-        "sig", lsh_signature(F.col("_vec"), planes)
+        "sig", sig_udf(F.col("_vec"))
     )
     masks = [0]
     if multiprobe >= 1:
@@ -1679,4 +1727,19 @@ def lsh_ann_topk(
     q = q.select(
         "_id", "_vec", F.explode(probes).alias("bucket"), F.lit("q").alias("role")
     )
+    if (1 << n_planes) >= 256:
+        # r11 (the IVF probed-cell precedent): with the corpus-scaled
+        # plane count most buckets are unprobed — prune the corpus to
+        # PROBED buckets before the shuffle. The probed set is a
+        # BOUNDED collect (distinct over |queries|·|masks|, ≤ 2^planes
+        # ids); the checkpoint materializes the small query side once
+        # so the collect does not re-run its lineage in the union.
+        # Skipped entirely at ≤128 buckets (the historical fixed-6
+        # face): there the probes cover most buckets and the extra
+        # jobs cost more than the rows they save — and the driver-sf
+        # plan stays byte-identical to the r6-r10 face.
+        q = q.localCheckpoint(eager=True)
+        probed = [r["bucket"] for r in q.select("bucket").distinct().collect()]
+        if len(probed) <= (1 << n_planes) // 2:
+            c = c.filter(F.col("bucket").isin(probed))
     return _grouped_gemm_topk(c.unionByName(q), "bucket", k, dedup=True)

@@ -556,24 +556,71 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
 """
 
 
+# Corpus-size plane switch for the LSH ANN face (r11, the IVF scheme
+# precedent): below _LSH_SCALED_SWITCH vectors the historical 6-plane
+# face (64 buckets — the r6-r10 oracle shape, plan byte-identical);
+# at/above it scaled_plane_count(n) planes (occupancy ~256) with the
+# probed-bucket corpus pruning. One SQL template serves any plane
+# count. Memoized per (process, sf_dir) like the ngram/IVF routes.
+_LSH_SCALED_SWITCH = 20_000
+_LSH_PLANES_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def resolved_lsh_planes(sf_dir: str) -> tuple[str, int]:
+    """('fixed6', 6) below _LSH_SCALED_SWITCH embedding rows, else
+    ('scaled', scaled_plane_count(n)) — parquet-footer resolved,
+    memoized."""
+    got = _LSH_PLANES_CACHE.get(sf_dir)
+    if got is None:
+        n = table_rows_metadata(sf_dir, "embeddings")
+        if n >= _LSH_SCALED_SWITCH:
+            got = ("scaled", S.scaled_plane_count(n))
+        else:
+            got = ("fixed6", 6)
+        _LSH_PLANES_CACHE[sf_dir] = got
+    return got
+
+
+def clear_lsh_planes_cache() -> None:
+    """Escape hatch mirroring clear_ngram_route_cache."""
+    _LSH_PLANES_CACHE.clear()
+
+
 def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise oracle-checked since r6: the hyperplanes are seeded and
     data-independent, so the SQL twin inlines them as list literals and
-    rebuilds the sign-bit buckets, the 22 multiprobe XOR targets, the
+    rebuilds the sign-bit buckets, the multiprobe XOR targets, the
     deduped candidate set, and the (cos desc, n_id) ranking — the
     per-bucket-top-k ∪ global-rank decomposition equals a global rank
     over the deduped candidates. Recall vs brute force additionally
-    asserted in tests/test_llmdata.py."""
+    asserted in tests/test_llmdata.py.
+
+    r11: plane count route-switches by corpus size (resolved_lsh_planes
+    — fixed 6 below 20k vectors, scaled_plane_count(n) above, with the
+    probed-bucket pruning inside lsh_ann_topk); the twin follows the
+    SAME memoized resolution, so the face stays bitwise on both
+    routes."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    _, n_planes = resolved_lsh_planes(sf_dir)
+    return S.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=n_planes
+    )
 
 
-def _emb_ann_lsh_sql(k: int = 5, n_planes: int = 6, multiprobe: int = 2) -> str:
+def _emb_ann_lsh_sql(
+    sf_dir: str | None = None,
+    k: int = 5,
+    n_planes: int | None = None,
+    multiprobe: int = 2,
+) -> str:
     """ANSI-SQL twin of lsh_ann_topk: plane literals from the same
     seeded generator the Spark plan folds in; dot products use the
     proven left-to-right list_sum fold (bitwise equal to both the
     zip_with/aggregate expression and the kernel's dimension-at-a-time
-    GEMM accumulation)."""
+    GEMM accumulation). ``n_planes=None`` follows the query's memoized
+    route resolution for ``sf_dir`` (r11)."""
+    if n_planes is None:
+        n_planes = resolved_lsh_planes(sf_dir)[1] if sf_dir is not None else 6
     planes = S._hyperplanes(64, n_planes)
     lits = ["[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes]
     bucket = " + ".join(
@@ -2055,7 +2102,7 @@ ORACLE = {
     "llm_dedup_simhash_pairs": _simhash_pairs_sql(),
     "llm_emb_cosine_topk": _COSINE_TOPK_SQL,
     "llm_emb_neardup": _EMB_NEARDUP_SQL,
-    "llm_emb_ann_lsh": _emb_ann_lsh_sql(),
+    "llm_emb_ann_lsh": _emb_ann_lsh_sql,
     # callables: resolved by plans.all_oracles with the verify sf_dir —
     # these twins inline data-derived trained literals (see generators)
     "llm_emb_ann_ivf": _emb_ann_ivf_sql,

@@ -1109,3 +1109,101 @@ def test_asym_pairing_subset_and_bitwise_at_noise_threshold(spark, sf_med):
     assert asym  # non-trivial candidate set
     assert set(asym) <= set(exact)
     assert all(exact[k] == v for k, v in asym.items())
+
+
+def test_lsh_scaled_route_bitwise_vs_twin(spark, tmp_path):
+    """r11: the LSH face's corpus-scaled plane route, end-to-end
+    bitwise. A synthetic 20k-vector corpus sits exactly at the switch:
+    the resolver must pick ('scaled', 7), the face must prune to
+    probed buckets, and the regenerated 7-plane twin must reproduce
+    every row bitwise."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_event_streaming_pipeline_spark.plans import llmdata as L
+
+    rng = np.random.default_rng(53)
+    n = 20_000
+    V = rng.standard_normal((n, 64))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    sf = tmp_path / "corpus"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array([[float(x) for x in v] for v in V],
+                                      type=pa.list_(pa.float64())),
+            }
+        ),
+        sf / "embeddings.parquet",
+    )
+    L.clear_lsh_planes_cache()
+    try:
+        scheme, planes = L.resolved_lsh_planes(str(sf))
+        assert scheme == "scaled" and planes == S.scaled_plane_count(n) == 7
+        got = {
+            tuple(map(str, r)) for r in L.q_emb_ann_lsh(spark, str(sf)).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        twin = {
+            tuple(map(str, r))
+            for r in con.sql(L._emb_ann_lsh_sql(str(sf))).fetchall()
+        }
+        assert got and twin == got
+    finally:
+        L.clear_lsh_planes_cache()
+
+
+def test_lsh_plane_count_pins():
+    """Sizing negative control (the IVF occupancy-pin analogue): the
+    scaled plane count holds bucket occupancy ~256 (never > 512 below
+    the cap) where the fixed 6-plane scheme's occupancy grows with n;
+    driver corpora stay on the historical fixed route."""
+    for n in (20_000, 100_000, 600_000, 10_000_000):
+        p = S.scaled_plane_count(n)
+        assert n / (1 << p) <= 512, (n, p)
+        assert n / 64 > 256  # fixed-6: occupancy already blown at 20k
+    assert S.scaled_plane_count(100) == 6      # floor
+    assert S.scaled_plane_count(10**9) == 16   # cap
+    from real_time_event_streaming_pipeline_spark.plans import llmdata as L
+
+    L.clear_lsh_planes_cache()
+    assert L.resolved_lsh_planes("/root/testdata/sf0.01") == ("fixed6", 6)
+    # the fixed-route twin is byte-identical to the historical 6-plane SQL
+    assert L._emb_ann_lsh_sql("/root/testdata/sf0.01") == L._emb_ann_lsh_sql(
+        None, n_planes=6
+    )
+    L.clear_lsh_planes_cache()
+
+
+def test_lsh_signature_kernel_matches_expression(spark, sf_med):
+    """r11: the Arrow signature kernel must produce the IDENTICAL
+    bucket id as the literal-folded expression for every vector (the
+    dots fold dimension-at-a-time in f64 on both paths, so the sign
+    bits cannot differ) — on real data and on adversarial near-zero
+    dots."""
+    from pyspark.sql import functions as _F
+
+    emb = load(spark, sf_med, "embeddings")
+    for n_planes in (6, 12):
+        planes = S._hyperplanes(64, n_planes)
+        expr = {
+            (r["vec_id"], r["b"])
+            for r in emb.select(
+                "vec_id", S.lsh_signature(_F.col("embedding"), planes).alias("b")
+            ).collect()
+        }
+        kern = {
+            (r["vec_id"], r["b"])
+            for r in emb.select(
+                "vec_id",
+                S.lsh_signature_kernel(planes)(_F.col("embedding")).alias("b"),
+            ).collect()
+        }
+        assert kern == expr, n_planes
