@@ -1465,23 +1465,79 @@ def _pq_lloyd(X: np.ndarray, m: int, n_codes: int, iters: int) -> np.ndarray:
     return books
 
 
+def pq_encode_kernel(books: np.ndarray):
+    """Arrow-batched numpy twin of the pq_encode EXPRESSION —
+    BIT-IDENTICAL by construction (the lsh_signature_kernel argument,
+    r11): per candidate the score is lit(Σc²) − 2.0·(left-to-right
+    sub-dot fold), replayed here as the same per-dim f64 accumulation
+    and the same subtraction order; np.argmin's first-index tie rule
+    equals the expression's (score, code) struct-sort tie rule; the
+    norm is the same dim-at-a-time fold. Parity pinned in
+    tests/test_llmdata.py on real data at two codebook shapes. Why:
+    the expression path is m·n_codes interpreted sub-dot folds per
+    row (64 folds at m=4, k=16) — the dominant term of the PQ face's
+    sf30 wall."""
+    m, n_codes, sub = books.shape
+    B = books.astype(np.float64)
+    # the expression folds lit(float((books[j, c] ** 2).sum())) — the
+    # identical numpy reduction here, computed ONCE at plan build
+    Bsq = np.array(
+        [[float((books[j, c] ** 2).sum()) for c in range(n_codes)] for j in range(m)]
+    )
+
+    def enc(vecs):
+        import numpy as np
+        import pandas as pd
+
+        if not len(vecs):
+            return pd.DataFrame({"codes": pd.Series(dtype=object),
+                                 "nrm": pd.Series(dtype="float64")})
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = len(X)
+        codes = np.zeros((n, m), dtype=np.int32)
+        for j in range(m):
+            Sx = X[:, j * sub : (j + 1) * sub]
+            d = np.zeros((n, n_codes))
+            for t in range(sub):
+                d += Sx[:, t : t + 1] * B[j, :, t][None, :]
+            score = Bsq[j][None, :] - 2.0 * d
+            codes[:, j] = score.argmin(axis=1)  # ties: lowest code
+        nn = np.zeros(n)
+        for t in range(X.shape[1]):
+            nn += X[:, t] * X[:, t]
+        return pd.DataFrame({"codes": list(codes), "nrm": np.sqrt(nn)})
+
+    return F.pandas_udf(enc, "codes: array<int>, nrm: double")
+
+
 def pq_encode(
     emb: DataFrame,
     books: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "kernel",
 ) -> DataFrame:
     """Encode each vector as ``m`` small codes (nearest sub-codebook
     entry per subspace) plus its exact L2 norm — the storage layout of
     a PQ index: dim floats → m bytes + 1 float (16-64× compression, the
     reason a 100 TB embedding corpus fits a scan at all).
 
-    Entirely JVM-side: per subspace the argmin over codes is an
+    ``impl="kernel"`` (default since r11) runs the Arrow-batched
+    numpy encoder (bit-identical — see pq_encode_kernel); "expr" keeps
+    the original JVM path: per subspace the argmin over codes is an
     ``array_sort`` of (distance, code) structs built from literal
-    codebook vectors — no Python in the corpus path. Minimizing
-    ||x-c||² ⟺ minimizing ||c||² − 2·x·c, so each candidate costs one
-    sub-dot against a literal.
+    codebook vectors. Minimizing ||x-c||² ⟺ minimizing ||c||² − 2·x·c,
+    so each candidate costs one sub-dot against a literal.
     """
+    if impl == "kernel":
+        from .dedup import _spread
+
+        enc = pq_encode_kernel(books)
+        return _spread(emb).select(
+            F.col(id_col).alias("n_id"),
+            enc(F.col(vec_col)).alias("_e"),
+        ).select("n_id", F.col("_e.codes").alias("codes"), F.col("_e.nrm").alias("nrm"))
+    assert impl == "expr", impl
     m, n_codes, sub = books.shape
     vec = F.col(vec_col)
 

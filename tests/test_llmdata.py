@@ -1207,3 +1207,22 @@ def test_lsh_signature_kernel_matches_expression(spark, sf_med):
             ).collect()
         }
         assert kern == expr, n_planes
+
+
+def test_pq_encode_kernel_matches_expression(spark, sf_med):
+    """r11: the Arrow PQ encoder must emit the IDENTICAL (codes, nrm)
+    rows as the literal-expression path — scores replay the same
+    lit(sum c²) − 2·fold arithmetic and the same lowest-code tie rule
+    — at two codebook shapes."""
+    emb = load(spark, sf_med, "embeddings")
+    for m, n_codes in ((4, 16), (8, 8)):
+        books = S.train_pq_codebooks(emb, m=m, n_codes=n_codes)
+        kern = {
+            (r["n_id"], tuple(r["codes"]), r["nrm"])
+            for r in S.pq_encode(emb, books).collect()
+        }
+        expr = {
+            (r["n_id"], tuple(r["codes"]), r["nrm"])
+            for r in S.pq_encode(emb, books, impl="expr").collect()
+        }
+        assert kern == expr, (m, n_codes)
