@@ -161,7 +161,7 @@ def _observe_df_cap(grp: DataFrame, max_doc_freq: int, observation) -> DataFrame
     capped_instances after the action — the soak harness derives
     capped_shingle_frac and capped_instance_frac from these and alarms
     past the documented threshold (SCALING.md). Same discipline as the
-    LSH bucket-saturation counters in _cap_buckets."""
+    LSH bucket-saturation counters in _capped_bucket_lists."""
     if observation is None:
         return grp
     return grp.observe(
@@ -288,7 +288,7 @@ def ngram_jaccard_pairs_lsh(
        ≈1.5% at s = 0.8, ≈0.02% at s = 0.9);
     2. bucket saturation — minhash_lsh_pairs drops band buckets
        larger than ``max_bucket`` (the degenerate-bucket guard; see
-       _cap_buckets), so a true pair ALSO misses if every band it
+       _capped_bucket_lists), so a true pair ALSO misses if every band it
        collides in is oversized. On the closed-vocabulary heavy-dup
        regime this route is designated for, saturated buckets are
        plausible — docs dense enough to blow the cap are near-exact
@@ -357,22 +357,64 @@ def minhash_signatures(
     )
 
 
-def _cap_buckets(grp, max_bucket: int, observation):
-    """Drop over-full candidate buckets (the LSH analogue of the
-    stop-shingle guard): a degenerate bucket — thousands of boilerplate
-    near-identical docs sharing a band/block key — would otherwise
-    collect an unbounded list into ONE aggregation buffer and emit
-    |bucket|²/2 pairs on a single reducer. Docs dense enough to blow
-    the cap are exact/near-exact copies, which `exact_dedup` already
-    handles upstream. Pass an `Observation` to surface the drop count
-    (truncation must never be silent)."""
+def _capped_bucket_lists(
+    rows: DataFrame,
+    keys: list[str],
+    id_col: str,
+    payload_col: str,
+    max_bucket: int,
+    observation,
+) -> DataFrame:
+    """Bucket member lists with the over-full buckets dropped BEFORE
+    any list materializes (the LSH analogue of the stop-shingle
+    guard). History: the original form collected every bucket's
+    (id, payload) structs first and filtered by size after — correct,
+    but a degenerate bucket (thousands of boilerplate near-identical
+    docs sharing a band/block key) still built its ENTIRE list in one
+    aggregation buffer on one reducer before being thrown away; the
+    first sf30 soak of the minhash face measured that straggler at
+    exp 1.53 (17.7 → 94.6 s for 3× rows — a saturated closed-vocab
+    bucket holds ~10⁵ members × a 256-byte signature payload each).
+    Now a map-side-combined count agg sizes every bucket first (only
+    (key, count) partials shuffle), and rows of buckets outside
+    [2, max_bucket] are dropped by a SHUFFLE_HASH semi-ish join
+    before the collect_list, so no aggregation buffer ever exceeds
+    max_bucket structs and the payload is neither sorted nor shuffled
+    twice. Docs dense enough to blow the cap are exact/
+    near-exact copies, which `exact_dedup` already handles upstream.
+    Pass an `Observation` to surface the drop count (truncation must
+    never be silent): dropped_buckets / max_bucket_seen match the old
+    form's values exactly (counted among ≥2-member buckets).
+
+    Returns one row per surviving bucket: (*keys, xs) where xs =
+    collect_list(struct(i=id, s=payload)), 2 ≤ size(xs) ≤ max_bucket.
+    """
+    sizes = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cnt"))
     if observation is not None:
-        grp = grp.observe(
+        sizes = sizes.observe(
             observation,
-            F.sum((F.size("xs") > max_bucket).cast("long")).alias("dropped_buckets"),
-            F.max(F.size("xs")).alias("max_bucket_seen"),
+            F.count_if(F.col("_cnt") > max_bucket).alias("dropped_buckets"),
+            F.max(F.when(F.col("_cnt") >= 2, F.col("_cnt"))).alias(
+                "max_bucket_seen"
+            ),
         )
-    return grp.filter(F.size("xs") <= max_bucket)
+    kept = sizes.filter(
+        (F.col("_cnt") >= 2) & (F.col("_cnt") <= max_bucket)
+    ).select(*keys)
+    # sizes shuffles only (key, partial-count) pairs — map-side
+    # combine keeps it tiny even for a 10⁵-member bucket. The join is
+    # hinted SHUFFLE_HASH: a sort-merge join (or a count WINDOW —
+    # the first form of this fix) would sort the full payload-bearing
+    # rows, which at sf30 is a multi-GB sort for nothing; the hash
+    # join shuffles rows once un-sorted and the groupBy reuses its
+    # partitioning, so the payload crosses the wire exactly once and
+    # no aggregation buffer ever exceeds max_bucket structs.
+    bounded = rows.join(kept.hint("SHUFFLE_HASH"), keys)
+    return bounded.groupBy(*keys).agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col(payload_col).alias("s"))
+        ).alias("xs")
+    )
 
 
 def minhash_band_rows(
@@ -445,7 +487,7 @@ def minhash_lsh_pairs(
     docs sharing a bucket pair up map-side from the collected list —
     the signature pipeline (shingle explode + 32-way min-agg) runs
     once, not once per self-join side. Buckets larger than
-    ``max_bucket`` are dropped (see `_cap_buckets`).
+    ``max_bucket`` are dropped (see `_capped_bucket_lists`).
     """
     banded = minhash_band_rows(df, k, num_hashes, bands, id_col)
     return pairs_from_band_rows(banded, num_hashes, id_col, max_bucket, observation)
@@ -462,16 +504,9 @@ def pairs_from_band_rows(
     band rows — the back half of minhash_lsh_pairs, split out so the
     incremental dedup path can reuse one set of band rows for both
     within-batch pairing and the index append."""
-    grp = (
-        banded.groupBy("band", "bhash")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("i"), F.col("sig").alias("s"))
-            ).alias("xs")
-        )
-        .filter(F.size("xs") >= 2)
+    grp = _capped_bucket_lists(
+        banded, ["band", "bhash"], id_col, "sig", max_bucket, observation
     )
-    grp = _cap_buckets(grp, max_bucket, observation)
     # array_sort orders structs field-by-field; `i` is unique, so this
     # is a sort by doc id and the slice below yields each unordered
     # pair exactly once per bucket
@@ -540,7 +575,7 @@ def simhash_neardup_pairs(
     differing bits cannot touch every block, so some block matches
     exactly and the blocked equi-join has NO false negatives — unless
     a block's bucket exceeds ``max_bucket`` and is dropped (see
-    `_cap_buckets`; a pair recurses through all n_blocks block keys,
+    `_capped_bucket_lists`; a pair recurses through all n_blocks block keys,
     so it survives as long as ANY of its matching blocks stays under
     the cap)."""
     n_blocks = max_hamming + 1
@@ -569,16 +604,9 @@ def simhash_neardup_pairs(
     # collected per-bucket list (same one-pass shape as
     # minhash_lsh_pairs — the simhash pipeline runs once, not per
     # self-join side)
-    grp = (
-        blocked.groupBy("blk", "key")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
-            ).alias("xs")
-        )
-        .filter(F.size("xs") >= 2)
+    grp = _capped_bucket_lists(
+        blocked, ["blk", "key"], id_col, "simhash", max_bucket, observation
     )
-    grp = _cap_buckets(grp, max_bucket, observation)
     srt = F.array_sort("xs")
     bucket_pairs = F.flatten(
         F.transform(

@@ -199,7 +199,7 @@ def ingest_batch(
     text equality (see batch_minhash_survivors on why the exact
     clause exists: sub-k-token docs have no signature).
 
-    Bucket capping mirrors the batch twin's `_cap_buckets` rule on the
+    Bucket capping mirrors the batch twin's `_capped_bucket_lists` rule on the
     UNION-so-far: a (band, bhash) bucket whose accumulated distinct
     docs (index + this batch) exceed ``max_bucket`` produces no
     matches — neither within-batch nor against the index — bounding
