@@ -158,16 +158,30 @@ def main() -> None:
     import glob
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    # r10 ADVICE #2: a bench re-run inside the round being recorded
-    # must not compare against its own round's sidecar (ratio ≈ 1.0).
-    # The round in progress is max(CORRECTNESS_r*) + 1, so only BENCH
-    # records from completed rounds (≤ max correctness round) qualify.
-    done_rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-    ]
-    last_done = max(done_rounds) if done_rounds else None
+    # r10 ADVICE #2 + r11 ADVICE #2: a bench re-run inside the round
+    # being recorded must not compare against its own round's sidecar
+    # (ratio ≈ 1.0). CORRECTNESS_rN.json can land MID-round N (the
+    # driver's verify pass runs before round close), so it is the
+    # wrong completion marker; the VERDICT file is written only at
+    # round close, so the last COMPLETED round is the round number in
+    # VERDICT.md's header. Fallback (no/unparseable VERDICT, i.e.
+    # round 1): max(CORRECTNESS_r*) - 1 — conservative, since a
+    # correctness record proves its round started, not that it ended.
+    last_done = None
+    try:
+        with open(os.path.join(repo_dir, "VERDICT.md")) as fh:
+            m = re.search(r"Round\s+(\d+)", fh.readline())
+        if m:
+            last_done = int(m.group(1))
+    except OSError:
+        pass
+    if last_done is None:
+        done_rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        last_done = max(done_rounds) - 1 if done_rounds else None
     for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         mm = re.search(r"BENCH_r(\d+)\.json$", p)
         if mm and last_done is not None and int(mm.group(1)) > last_done:

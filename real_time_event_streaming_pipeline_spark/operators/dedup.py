@@ -364,6 +364,7 @@ def _capped_bucket_lists(
     payload_col: str,
     max_bucket: int,
     observation,
+    presize: bool = True,
 ) -> DataFrame:
     """Bucket member lists with the over-full buckets dropped BEFORE
     any list materializes (the LSH analogue of the stop-shingle
@@ -388,7 +389,40 @@ def _capped_bucket_lists(
 
     Returns one row per surviving bucket: (*keys, xs) where xs =
     collect_list(struct(i=id, s=payload)), 2 ≤ size(xs) ≤ max_bucket.
+
+    ``presize=False`` is the SMALL-CORPUS route (r12, r11 verdict #1):
+    the sizing pass costs a second exchange of (key, count) partials
+    plus a SHUFFLE_HASH pre-filter join — worth it exactly when a
+    bucket COULD exceed max_bucket by enough to matter, which a
+    corpus of n docs bounds at n structs (~n × 260 B of one reducer's
+    memory — trivial below the ~20k-doc LSH switch). Below that bound
+    callers skip the pre-size and use the original collect-then-filter
+    shape: one groupBy builds every bucket's list, then over-full
+    buckets are dropped AFTER materialization. Counters
+    (dropped_buckets / max_bucket_seen) are computed from size(xs) and
+    match the pre-size route's values exactly; results are identical
+    (parity pinned in tests/test_operators.py). Callers resolve the
+    route once per (process, corpus) from parquet footers
+    (plans.llmdata.resolved_bucket_presize) so query and oracle can
+    never straddle it mid-verify.
     """
+    if not presize:
+        grp = rows.groupBy(*keys).agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col(payload_col).alias("s"))
+            ).alias("xs")
+        )
+        if observation is not None:
+            grp = grp.observe(
+                observation,
+                F.count_if(F.size("xs") > max_bucket).alias("dropped_buckets"),
+                F.max(F.when(F.size("xs") >= 2, F.size("xs"))).alias(
+                    "max_bucket_seen"
+                ),
+            )
+        return grp.filter(
+            (F.size("xs") >= 2) & (F.size("xs") <= max_bucket)
+        )
     sizes = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cnt"))
     if observation is not None:
         sizes = sizes.observe(
@@ -478,6 +512,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     max_bucket: int = 256,
     observation=None,
+    presize: bool = True,
 ) -> DataFrame:
     """LSH banding: docs agreeing on any full band of the signature
     become candidates; estimated Jaccard = fraction of matching hashes.
@@ -487,10 +522,14 @@ def minhash_lsh_pairs(
     docs sharing a bucket pair up map-side from the collected list —
     the signature pipeline (shingle explode + 32-way min-agg) runs
     once, not once per self-join side. Buckets larger than
-    ``max_bucket`` are dropped (see `_capped_bucket_lists`).
+    ``max_bucket`` are dropped (see `_capped_bucket_lists`;
+    ``presize`` picks the bucket-sizing route — False only for
+    corpora small enough that the worst bucket fits one buffer).
     """
     banded = minhash_band_rows(df, k, num_hashes, bands, id_col)
-    return pairs_from_band_rows(banded, num_hashes, id_col, max_bucket, observation)
+    return pairs_from_band_rows(
+        banded, num_hashes, id_col, max_bucket, observation, presize
+    )
 
 
 def pairs_from_band_rows(
@@ -499,13 +538,14 @@ def pairs_from_band_rows(
     id_col: str = "doc_id",
     max_bucket: int = 256,
     observation=None,
+    presize: bool = True,
 ) -> DataFrame:
     """Candidate pairs (a_id < b_id, est_jaccard) from precomputed
     band rows — the back half of minhash_lsh_pairs, split out so the
     incremental dedup path can reuse one set of band rows for both
     within-batch pairing and the index append."""
     grp = _capped_bucket_lists(
-        banded, ["band", "bhash"], id_col, "sig", max_bucket, observation
+        banded, ["band", "bhash"], id_col, "sig", max_bucket, observation, presize
     )
     # array_sort orders structs field-by-field; `i` is unique, so this
     # is a sort by doc id and the slice below yields each unordered
@@ -569,6 +609,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_bucket: int = 256,
     observation=None,
+    presize: bool = True,
 ) -> DataFrame:
     """Candidate pairs with hamming(simhash) ≤ max_hamming, blocked on
     max_hamming+1 disjoint bit-blocks: by pigeonhole, ≤ max_hamming
@@ -605,7 +646,7 @@ def simhash_neardup_pairs(
     # minhash_lsh_pairs — the simhash pipeline runs once, not per
     # self-join side)
     grp = _capped_bucket_lists(
-        blocked, ["blk", "key"], id_col, "simhash", max_bucket, observation
+        blocked, ["blk", "key"], id_col, "simhash", max_bucket, observation, presize
     )
     srt = F.array_sort("xs")
     bucket_pairs = F.flatten(

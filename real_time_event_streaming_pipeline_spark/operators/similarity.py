@@ -665,9 +665,14 @@ def neardup_pairs_ivf_asym(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via ASYMMETRIC home-vs-probe
     cell pairing — the r10-leftover lever (SCALING.md item 13),
-    landed r11 as a parallel operator; the registered semdedup faces
-    stay on the symmetric path until this one carries an external
-    verdict (one-round-lag).
+    landed r11. The registered `llm_semdedup` face defaulted to this
+    generator in the same round (an intentional break from the
+    one-round-lag convention, flagged by r11 ADVICE #1 and ratified
+    here): the face sat in the live r11 verification window, so the
+    switch DID carry an external verdict immediately —
+    CORRECTNESS_r11 records `llm_semdedup` hash-green on this path.
+    r12 extends the same layout to `llm_semdedup_survivors` and the
+    streaming semdedup index via one shared candidate rule.
 
     Rule: a pair (a, b) is a candidate iff home(a) ∈ probes(b) OR
     home(b) ∈ probes(a), where home = the single nearest cell and
@@ -700,18 +705,58 @@ def neardup_pairs_ivf_asym(
     Emits one row per surviving unordered pair (self-pairs dropped,
     multi-cell duplicates deduped AFTER the threshold filter — the
     dedup runs on the tiny survivor set, identical doubles)."""
-    import pandas as pd
-
     if cents is None:
         if n_centroids is None:
             n = emb.count() if n_rows is None else int(n_rows)
             n_centroids = scaled_cell_count(n)
             n_rows = n
         cents = sample_centroids(emb, n_centroids, id_col, vec_col, n_rows=n_rows)
+    tagged = asym_cell_rows(emb, cents, n_probe, id_col, vec_col)
+    return pairs_from_asym_cell_rows(tagged, threshold)
+
+
+def asym_cell_rows(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    n_probe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Role-tagged cell rows for the asymmetric candidate rule —
+    (cell, _id, _vec, role): one 'h' row at the vector's single
+    nearest cell, ``n_probe`` 'p' rows at its nearest cells. This is
+    the ONE layout shared by the batch pair generator
+    (neardup_pairs_ivf_asym), the survivors sweep
+    (streaming/semdedup_index.batch_semdedup_survivors), and the
+    persisted streaming index (r12, r11 verdict #4 — previously the
+    survivors/streaming paths rode the symmetric 10×-payload layout
+    and were twins of the batch face only by convention). 1 + n_probe
+    payload copies per vector; assignment is the Arrow kernel, bit-
+    identical to the nearest_cells expression (pinned)."""
     sel = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     home = assign_cells_kernel(sel, cents, 1).withColumn("role", F.lit("h"))
     probe = assign_cells_kernel(sel, cents, n_probe).withColumn("role", F.lit("p"))
-    tagged = home.unionByName(probe)
+    return home.unionByName(probe)
+
+
+def pairs_from_asym_cell_rows(
+    tagged: DataFrame, threshold: float, cross_sides_only: bool = False
+) -> DataFrame:
+    """Verified pairs from role-tagged asym cell rows — the shared
+    back half of the asym family: per cell, candidates are home-role ×
+    probe-role row pairs (the OR-rule: (a,b) is a candidate iff
+    home(a) ∈ probes(b) or home(b) ∈ probes(a), each direction
+    surfacing in the respective home cell), gated by the two-stage
+    f32 GEMM and settled by the exact left-to-right f64 fold — values
+    bit-identical to every other pair kernel.
+
+    ``cross_sides_only=True`` (the streaming index's cross-epoch
+    call): rows carry a ``_side`` column and only pairs whose members
+    come from DIFFERENT sides are emitted — index-internal pairs were
+    settled in their own epochs and re-pairing them per epoch is the
+    r7 'index-rescan blowup'. Returns (a_id, b_id, cos) with
+    a_id < b_id, deduped after the threshold filter."""
+    import pandas as pd
 
     pre_threshold = threshold - 1e-6  # HALF_UP superset margin (see _cell_cos)
 
@@ -750,6 +795,10 @@ def neardup_pairs_ivf_asym(
         mask = (h_ids[:, None] != p_ids[None, :]) & (
             fast >= pre_threshold - f32_gate_margin(dim)
         )
+        if cross_sides_only:
+            h_sides = hs["_side"].to_numpy()
+            p_sides = ps["_side"].to_numpy()
+            mask &= h_sides[:, None] != p_sides[None, :]
         hi, pi = np.nonzero(mask)
         if len(hi) == 0:
             return empty
@@ -1731,6 +1780,13 @@ def scaled_plane_count(n: int) -> int:
     return int(min(16, max(6, math.ceil(math.log2(max(n, 256) / 256)))))
 
 
+# Probed-bucket corpus pruning engages only at/above this bucket
+# count (below it the probes cover most buckets and the extra jobs
+# cost more than the rows they save). Module-level so the parity test
+# can disable pruning (set huge) and pin prune-on == prune-off.
+_LSH_PRUNE_MIN_BUCKETS = 256
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -1783,7 +1839,7 @@ def lsh_ann_topk(
     q = q.select(
         "_id", "_vec", F.explode(probes).alias("bucket"), F.lit("q").alias("role")
     )
-    if (1 << n_planes) >= 256:
+    if (1 << n_planes) >= _LSH_PRUNE_MIN_BUCKETS:
         # r11 (the IVF probed-cell precedent): with the corpus-scaled
         # plane count most buckets are unprobed — prune the corpus to
         # PROBED buckets before the shuffle. The probed set is a
@@ -1792,8 +1848,11 @@ def lsh_ann_topk(
         # so the collect does not re-run its lineage in the union.
         # Skipped entirely at ≤128 buckets (the historical fixed-6
         # face): there the probes cover most buckets and the extra
-        # jobs cost more than the rows they save — and the driver-sf
-        # plan stays byte-identical to the r6-r10 face.
+        # jobs cost more than the rows they save. (Results at the
+        # driver sfs stay identical to the r6-r10 face — pinned — but
+        # the PLAN differs everywhere since r11: signatures come from
+        # the pandas-UDF lsh_signature_kernel, not the literal-folded
+        # expression. Result-identity, not plan byte-identity.)
         q = q.localCheckpoint(eager=True)
         probed = [r["bucket"] for r in q.select("bucket").distinct().collect()]
         if len(probed) <= (1 << n_planes) // 2:

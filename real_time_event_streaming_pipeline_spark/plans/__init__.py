@@ -443,10 +443,6 @@ _PRIORITY_R11_PLAN = (
 # plan above lands verbatim as the round's window.
 _PRIORITY_R11 = _PRIORITY_R11_PLAN
 
-# The live window alias: rotation tooling and tests reference THIS
-# name so each round's rewire is a one-line change, not a test edit.
-PRIORITY_WINDOW = _PRIORITY_R11
-
 # The PLANNED r12 window (deadline analysis at r11 mid-round, refined
 # from the wire-time placeholder): with _PRIORITY_R11 landing in r11,
 # ZERO rows are due by r12 and 41 by r13 — the entire r9-verdict block
@@ -518,7 +514,31 @@ _PRIORITY_R12_PLAN = (
     "llm_unigram_logprob",
 )
 
-STAGED_NEXT_WINDOW = _PRIORITY_R12_PLAN
+# Wired live in round 12's first commit (r11 verdict #2): the staged
+# plan above lands verbatim as the round's window.
+_PRIORITY_R12 = _PRIORITY_R12_PLAN
+
+# The live window alias: rotation tooling and tests reference THIS
+# name so each round's rewire is a one-line change, not a test edit.
+PRIORITY_WINDOW = _PRIORITY_R12
+
+# The PLANNED r13 window (wire-time placeholder, refined at r12
+# close-out per the handoff discipline): with _PRIORITY_R12 landing
+# in r12, the deadline-r14 block is the six r10-verdict text-battery
+# fillers at the tail of the r12 plan (already pre-drained there) —
+# so ZERO rows are forced by r13 and the whole r14 wave (the 44
+# r11-verdict rows of the r11 window) is due by r14. This plan
+# pre-drains that entire wave, honoring the one-round-lag commitment
+# first: r12 touched the minhash/simhash capped-bucket route switch
+# (llm_dedup_minhash_lsh, llm_dedup_simhash_pairs, llm_dedup_clusters,
+# llm_corpus_pipeline, llm_image_dedup_pairs ride it), the BPE
+# word-type encode (llm_bpe_encode), and the asym semdedup unification
+# (llm_semdedup, llm_semdedup_survivors) — all already members of the
+# r11-verdict wave below, so the commitment and the deadline drain
+# coincide. Fillers: the remaining r11-window rows.
+_PRIORITY_R13_PLAN = _PRIORITY_R11_PLAN
+
+STAGED_NEXT_WINDOW = _PRIORITY_R13_PLAN
 
 _PRIORITY_R6 = (
     # new in round 6 — no driver verdict yet (rotation_check enforces

@@ -3,10 +3,13 @@ dedup, similarity search, text analysis, multimodal columns — exposed
 through the driver contract with DuckDB oracles wherever the
 semantics are SQL-expressible.
 
-Rows-only (deliberately no oracle — they hinge on seeded hyperplanes
-/ trained centroids DuckDB can't reproduce; validated against exact
-ground truth in tests/test_llmdata.py instead):
-  llm_emb_ann_lsh, llm_emb_ann_ivf, llm_emb_ann_pq.
+The ANN faces (llm_emb_ann_lsh, llm_emb_ann_ivf, llm_emb_ann_pq) are
+BITWISE oracle-checked since r7: the seeded hyperplanes / trained
+centroids are deterministic md5-derived constructions the oracle SQL
+inlines as literals, and the r11 corpus-scaled scheme switches were
+verified on BOTH routes (fixed small-corpus scheme and the scaled
+one) — see resolved_lsh_planes / resolved_ivf_scheme below and
+tests/test_llmdata.py for the exact-ground-truth pins.
 
 The MinHash/SimHash family is fully oracle-checked: signatures use the
 md5-derived 60-bit hash (`operators/dedup._h60`), which DuckDB
@@ -16,6 +19,8 @@ SQL (`_minhash_lsh_sql` / `_simhash_pairs_sql`).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -163,17 +168,27 @@ FROM documents GROUP BY md5(text)
 _NGRAM_ROUTE_CACHE: dict[str, str] = {}
 
 
+def _route_key(sf_dir: str) -> str:
+    """Canonical memo key for the route caches (r11 ADVICE #4): two
+    spellings of the same directory (trailing slash, relative vs
+    absolute, symlink) must resolve to ONE cache entry, or the
+    query/oracle route-divergence hazard the memo closes reappears
+    between differently-spelled callers."""
+    return os.path.realpath(sf_dir)
+
+
 def resolved_ngram_route(sf_dir: str) -> str:
     """'lsh' at/above _NGRAM_LSH_SWITCH docs else 'exact' — resolved
     from parquet footers once per sf_dir and memoized (see above)."""
-    route = _NGRAM_ROUTE_CACHE.get(sf_dir)
+    key = _route_key(sf_dir)
+    route = _NGRAM_ROUTE_CACHE.get(key)
     if route is None:
         route = (
             "lsh"
             if table_rows_metadata(sf_dir, "documents") >= _NGRAM_LSH_SWITCH
             else "exact"
         )
-        _NGRAM_ROUTE_CACHE[sf_dir] = route
+        _NGRAM_ROUTE_CACHE[key] = route
     return route
 
 
@@ -181,6 +196,37 @@ def clear_ngram_route_cache() -> None:
     """Escape hatch for harnesses that rewrite a corpus under an
     sf_dir already routed this process."""
     _NGRAM_ROUTE_CACHE.clear()
+
+
+# r12 (r11 verdict #1): whether the LSH/simhash bucket builders run
+# the map-side bucket-sizing pass (_capped_bucket_lists presize=True)
+# or the legacy collect-then-filter shape. The sizing pass exists to
+# bound aggregation buffers BEFORE materialization — load-bearing
+# only when a bucket could outgrow one reducer's memory, which a
+# corpus of n docs bounds at n structs; below the same ~20k-doc bound
+# the ngram route already uses, the worst bucket is trivially small
+# and the pass is two pure-overhead exchanges (~0.4-0.8 s/face at
+# sf0.1 — the r11 bench regression). Results and saturation counters
+# are identical on both routes (parity pinned); memoized per
+# (process, corpus) like the other route caches so query and oracle
+# resolve together.
+_BUCKET_PRESIZE_CACHE: dict[str, bool] = {}
+
+
+def resolved_bucket_presize(sf_dir: str) -> bool:
+    """True (pre-size buckets map-side) at/above _NGRAM_LSH_SWITCH
+    documents, else False — parquet-footer resolved, memoized."""
+    key = _route_key(sf_dir)
+    got = _BUCKET_PRESIZE_CACHE.get(key)
+    if got is None:
+        got = table_rows_metadata(sf_dir, "documents") >= _NGRAM_LSH_SWITCH
+        _BUCKET_PRESIZE_CACHE[key] = got
+    return got
+
+
+def clear_bucket_presize_cache() -> None:
+    """Escape hatch mirroring clear_ngram_route_cache."""
+    _BUCKET_PRESIZE_CACHE.clear()
 
 
 def q_ngram_jaccard(
@@ -299,14 +345,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps its own bitwise DuckDB twin in tests/test_retired_faces.py
     and remains the closure target of the incremental band-index tests
     (tests/test_dedup_index.py)."""
-    return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        presize=resolved_bucket_presize(sf_dir),
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise oracle-checked (`_simhash_pairs_sql`): per-bit vote
     sums, block keys, capped buckets, and hamming filter all rebuilt
     from the same md5-60bit token hash in SQL."""
-    return D.simhash_neardup_pairs(load(spark, sf_dir, "documents"))
+    return D.simhash_neardup_pairs(
+        load(spark, sf_dir, "documents"),
+        presize=resolved_bucket_presize(sf_dir),
+    )
 
 
 def q_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,14 +622,15 @@ def resolved_lsh_planes(sf_dir: str) -> tuple[str, int]:
     """('fixed6', 6) below _LSH_SCALED_SWITCH embedding rows, else
     ('scaled', scaled_plane_count(n)) — parquet-footer resolved,
     memoized."""
-    got = _LSH_PLANES_CACHE.get(sf_dir)
+    key = _route_key(sf_dir)
+    got = _LSH_PLANES_CACHE.get(key)
     if got is None:
         n = table_rows_metadata(sf_dir, "embeddings")
         if n >= _LSH_SCALED_SWITCH:
             got = ("scaled", S.scaled_plane_count(n))
         else:
             got = ("fixed6", 6)
-        _LSH_PLANES_CACHE[sf_dir] = got
+        _LSH_PLANES_CACHE[key] = got
     return got
 
 
@@ -679,14 +732,15 @@ def resolved_ivf_scheme(sf_dir: str) -> tuple[str, int]:
     """('fixed16', 16) below _IVF_SCALED_SWITCH embedding rows, else
     ('scaled', scaled_cell_count(n)) — resolved from parquet footers
     once per sf_dir and memoized."""
-    got = _IVF_SCHEME_CACHE.get(sf_dir)
+    key = _route_key(sf_dir)
+    got = _IVF_SCHEME_CACHE.get(key)
     if got is None:
         n = table_rows_metadata(sf_dir, "embeddings")
         if n >= _IVF_SCALED_SWITCH:
             got = ("scaled", S.scaled_cell_count(n))
         else:
             got = ("fixed16", 16)
-        _IVF_SCHEME_CACHE[sf_dir] = got
+        _IVF_SCHEME_CACHE[key] = got
     return got
 
 

@@ -3,33 +3,43 @@ the embedding-space sibling of streaming/dedup_index.py: new
 micro-batches of vectors are deduped against the accumulated index
 instead of re-running the all-corpus SemDeDup sweep.
 
-Semantics: vector b is a duplicate iff some vector a with a smaller
-id, anywhere in the corpus seen so far, shares >= 1 of the n_probe
-IVF cells with b and round(cos(a, b), 6) >= threshold — exactly the
-candidate rule of operators/similarity.neardup_pairs_ivf_candidates
-computed against a FROZEN centroid set. Because cell assignment
-depends only on (vector, centroids), a pair's candidacy is identical
-whether both members arrive in one batch or epochs apart, so the
-streamed survivor set equals the one-shot batch sweep for any
-id-ordered split (pinned in tests/test_semdedup_index.py on the
-clustered fixture, where IVF candidate recall vs the exact pair set
-is 1.0 by construction).
+Semantics (r12 — the asymmetric home-vs-probe rule, unified with the
+registered batch face per r11 verdict #4): vector b is a duplicate
+iff some vector a with a smaller id, anywhere in the corpus seen so
+far, is an ASYM candidate of b — home(a) ∈ probes(b) or
+home(b) ∈ probes(a), against a FROZEN centroid set — and
+round(cos(a, b), 6) >= threshold. This is exactly the candidate rule
+of operators/similarity.neardup_pairs_ivf_asym; the batch face, the
+survivors sweep below, and this index now share ONE implementation
+(asym_cell_rows + pairs_from_asym_cell_rows) instead of being twins
+by convention. Because home/probe assignment depends only on
+(vector, centroids), a pair's candidacy is identical whether both
+members arrive in one batch or epochs apart, so the streamed
+survivor set equals the one-shot batch sweep for any id-ordered
+split (pinned in tests/test_semdedup_index.py on the clustered
+fixture, where candidate recall vs the exact pair set is 1.0 by
+construction).
 
-Index contents: (cell, id, vec) — one row per vector per probed cell
-(the multi-probe analogue of the band rows in dedup_index; storing
-all n_probe assignments makes "share >= 1 cell" an equi-join). As in
-the MinHash index, EVERY seen vector is recorded, duplicates
-included, so a dup-of-a-dup is still caught. Epoch-scoped overwrites
-give replay idempotence; compact_epochs bounds directory growth.
+Index contents: (cell, id, vec, role) — one 'h' row at the vector's
+home cell + n_probe 'p' rows at its probed cells (1 + n_probe = 7
+payload copies at the default, vs the retired symmetric layout's
+10). Storing BOTH roles makes each OR-rule direction an equi-join:
+a cross pair surfaces either in the index vector's home cell (index
+'h' × batch 'p') or the batch vector's home cell (batch 'h' × index
+'p'). As in the MinHash index, EVERY seen vector is recorded,
+duplicates included, so a dup-of-a-dup is still caught. Epoch-scoped
+overwrites give replay idempotence; compact_epochs bounds directory
+growth.
 
-At 100 TB: per-epoch cost is O(new vectors * n_probe) assignment
-rows + one cell equi-join whose per-cell fan-in is corpus/n_centroids
-x batch/n_centroids x n_probe^2 — n_centroids is the scale dial, and
-the centroid set is swapped by an offline rebuild + directory swap
-exactly like streaming/ann_index.py documents. The per-candidate
-verify here is the expression cosine (bit-identical fold to the
-oracle); the Arrow GEMM swap used by the batch sweep applies
-unchanged when candidate volume warrants it.
+At 100 TB: per-epoch cost is O(new vectors * (1 + n_probe))
+assignment rows + one cell equi-join whose per-cell GEMM is
+homes × probes (~16× fewer gate FLOPs than the symmetric all-pairs
+form at the default operating point) — n_centroids is the scale
+dial, and the centroid set is swapped by an offline rebuild +
+directory swap exactly like streaming/ann_index.py documents. The
+per-candidate verify is the two-stage f32-gated Arrow kernel with
+the exact f64 refold — emitted values bit-identical to the
+expression cosine.
 """
 
 from __future__ import annotations
@@ -41,10 +51,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
-    cosine,
-    nearest_cells,
-    neardup_pairs_ivf_candidates,
-    pairs_from_cell_rows,
+    asym_cell_rows,
+    neardup_pairs_ivf_asym,
+    pairs_from_asym_cell_rows,
     sample_centroids,
 )
 
@@ -91,17 +100,18 @@ def batch_semdedup_survivors(
     threshold: float = 0.9,
     cents: list[tuple[int, list[float]]] | None = None,
     n_centroids: int | None = None,
-    n_probe: int = 10,
+    n_probe: int = 6,
     id_col: str = "vec_id",
     n_rows: int | None = None,
 ) -> DataFrame:
-    """The batch twin: vectors with no smaller-id IVF-candidate match
-    in the whole input — one anti-join off the candidate pair set.
-    ``n_centroids=None`` inherits the corpus-scaled cell count
-    (constant occupancy — see neardup_pairs_ivf_candidates); the
+    """The batch twin: vectors with no smaller-id asym-candidate match
+    in the whole input — one anti-join off the candidate pair set of
+    the SAME generator the registered `llm_semdedup` face uses
+    (neardup_pairs_ivf_asym; r12 unification). ``n_centroids=None``
+    inherits the corpus-scaled cell count (constant occupancy); the
     streaming index keeps its explicit frozen-centroid contract."""
     dropped = (
-        neardup_pairs_ivf_candidates(
+        neardup_pairs_ivf_asym(
             emb, threshold, id_col=id_col, n_centroids=n_centroids,
             n_probe=n_probe, cents=cents, n_rows=n_rows,
         )
@@ -111,66 +121,26 @@ def batch_semdedup_survivors(
     return emb.join(dropped, id_col, "left_anti")
 
 
-def _cross_dropped_kernel(
+def _cross_dropped(
     batch_cells: DataFrame, idx_cells: DataFrame, threshold: float
 ) -> DataFrame:
-    """Batch-vs-index candidate verify on the cell equi-join, executed
-    per cell as the two-stage Arrow GEMM (BLAS prefilter over
-    normalized vectors, then the exact left-to-right float64 fold on
-    survivors — operators/similarity.pairs_from_cell_rows discipline).
-    Replaces the r7 per-row expression cosine, whose interpreted
-    64-dim fold over every cell-sharing candidate made per-epoch cost
-    explode as the index grew (the r7 verdict #5 'index-rescan
-    blowup': ~10⁸ candidate folds by epoch 3 of the sf1 soak).
-    Emitted values are bit-identical: the authoritative
-    round(cos, 6) >= threshold filter runs JVM-side on the exact-fold
-    cosine, exactly like the batch path."""
-    import pandas as pd
-
-    pre_threshold = threshold - 1e-6  # HALF_UP superset margin
-    both = batch_cells.select("cell", "_id", "_vec", F.lit("n").alias("_side")).unionByName(
-        idx_cells.select("cell", "_id", "_vec", F.lit("i").alias("_side"))
+    """Batch-vs-index asym candidate verify: union the two role-tagged
+    row sets under a ``_side`` marker and run the SHARED pair kernel
+    (operators/similarity.pairs_from_asym_cell_rows,
+    cross_sides_only=True) — only index×batch pairings are scored, so
+    the per-epoch cost never re-pairs the index against itself (the
+    r7 'index-rescan blowup' guard, carried over from the symmetric
+    kernel this replaces in r12). Emitted values are bit-identical to
+    the batch face's: same f32 gate, same exact f64 refold, same
+    JVM-side round(cos, 6) >= threshold filter."""
+    both = batch_cells.select(
+        "cell", "_id", "_vec", "role", F.lit("n").alias("_side")
+    ).unionByName(
+        idx_cells.select("cell", "_id", "_vec", "role", F.lit("i").alias("_side"))
     )
-
-    def _k(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np  # runs on executors
-
-        empty = pd.DataFrame(
-            {"b_id": pd.Series(dtype="int64"), "cos_raw": pd.Series(dtype="float64")}
-        )
-        old = pdf[pdf["_side"] == "i"]
-        new = pdf[pdf["_side"] == "n"]
-        if len(old) == 0 or len(new) == 0:
-            return empty
-        A = np.stack(old["_vec"].to_numpy()).astype(np.float64)
-        B = np.stack(new["_vec"].to_numpy()).astype(np.float64)
-        a_ids = old["_id"].to_numpy()
-        b_ids = new["_id"].to_numpy()
-        dim = A.shape[1]
-        na = np.zeros(len(A))
-        nb = np.zeros(len(B))
-        for d in range(dim):
-            na += A[:, d] * A[:, d]
-            nb += B[:, d] * B[:, d]
-        if (na == 0).any() or (nb == 0).any():
-            bad = list(a_ids[na == 0]) + list(b_ids[nb == 0])
-            raise ValueError(f"zero-norm embedding(s) {bad[:5]}: cosine undefined")
-        ra, rb = np.sqrt(na), np.sqrt(nb)
-        fast = (A * (1.0 / ra)[:, None]) @ (B * (1.0 / rb)[:, None]).T
-        mask = (a_ids[:, None] < b_ids[None, :]) & (fast >= pre_threshold - 1e-9)
-        ai, bi = np.nonzero(mask)
-        if len(ai) == 0:
-            return empty
-        Aa, Bb = A[ai], B[bi]
-        dots = np.zeros(len(ai))
-        for d in range(dim):
-            dots += Aa[:, d] * Bb[:, d]
-        cos = dots / (ra[ai] * rb[bi])
-        keep = cos >= pre_threshold
-        return pd.DataFrame({"b_id": b_ids[bi][keep], "cos_raw": cos[keep]})
-
-    cand = both.groupBy("cell").applyInPandas(_k, "b_id long, cos_raw double")
-    return cand.filter(F.round("cos_raw", 6) >= threshold).select("b_id")
+    return pairs_from_asym_cell_rows(
+        both, threshold, cross_sides_only=True
+    ).select("b_id")
 
 
 def ingest_embeddings_batch(
@@ -178,31 +148,32 @@ def ingest_embeddings_batch(
     epoch_id: int,
     index_dir: str,
     threshold: float = 0.9,
-    n_probe: int = 10,
+    n_probe: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
     """Dedup one micro-batch of vectors against the index, then commit
-    the batch's cell rows to it. Returns {"n_dropped": ...}."""
+    the batch's role-tagged cell rows to it. ``n_probe`` is part of
+    the index contract exactly like the frozen centroids: every epoch
+    of one index must use the same value, or the OR-rule's candidacy
+    differs across epochs. Returns {"n_dropped": ...}."""
     spark = batch.sparkSession
     cents = _load_centroids(index_dir)
-    batch_cells = (
-        batch.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-        .withColumn("cell", F.explode(nearest_cells(F.col("_vec"), cents, n_probe)["cell"]))
-        .localCheckpoint()
-    )
+    batch_cells = asym_cell_rows(
+        batch, cents, n_probe, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
 
     cells_path = _cells_dir(index_dir)
     cross_dropped = None
     if os.path.isdir(cells_path):
         idx = spark.read.parquet(cells_path)
-        cross_dropped = _cross_dropped_kernel(
-            batch_cells, idx.select("cell", "_id", "_vec"), threshold
+        cross_dropped = _cross_dropped(
+            batch_cells, idx.select("cell", "_id", "_vec", "role"), threshold
         ).select(F.col("b_id").alias(id_col))
     # reuse the checkpointed cell assignment: re-deriving it through
-    # neardup_pairs_ivf_candidates would evaluate the n_centroids-dot
-    # nearest_cells expression a second time over the whole batch
-    within_dropped = pairs_from_cell_rows(batch_cells, threshold).select(
+    # neardup_pairs_ivf_asym would run the assignment kernel a second
+    # time over the whole batch
+    within_dropped = pairs_from_asym_cell_rows(batch_cells, threshold).select(
         F.col("b_id").alias(id_col)
     )
     dropped = (
@@ -229,7 +200,7 @@ def start_semdedup_ingest(
     schema=None,
     max_files_per_trigger: int = 1,
     threshold: float = 0.9,
-    n_probe: int = 10,
+    n_probe: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):

@@ -1055,9 +1055,11 @@ def test_asym_pairing_recall_on_planted_margin(spark):
     candidate rule must find EXACTLY the exact path's pair set — same
     (a, b, cos) tuples bitwise — on the planted-margin fixture at the
     SemDeDup operating regime (seeded duplicates at cos≈0.93,
-    threshold 0.9, isotropic noise floor ≈0.45). This pin is the
-    license for switching the registered semdedup faces to the
-    asymmetric generator (staged for r12)."""
+    threshold 0.9, isotropic noise floor ≈0.45). This pin licensed
+    switching the registered semdedup faces to the asymmetric
+    generator — `llm_semdedup` flipped in r11 (and was externally
+    hash-verified that same round: it sat in the live r11 window);
+    the survivors face and the streaming index follow in r12."""
     import numpy as np
 
     rng = np.random.default_rng(41)
@@ -1114,9 +1116,13 @@ def test_asym_pairing_subset_and_bitwise_at_noise_threshold(spark, sf_med):
 def test_lsh_scaled_route_bitwise_vs_twin(spark, tmp_path):
     """r11: the LSH face's corpus-scaled plane route, end-to-end
     bitwise. A synthetic 20k-vector corpus sits exactly at the switch:
-    the resolver must pick ('scaled', 7), the face must prune to
-    probed buckets, and the regenerated 7-plane twin must reproduce
-    every row bitwise."""
+    the resolver must pick ('scaled', 7) and the regenerated 7-plane
+    twin must reproduce every row bitwise. (At 7 planes = 128 buckets
+    the probed-bucket corpus pruning is deliberately SKIPPED — the
+    `(1 << n_planes) >= _LSH_PRUNE_MIN_BUCKETS` gate in lsh_ann_topk
+    — so this pin covers the scaled-signature path, not the pruning
+    branch; that branch is pinned by
+    test_lsh_probed_bucket_prune_is_result_neutral below.)"""
     import duckdb
     import numpy as np
     import pyarrow as pa
@@ -1158,6 +1164,35 @@ def test_lsh_scaled_route_bitwise_vs_twin(spark, tmp_path):
         assert got and twin == got
     finally:
         L.clear_lsh_planes_cache()
+
+
+def test_lsh_probed_bucket_prune_is_result_neutral(spark, monkeypatch):
+    """r12 (r11 ADVICE #3): the probed-bucket corpus pruning branch —
+    gated at >= _LSH_PRUNE_MIN_BUCKETS buckets — must be a pure
+    optimization: with 8 planes (256 buckets, gate ON) and few enough
+    queries that the probed set is under half the buckets, the top-k
+    result must be row-identical to the same call with pruning
+    disabled. Corpus rows in unprobed buckets can never reach a query
+    group, so the filter only removes shuffle volume."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    n, dim = 2000, 64
+    V = rng.standard_normal((n, dim))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10_000 + j, [float(x) for x in V[j * 7]]) for j in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(k=5, n_planes=8, dim=dim, multiprobe=2)
+    pruned = {tuple(map(str, r)) for r in S.lsh_ann_topk(emb, queries, **kw).collect()}
+    monkeypatch.setattr(S, "_LSH_PRUNE_MIN_BUCKETS", 1 << 60)
+    full = {tuple(map(str, r)) for r in S.lsh_ann_topk(emb, queries, **kw).collect()}
+    assert pruned and pruned == full
 
 
 def test_lsh_plane_count_pins():

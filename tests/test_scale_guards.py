@@ -52,6 +52,28 @@ def test_simhash_bucket_cap_bounds_pairs(spark):
     assert n_pairs < 400 * 399 / 2 / 10
 
 
+def test_bucket_presize_routes_agree(spark):
+    """r12 (r11 verdict #1): the small-corpus collect-then-filter
+    route (presize=False) and the scale route's map-side sizing pass
+    (presize=True) must emit the IDENTICAL pair set AND identical
+    saturation counters — on the planted hot-bucket corpus, where
+    buckets actually blow the cap, not just on clean data."""
+    docs = _boilerplate_corpus(spark, 400)
+    results, counters = [], []
+    for presize in (True, False):
+        for gen, name in (
+            (D.minhash_lsh_pairs, "mh"),
+            (D.simhash_neardup_pairs, "sh"),
+        ):
+            obs = Observation(f"{name}_{presize}")
+            out = gen(docs, max_bucket=50, observation=obs, presize=presize)
+            results.append((name, {tuple(map(str, r)) for r in out.collect()}))
+            counters.append((name, dict(obs.get)))
+    assert results[0] == results[2] and results[1] == results[3]
+    assert counters[0] == counters[2] and counters[1] == counters[3]
+    assert counters[0][1]["dropped_buckets"] > 0  # the cap really bit
+
+
 def test_bucket_cap_keeps_normal_recall(spark, sf_small):
     """On the real corpus (max observed bucket ≈ 240) the default cap
     must not drop anything — capped output == uncapped output."""
