@@ -29,7 +29,9 @@ a cross pair surfaces either in the index vector's home cell (index
 'p'). As in the MinHash index, EVERY seen vector is recorded,
 duplicates included, so a dup-of-a-dup is still caught. Epoch-scoped
 overwrites give replay idempotence; compact_epochs bounds directory
-growth.
+growth. (An index written before r12 lacks the role column and must
+be rebuilt — the same offline rebuild + directory swap a centroid
+change requires.)
 
 At 100 TB: per-epoch cost is O(new vectors * (1 + n_probe))
 assignment rows + one cell equi-join whose per-cell GEMM is

@@ -287,6 +287,11 @@ FAMILY_SF3 = [
     # decodes exactly once; decode is the constant factor, banded
     # equi-join the join shape)
     "llm_image_dedup_pairs",
+    # curation headliners (r11 verdict #6: no sf10/sf30 rows before
+    # r12) — documents-only, so the family dirs already carry their
+    # inputs; llm_contamination additionally feeds the
+    # capped_instance_frac trajectory (r11 verdict #7)
+    "llm_contamination", "llm_dup_span_removal", "llm_tfidf",
 ]
 
 
@@ -353,6 +358,279 @@ def generate_sf3(mult: int = 3, out_dir: str | None = None) -> None:
         "label": pa.array(rng.integers(0, 10, n), pa.int32()),
     }))
     print(f"generated sf{mult} family tables at {out_dir} in {time.time() - t0:.1f}s")
+
+
+REL_SF1_DIR = os.environ.get("SPARK_GRAFT_REL_SF1_DIR", "/tmp/spark_graft_rel_sf1")
+REL_SF10_DIR = os.environ.get("SPARK_GRAFT_REL_SF10_DIR", "/tmp/spark_graft_rel_sf10")
+REL_SF30_DIR = os.environ.get("SPARK_GRAFT_REL_SF30_DIR", "/tmp/spark_graft_rel_sf30")
+
+# The relational soak family (r11 verdict #6): the two headline
+# TPC-H-shaped joins had no sf10/sf30 rows — the dedup sweep proved
+# the soak finds cliffs the sf0.1 bench can't (cap-then-collect).
+FAMILY_REL = ["rel_nation_profit", "rel_local_supplier_volume"]
+
+
+def generate_rel(mult: int, out_dir: str) -> None:
+    """TPC-H-shaped soak tables at ``mult``× the sf1 row counts with
+    the DRIVER TESTDATA's value domains (real region names, NATION_i,
+    o_orderdate 1995 + ≤2400 d, 'red'-bearing p_name adjectives) —
+    the sf1 generator above predates the rel soak and used synthetic
+    REGION_i names, under which rel_local_supplier_volume's ASIA
+    filter matches nothing; these dirs keep all soak points
+    semantically comparable to the sf0.1 anchor. lineitem/orders are
+    written CHUNKED (5M-row pieces through one ParquetWriter) so
+    sf30's 180M-row lineitem never holds more than one chunk of
+    column arrays in memory."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED + 1000 + mult)
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(table, tbl):
+        pq.write_table(tbl, os.path.join(out_dir, f"{table}.parquet"))
+        print(f"  {table}: {tbl.num_rows} rows", flush=True)
+
+    write("region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+    }))
+    write("nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+
+    n = N["supplier"] * mult
+    write("supplier", pa.table({
+        "s_suppkey": pa.array(range(n)),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n)],
+        "s_nationkey": pa.array(rng.integers(0, 25, n), pa.int32()),
+        "s_acctbal": np.round(rng.uniform(0, 10_000, n), 2),
+    }))
+
+    n = N["customer"] * mult
+    segs = np.array(["FURNITURE", "MACHINERY", "AUTOMOBILE", "BUILDING", "HOUSEHOLD"])
+    write("customer", pa.table({
+        "c_custkey": pa.array(range(n)),
+        "c_name": [f"Customer#{i:09d}" for i in range(n)],
+        "c_nationkey": pa.array(rng.integers(0, 25, n), pa.int32()),
+        "c_acctbal": np.round(rng.uniform(-999, 10_000, n), 2),
+        "c_mktsegment": segs[rng.integers(0, len(segs), n)],
+    }))
+
+    n = N["part"] * mult
+    adjs = np.array(["large", "hot", "small", "cold", "dim", "red", "blue", "old"])
+    nouns = np.array(["ring", "bolt", "case", "tube", "disk", "plate", "wire", "rod"])
+    types = np.array(["LARGE", "ECONOMY", "STANDARD", "SMALL", "MEDIUM", "PROMO"])
+    ai, ni = rng.integers(0, len(adjs), n), rng.integers(0, len(nouns), n)
+    write("part", pa.table({
+        "p_partkey": pa.array(range(n)),
+        "p_name": [f"{adjs[a]} {nouns[b]}" for a, b in zip(ai, ni)],
+        "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n)],
+        "p_type": types[rng.integers(0, len(types), n)],
+        "p_size": pa.array(rng.integers(1, 51, n), pa.int32()),
+        "p_retailprice": np.round(900.0 + rng.uniform(0, 200, n), 2),
+    }))
+
+    day_ms = 86_400_000
+    base_ms = np.datetime64("1995-01-01").astype("datetime64[ms]").astype(np.int64)
+    prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+    chunk = 5_000_000
+
+    n = N["orders"] * mult
+    n_cust = N["customer"] * mult
+    schema = None
+    path = os.path.join(out_dir, "orders.parquet")
+    writer = None
+    for lo in range(0, n, chunk):
+        m = min(chunk, n - lo)
+        tbl = pa.table({
+            "o_orderkey": pa.array(np.arange(lo, lo + m)),
+            "o_custkey": pa.array(rng.integers(0, n_cust, m)),
+            "o_orderstatus": np.array(["O", "F", "P"])[rng.integers(0, 3, m)],
+            "o_totalprice": np.round(rng.uniform(1_000, 400_000, m), 2),
+            "o_orderdate": pa.array(
+                base_ms + rng.integers(0, 2400, m) * day_ms, pa.timestamp("ms")
+            ),
+            "o_orderpriority": prios[rng.integers(0, len(prios), m)],
+        })
+        if writer is None:
+            schema = tbl.schema
+            writer = pq.ParquetWriter(path, schema)
+        writer.write_table(tbl)
+    writer.close()
+    print(f"  orders: {n} rows", flush=True)
+
+    n = N["lineitem"] * mult
+    lines_per_order = n // (N["orders"] * mult)  # 4
+    path = os.path.join(out_dir, "lineitem.parquet")
+    writer = None
+    for lo in range(0, n, chunk):
+        m = min(chunk, n - lo)
+        pos = np.arange(lo, lo + m)
+        qty = rng.integers(1, 51, m).astype(np.float64)
+        tbl = pa.table({
+            "l_orderkey": pa.array(pos // lines_per_order),
+            "l_partkey": pa.array(rng.integers(0, N["part"] * mult, m)),
+            "l_suppkey": pa.array(rng.integers(0, N["supplier"] * mult, m)),
+            "l_linenumber": pa.array((pos % lines_per_order) + 1, pa.int32()),
+            "l_quantity": qty,
+            "l_extendedprice": np.round(qty * rng.uniform(900, 2100, m), 2),
+            "l_discount": np.round(rng.integers(0, 11, m) / 100.0, 2),
+            "l_tax": np.round(rng.integers(0, 9, m) / 100.0, 2),
+            "l_returnflag": np.array(["R", "N", "A"])[rng.integers(0, 3, m)],
+            "l_linestatus": np.array(["O", "F"])[rng.integers(0, 2, m)],
+            "l_shipdate": pa.array(
+                base_ms + rng.integers(0, 2400, m) * day_ms, pa.timestamp("ms")
+            ),
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(path, tbl.schema)
+        writer.write_table(tbl)
+    writer.close()
+    print(f"  lineitem: {n} rows", flush=True)
+    print(f"generated rel sf{mult} tables at {out_dir} in {time.time() - t0:.1f}s")
+
+
+def run_rel() -> None:
+    """The relational soak sweep: FAMILY_REL over every point whose
+    dir carries lineitem (sf0.1 = driver testdata anchor; sf1/sf10/
+    sf30 = generate_rel dirs with matching value domains). Appends a
+    'family_rel' block into SOAK_sf1.json with the same best-of-2 +
+    hygiene protocol as run_family."""
+    import math
+
+    from real_time_event_streaming_pipeline_spark.plans import all_queries
+    from real_time_event_streaming_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_soak_rel")
+    queries = all_queries()
+    dirs = {"sf0.1": "/root/testdata/sf0.1"}
+    for label, d in (("sf1", REL_SF1_DIR), ("sf10", REL_SF10_DIR),
+                     ("sf30", REL_SF30_DIR)):
+        if os.path.exists(os.path.join(d, "lineitem.parquet")):
+            dirs[label] = d
+    queries["rel_nation_profit"](spark, dirs["sf0.1"]).collect()  # warm-up
+    results: dict = {}
+    for name in FAMILY_REL:
+        results[name] = {}
+        for label, d in dirs.items():
+            best: float | str = float("inf")
+            try:
+                for _ in range(2):
+                    pinned = _hygiene(spark)
+                    t0 = time.perf_counter()
+                    queries[name](spark, d).collect()
+                    best = min(best, time.perf_counter() - t0)
+                best = round(best, 3)
+            except Exception as e:  # noqa: BLE001 — the sweep must finish
+                best = f"error: {type(e).__name__}"
+                pinned = -1
+            results[name][label] = best
+            print(f"  {name} @ {label}: {best} (pinned RDDs before: {pinned})",
+                  flush=True)
+
+    labels = list(dirs)
+    ratios = {"sf1": ("sf0.1", 10.0), "sf10": ("sf1", 10.0), "sf30": ("sf10", 3.0)}
+    print("\n| query | " + " | ".join(f"{l} (s)" for l in labels) + " | "
+          + " | ".join(f"exp →{l}" for l in labels[1:]) + " |")
+    print("|---|" + "---|" * (2 * len(labels) - 1))
+    for name, r in results.items():
+        cells = [str(r.get(l)) for l in labels]
+        for l in labels[1:]:
+            prev_l, fold = ratios[l]
+            a, b = r.get(prev_l), r.get(l)
+            if all(isinstance(x, (int, float)) and x > 0 for x in (a, b)):
+                cells.append(f"{math.log(b / a) / math.log(fold):.2f}")
+            else:
+                cells.append("—")
+        print(f"| {name} | " + " | ".join(cells) + " |")
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SOAK_sf1.json"
+    )
+    try:
+        with open(path) as fh:
+            existing = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        existing = {}
+    fam = existing.get("family_rel", {})
+    fam.update(results)
+    existing["family_rel"] = fam
+    with open(path, "w") as fh:
+        json.dump(existing, fh, indent=1, sort_keys=True)
+    print("\nwrote family_rel into SOAK_sf1.json")
+
+
+def run_cap_frac() -> None:
+    """The capped_instance_frac trajectory (r11 verdict #7): run the
+    two cap-observing faces (llm_dedup_ngram_jaccard via its
+    cap_observation, llm_contamination via its cross-split counters)
+    at every family soak point and record the derived fractions, so
+    the df-cap's semantic drift ('near-dup/contamination among ALL
+    shingles' degrading toward 'among rare shingles only') is caught
+    by data. Alarm threshold: capped_instance_frac > 0.25
+    (SCALING.md; sf1 ngram baseline 0.165)."""
+    from pyspark.sql import Observation
+
+    from real_time_event_streaming_pipeline_spark.plans import llmdata as L
+    from real_time_event_streaming_pipeline_spark.plans.curation import q_contamination
+    from real_time_event_streaming_pipeline_spark.session import get_spark
+
+    spark = get_spark("cap_frac_soak")
+    dirs = {"sf0.1": "/root/testdata/sf0.1", "sf1": SF1_DIR, "sf3": SF3_DIR}
+    if os.path.isdir(SF10_DIR):
+        dirs["sf10"] = SF10_DIR
+    if os.path.isdir(SF30_DIR):
+        dirs["sf30"] = SF30_DIR
+    out: dict = {}
+    for label, d in dirs.items():
+        out[label] = {}
+        for face, runner in (
+            ("llm_dedup_ngram_jaccard",
+             lambda s, sd, o: L.q_ngram_jaccard(s, sd, cap_observation=o)),
+            ("llm_contamination",
+             lambda s, sd, o: q_contamination(s, sd, cap_observation=o)),
+        ):
+            obs = Observation(f"cap_{face}_{label}")
+            _hygiene(spark)
+            try:
+                runner(spark, d, obs).collect()  # collect keeps CollectMetrics
+                m = {k: int(v or 0) for k, v in obs.get.items()}
+            except Exception as e:  # noqa: BLE001 — the sweep must finish
+                out[label][face] = f"error: {type(e).__name__}"
+                continue
+            sh_key = "cross_shingles" if "cross_shingles" in m else "n_shingles"
+            frac_sh = m["capped_shingles"] / m[sh_key] if m.get(sh_key) else 0.0
+            frac_inst = (
+                m["capped_instances"] / m["n_instances"] if m.get("n_instances") else 0.0
+            )
+            alarm = frac_inst > 0.25
+            out[label][face] = {
+                **m,
+                "capped_shingle_frac": round(frac_sh, 4),
+                "capped_instance_frac": round(frac_inst, 4),
+                "alarm": alarm,
+            }
+            print(f"  {face} @ {label}: inst_frac={frac_inst:.4f} "
+                  f"sh_frac={frac_sh:.4f}{'  ** ALARM **' if alarm else ''}",
+                  flush=True)
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SOAK_sf1.json"
+    )
+    try:
+        with open(path) as fh:
+            existing = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        existing = {}
+    existing["cap_frac"] = out
+    with open(path, "w") as fh:
+        json.dump(existing, fh, indent=1, sort_keys=True)
+    print("\nwrote cap_frac into SOAK_sf1.json")
 
 
 def run_family() -> None:
@@ -891,6 +1169,16 @@ def main() -> None:
         run()
     if "--run-sf3" in sys.argv:
         run_family()
+    if "--generate-rel-sf1" in sys.argv:
+        generate_rel(1, REL_SF1_DIR)
+    if "--generate-rel-sf10" in sys.argv:
+        generate_rel(10, REL_SF10_DIR)
+    if "--generate-rel-sf30" in sys.argv:
+        generate_rel(30, REL_SF30_DIR)
+    if "--run-rel" in sys.argv:
+        run_rel()
+    if "--cap-frac" in sys.argv:
+        run_cap_frac()
     if "--prune-demo" in sys.argv:
         # sf1's 85 cells cannot prune with n_probe=10 (n_probe²/cells
         # > 1 — measured 1.18× below); the corpus-scaled cell count
