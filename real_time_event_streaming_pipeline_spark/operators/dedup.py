@@ -164,15 +164,52 @@ def _observe_df_cap(grp: DataFrame, max_doc_freq: int, observation) -> DataFrame
     LSH bucket-saturation counters in _capped_bucket_lists."""
     if observation is None:
         return grp
-    return grp.observe(
-        observation,
+    # KNOWN LIMIT (r12): the observed node sits under a diamond in
+    # both ngram routes (it feeds the sizes leg and the pair/verify
+    # legs). At larger corpora (first seen at the sf3 soak point) AQE
+    # stops reusing the exchange, both legs evaluate the subtree —
+    # concurrently, so neither cache() nor localCheckpoint(eager=
+    # False) can pin it to one evaluation without changing the face's
+    # plan (checkpoint additionally detaches the metrics from the SQL
+    # execution and they read zero) — and PySpark's Observation.get
+    # then dies in toPyRow on the malformed metrics row. The driver
+    # sfs and sf1 are unaffected. Harnesses that sweep larger corpora
+    # fall back to `ngram_cap_profile` below: the SAME grp definition
+    # and the SAME counter expressions, evaluated as their own 1-row
+    # aggregate action.
+    return grp.observe(observation, *_cap_counter_exprs(max_doc_freq))
+
+
+def _cap_counter_exprs(max_doc_freq: int) -> list:
+    """The four truncation counters over a (shingle, ids) cap node —
+    ONE definition shared by the riding Observation and the direct
+    profile aggregate, so the two read-out paths cannot drift."""
+    return [
         F.count(F.lit(1)).alias("n_shingles"),
         F.count_if(F.size("ids") > max_doc_freq).alias("capped_shingles"),
         F.sum(F.size("ids")).alias("n_instances"),
         F.sum(
             F.when(F.size("ids") > max_doc_freq, F.size("ids")).otherwise(F.lit(0))
         ).alias("capped_instances"),
+    ]
+
+
+def ngram_cap_profile(
+    df: DataFrame, k: int = 3, max_doc_freq: int = 100, id_col: str = "doc_id"
+) -> dict:
+    """Truncation counters of the ngram stop-shingle cap as a direct
+    1-row aggregate over the SAME cap-node definition the pair
+    functions filter (doc_shingles → groupBy(shingle) → collect_list)
+    with the SAME expressions (_cap_counter_exprs). This is the
+    large-corpus read-out path for the counters — see the KNOWN LIMIT
+    note in _observe_df_cap."""
+    grp = (
+        doc_shingles(df, k, id_col)
+        .groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("ids"))
     )
+    row = grp.agg(*_cap_counter_exprs(max_doc_freq)).first()
+    return {k_: int(row[k_] or 0) for k_ in row.asDict()}
 
 
 def ngram_jaccard_pairs(

@@ -111,39 +111,100 @@ def q_contamination(
     harness reads cross_shingles / capped_shingles / n_instances /
     capped_instances after the action and alarms past the documented
     SCALING.md threshold, the same discipline as the LSH
-    bucket-saturation counters."""
+    bucket-saturation counters.
+
+    r12: at/above the shared presize switch (~20k docs, the
+    resolved_bucket_presize route also used by the minhash/simhash
+    faces) the cap is applied BEFORE the per-split lists materialize —
+    the r12 curation soak caught this face repeating the minhash
+    cap-then-collect cliff (a closed-vocabulary shingle's tr/te lists
+    grow linearly with the corpus and were built in full in one
+    aggregation buffer before the size filter discarded them; sf10
+    read 57.3 s with a 1.44 exponent step). A map-side-combined
+    conditional-count agg sizes both splits per shingle (only
+    (shingle, 2 counts) partials shuffle), the surviving shingle set
+    — cross-split AND under-cap on both sides — pre-filters the
+    shingle stream through a SHUFFLE_HASH join, and only then do the
+    bounded lists collect (≤ _CONTAM_MAX_DF each by construction).
+    Below the switch the r11 single-shuffle collect-then-filter shape
+    stays (the sizing pass is pure overhead there). The Observation
+    counters are value-identical on both routes (parity pinned in
+    tests/test_llmdata.py); the oracle is unchanged — same surviving
+    shingles, same output. Both routes drop the middle 80-90 bucket
+    band before the shuffle (those rows feed neither list)."""
+    from .llmdata import resolved_bucket_presize
+
     docs = load(spark, sf_dir, "documents")
     sh = doc_shingles(docs, k=5)
     bucket = split_bucket(F.col("doc_id"), 100)
-    # one pass over the shingle stream: collect train and test doc ids
-    # per shingle (collect_list drops the NULLs the other split
-    # produces), then cross the two small per-shingle lists map-side —
-    # no second shingle shuffle, no recomputation per join side
-    grp = sh.groupBy("shingle").agg(
-        F.collect_list(F.when(bucket < 80, F.col("doc_id"))).alias("tr"),
-        F.collect_list(F.when(bucket >= 90, F.col("doc_id"))).alias("te"),
+    # keep only the two splits' rows before any shuffle (the middle
+    # 80-90 bucket band feeds neither list; NULLs never entered the
+    # collect_lists, so output and counters are unchanged)
+    sh = sh.withColumn("_b", bucket).filter(
+        (F.col("_b") < 80) | (F.col("_b") >= 90)
     )
-    if cap_observation is not None:
-        # counters over CROSS-SPLIT shingles only (others never reach
-        # the output regardless of the cap)
-        cross = (F.size("te") > 0) & (F.size("tr") > 0)
-        over = (F.size("tr") > _CONTAM_MAX_DF) | (F.size("te") > _CONTAM_MAX_DF)
-        inst = F.size("tr") + F.size("te")
-        grp = grp.observe(
-            cap_observation,
-            F.count_if(cross).alias("cross_shingles"),
-            F.count_if(cross & over).alias("capped_shingles"),
-            F.sum(F.when(cross, inst).otherwise(F.lit(0))).alias("n_instances"),
-            F.sum(F.when(cross & over, inst).otherwise(F.lit(0))).alias(
-                "capped_instances"
-            ),
+    tr_of = F.collect_list(F.when(F.col("_b") < 80, F.col("doc_id"))).alias("tr")
+    te_of = F.collect_list(F.when(F.col("_b") >= 90, F.col("doc_id"))).alias("te")
+    if resolved_bucket_presize(sf_dir):
+        sizes = sh.groupBy("shingle").agg(
+            F.count_if(F.col("_b") < 80).alias("_ntr"),
+            F.count_if(F.col("_b") >= 90).alias("_nte"),
         )
-    grp = grp.filter(
-        (F.size("te") > 0)
-        & (F.size("tr") > 0)
-        & (F.size("tr") <= _CONTAM_MAX_DF)
-        & (F.size("te") <= _CONTAM_MAX_DF)
-    )
+        if cap_observation is not None:
+            # counters over CROSS-SPLIT shingles only (others never
+            # reach the output regardless of the cap) — same values
+            # the list-size form derives from size(tr)/size(te)
+            cross = (F.col("_nte") > 0) & (F.col("_ntr") > 0)
+            over = (F.col("_ntr") > _CONTAM_MAX_DF) | (
+                F.col("_nte") > _CONTAM_MAX_DF
+            )
+            inst = F.col("_ntr") + F.col("_nte")
+            sizes = sizes.observe(
+                cap_observation,
+                F.count_if(cross).alias("cross_shingles"),
+                F.count_if(cross & over).alias("capped_shingles"),
+                F.sum(F.when(cross, inst).otherwise(F.lit(0))).alias("n_instances"),
+                F.sum(F.when(cross & over, inst).otherwise(F.lit(0))).alias(
+                    "capped_instances"
+                ),
+            )
+        kept = sizes.filter(
+            (F.col("_ntr") >= 1) & (F.col("_ntr") <= _CONTAM_MAX_DF)
+            & (F.col("_nte") >= 1) & (F.col("_nte") <= _CONTAM_MAX_DF)
+        ).select("shingle")
+        # UNLIKE dedup._capped_bucket_lists, the join strategy is left
+        # to AQE here: on a saturated closed vocabulary the under-cap
+        # cross-split shingle set is SMALL (the cap excludes every hot
+        # shingle), so AQE broadcasts `kept` and the full shingle
+        # stream crosses NO exchange — only the surviving rows shuffle
+        # into the bounded collect. (A SHUFFLE_HASH hint here forced
+        # the whole 144M-row sf30 stream through the join exchange and
+        # measured SLOWER than the r11 collect-then-filter shape,
+        # 165.8 vs 141.3 s; the minhash case differs because its kept
+        # bucket set is large and its payloads dominate.) Aggregation
+        # buffers stay bounded at 2·_CONTAM_MAX_DF ids either way.
+        grp = sh.join(kept, "shingle").groupBy("shingle").agg(tr_of, te_of)
+    else:
+        grp = sh.groupBy("shingle").agg(tr_of, te_of)
+        if cap_observation is not None:
+            cross = (F.size("te") > 0) & (F.size("tr") > 0)
+            over = (F.size("tr") > _CONTAM_MAX_DF) | (F.size("te") > _CONTAM_MAX_DF)
+            inst = F.size("tr") + F.size("te")
+            grp = grp.observe(
+                cap_observation,
+                F.count_if(cross).alias("cross_shingles"),
+                F.count_if(cross & over).alias("capped_shingles"),
+                F.sum(F.when(cross, inst).otherwise(F.lit(0))).alias("n_instances"),
+                F.sum(F.when(cross & over, inst).otherwise(F.lit(0))).alias(
+                    "capped_instances"
+                ),
+            )
+        grp = grp.filter(
+            (F.size("te") > 0)
+            & (F.size("tr") > 0)
+            & (F.size("tr") <= _CONTAM_MAX_DF)
+            & (F.size("te") <= _CONTAM_MAX_DF)
+        )
     hits = F.flatten(
         F.transform(
             F.col("te"),
@@ -334,7 +395,16 @@ def q_tfidf(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
     # Diamond: tf feeds both the df aggregate and the scored join.
     # Without the checkpoint Spark re-runs the scan+explode per branch.
     tf = tf.localCheckpoint(eager=False)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # r12: the df table is Heaps-law sized (vocabulary, not corpus —
+    # ~10^6-10^7 terms even at web scale) and the tf⋈dfreq key is
+    # Zipf-skewed, so broadcasting it beats any shuffled join: the
+    # 46M-row sf30 tf stream crosses no exchange for the join at all
+    # (measured 12.9 → 8.8 s at sf30 under the 8×-cores partition
+    # posture). A corpus whose vocab genuinely exceeds broadcast range
+    # (≫10^7 distinct tokens) would drop the hint and lean on AQE
+    # skew-split — noted, not routed, since no soak corpus approaches
+    # it.
+    dfreq = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")

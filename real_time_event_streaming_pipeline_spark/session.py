@@ -50,6 +50,22 @@ def get_spark(
         # to <16 partitions, idling half the cores; at cluster scale the
         # size-based target dominates and this floor is never binding)
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # r12: big shuffles need MORE partitions than cores, and AQE
+        # can only coalesce DOWN from the initial count. With the
+        # initial number pinned at the 32-core default, the sf30 soak
+        # corpora pushed ~220MB+ of shuffled shingle stream and
+        # million-key list aggregations into each task (16g driver
+        # heap ÷ 32 concurrent tasks) — spill territory, measured as
+        # the contamination face's 1.3+ exponent step. 8× cores as the
+        # initial count bounds per-task aggregation state; AQE
+        # coalesces small stages back toward core count, so sub-GB
+        # queries keep their plan economics. At cluster scale the same
+        # posture holds: initialPartitionNum ≳ a few × total cores,
+        # advisory size doing the real work.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * (shuffle_partitions or cpus)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

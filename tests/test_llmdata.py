@@ -1050,6 +1050,51 @@ def test_contamination_cap_observation(spark, sf_med):
     assert got["cross_shingles"] > 0  # the driver corpus does share shingles
 
 
+def test_contamination_presize_routes_agree(spark, tmp_path, monkeypatch):
+    """r12: the contamination presize route (cap applied before the
+    per-split lists materialize) must emit the IDENTICAL output AND
+    identical cap counters as the r11 collect-then-filter shape — on
+    a planted corpus whose hottest 5-gram blows the train-side cap,
+    so the capped branch is exercised, not just clean data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Observation
+
+    from real_time_event_streaming_pipeline_spark.plans import llmdata as L
+    from real_time_event_streaming_pipeline_spark.plans.curation import (
+        q_contamination,
+    )
+
+    # 400 docs all sharing one boilerplate 5-gram (df >> 100 on the
+    # train split) plus per-doc distinct tails that cross splits at
+    # small df
+    hot = "alpha beta gamma delta epsilon"
+    # tails with small moduli so the hot+tail mixed 5-grams recur at
+    # df ≈ 80 (cross-split, under the 100 cap → they ARE the output)
+    rows = [(i, f"{hot} tail{i % 5} tail{(i + 1) % 5} end{i % 3} fin{i % 2}")
+            for i in range(400)]
+    sf = tmp_path / "corpus"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": [r[1] for r in rows],
+        }),
+        sf / "documents.parquet",
+    )
+    out = {}
+    for route in (True, False):
+        monkeypatch.setattr(L, "resolved_bucket_presize", lambda d, _r=route: _r)
+        obs = Observation(f"contam_{route}")
+        res = {
+            tuple(map(str, r))
+            for r in q_contamination(spark, str(sf), cap_observation=obs).collect()
+        }
+        out[route] = (res, {k: int(v or 0) for k, v in obs.get.items()})
+    assert out[True] == out[False]
+    assert out[True][1]["capped_shingles"] > 0  # the cap really bit
+
+
 def test_asym_pairing_recall_on_planted_margin(spark):
     """SCALING.md item 13 landed (r11): the asymmetric home-vs-probe
     candidate rule must find EXACTLY the exact path's pair set — same

@@ -109,24 +109,32 @@ def test_blocked_exact_path_matches_exact_fold_reference(spark):
 
 def test_cross_batch_kernel_matches_exact_fold_reference(spark):
     """The incremental index's old-vs-new kernel: dropped new ids must
-    be exactly those with a smaller-id reference match over threshold."""
+    be exactly those with a smaller-id reference match over threshold.
+    r12: the kernel is the SHARED asym pair kernel with
+    cross_sides_only=True over role-tagged rows; with every vector
+    carrying both its 'h' and 'p' row in the one cell (n_probe=1 —
+    probes = {home}), the OR-rule reduces to the symmetric
+    share-a-cell rule this reference states."""
     from real_time_event_streaming_pipeline_spark.streaming.semdedup_index import (
-        _cross_dropped_kernel,
+        _cross_dropped,
     )
 
     ids, vecs = _fixture(seed=23)
     half = len(ids) // 2
-    old = spark.createDataFrame(
-        [(0, ids[i], vecs[i]) for i in range(half)],
-        "cell int, _id long, _vec array<double>",
-    )
-    new = spark.createDataFrame(
-        [(0, ids[i], vecs[i]) for i in range(half, len(ids))],
-        "cell int, _id long, _vec array<double>",
-    )
-    got = {
-        r["b_id"] for r in _cross_dropped_kernel(new, old, THRESHOLD).collect()
-    }
+
+    def tagged(lo, hi):
+        return spark.createDataFrame(
+            [
+                (0, ids[i], vecs[i], role)
+                for i in range(lo, hi)
+                for role in ("h", "p")
+            ],
+            "cell int, _id long, _vec array<double>, role string",
+        )
+
+    old = tagged(0, half)
+    new = tagged(half, len(ids))
+    got = {r["b_id"] for r in _cross_dropped(new, old, THRESHOLD).collect()}
     ref = _reference_pairs(ids, vecs)
     old_ids = set(ids[:half])
     # every old id is smaller than every new id in this split, so the

@@ -600,9 +600,27 @@ def run_cap_frac() -> None:
             try:
                 runner(spark, d, obs).collect()  # collect keeps CollectMetrics
                 m = {k: int(v or 0) for k, v in obs.get.items()}
+                m["source"] = "observation"
             except Exception as e:  # noqa: BLE001 — the sweep must finish
-                out[label][face] = f"error: {type(e).__name__}"
-                continue
+                if face == "llm_dedup_ngram_jaccard":
+                    # the riding Observation is diamond-doubled at
+                    # sf3+ and PySpark's get dies in toPyRow (the
+                    # KNOWN LIMIT in dedup._observe_df_cap); read the
+                    # SAME counters via the direct profile aggregate
+                    try:
+                        from real_time_event_streaming_pipeline_spark.catalog import load
+                        from real_time_event_streaming_pipeline_spark.operators.dedup import (
+                            ngram_cap_profile,
+                        )
+
+                        m = ngram_cap_profile(load(spark, d, "documents"))
+                        m["source"] = "profile_fallback"
+                    except Exception as e2:  # noqa: BLE001
+                        out[label][face] = f"error: {type(e2).__name__}"
+                        continue
+                else:
+                    out[label][face] = f"error: {type(e).__name__}"
+                    continue
             sh_key = "cross_shingles" if "cross_shingles" in m else "n_shingles"
             frac_sh = m["capped_shingles"] / m[sh_key] if m.get(sh_key) else 0.0
             frac_inst = (
