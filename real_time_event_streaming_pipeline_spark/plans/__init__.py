@@ -522,20 +522,20 @@ _PRIORITY_R12 = _PRIORITY_R12_PLAN
 # name so each round's rewire is a one-line change, not a test edit.
 PRIORITY_WINDOW = _PRIORITY_R12
 
-# The PLANNED r13 window (wire-time placeholder, refined at r12
-# close-out per the handoff discipline): with _PRIORITY_R12 landing
-# in r12, the deadline-r14 block is the six r10-verdict text-battery
-# fillers at the tail of the r12 plan (already pre-drained there) —
-# so ZERO rows are forced by r13 and the whole r14 wave (the 44
-# r11-verdict rows of the r11 window) is due by r14. This plan
-# pre-drains that entire wave, honoring the one-round-lag commitment
-# first: r12 touched the minhash/simhash capped-bucket route switch
-# (llm_dedup_minhash_lsh, llm_dedup_simhash_pairs, llm_dedup_clusters,
-# llm_corpus_pipeline, llm_image_dedup_pairs ride it), the BPE
-# word-type encode (llm_bpe_encode), and the asym semdedup unification
-# (llm_semdedup, llm_semdedup_survivors) — all already members of the
-# r11-verdict wave below, so the commitment and the deadline drain
-# coincide. Fillers: the remaining r11-window rows.
+# The PLANNED r13 window (refined at r12 close-out per the handoff
+# discipline): with _PRIORITY_R12 landing in r12, ZERO rows are
+# forced by r13 and the whole r11-verdict wave (the 50 rows of the
+# r11 window) is due by r14. This plan pre-drains that entire wave,
+# which ALSO happens to discharge the one-round-lag commitment for
+# everything round 12 actually touched outside the live r12 window:
+# the asym semdedup unification changed llm_semdedup /
+# llm_semdedup_survivors (rows 2-3 of the r11 plan), and the
+# session-level 8× initialPartitionNum posture plan-changes every
+# face — covered by the r12 window's own 50 external verdicts this
+# round plus this full-wave drain next round. (The r12-touched
+# minhash/simhash presize route, the contamination presize route,
+# and the tfidf broadcast all sat INSIDE the live r12 window and
+# carry fresh external verdicts already.)
 _PRIORITY_R13_PLAN = _PRIORITY_R11_PLAN
 
 STAGED_NEXT_WINDOW = _PRIORITY_R13_PLAN

@@ -565,6 +565,35 @@ def run_rel() -> None:
     print("\nwrote family_rel into SOAK_sf1.json")
 
 
+def run_family_isolated() -> None:
+    """One SUBPROCESS per face (r12): the shared-session sweep
+    measures long-session degradation on the Python-worker/BLAS-heavy
+    faces that _hygiene cannot reclaim — llm_semdedup_survivors read
+    31.0 s at sf30 as face 6 of 17 in one session vs 16.1 s
+    standalone, same code, same box, same protocol. Each face here
+    runs `--run-sf3 --only=<face>` in its own process (fresh JVM,
+    fresh python workers), so a row's wall is the FACE's, not the
+    session history's; rows merge into the same family_sf3 block.
+    Costs one ~20 s JVM startup per face; use --only=a,b to subset."""
+    only = [
+        n for a in sys.argv if a.startswith("--only=") for n in a.split("=", 1)[1].split(",")
+    ]
+    family = [n for n in FAMILY_SF3 if not only or n in only]
+    import subprocess
+
+    for name in family:
+        print(f"--- isolated: {name} ---", flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-sf3", f"--only={name}"],
+            capture_output=True, text=True, timeout=3600,
+        )
+        for line in (r.stdout or "").splitlines():
+            if "@ sf" in line or line.startswith("|"):
+                print(line, flush=True)
+        if r.returncode != 0:
+            print(f"  {name}: subprocess exit {r.returncode}", flush=True)
+
+
 def run_cap_frac() -> None:
     """The capped_instance_frac trajectory (r11 verdict #7): run the
     two cap-observing faces (llm_dedup_ngram_jaccard via its
@@ -1187,6 +1216,8 @@ def main() -> None:
         run()
     if "--run-sf3" in sys.argv:
         run_family()
+    if "--run-sf3-isolated" in sys.argv:
+        run_family_isolated()
     if "--generate-rel-sf1" in sys.argv:
         generate_rel(1, REL_SF1_DIR)
     if "--generate-rel-sf10" in sys.argv:
