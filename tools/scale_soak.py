@@ -495,6 +495,132 @@ def generate_rel(mult: int, out_dir: str) -> None:
     print(f"generated rel sf{mult} tables at {out_dir} in {time.time() - t0:.1f}s")
 
 
+# Window/session machinery at soak scale (r12): the cs_*/rel_ session
+# faces had no point above sf1's 1M events. Swept over any rel dir
+# carrying events.parquet.
+FAMILY_EVENTS = [
+    "cs_windowed_agg", "cs_sliding_agg", "cs_summary_city",
+    "rel_user_sessions", "rel_session_window_native", "rel_user_event_gaps",
+]
+
+
+def generate_events(mult: int, out_dir: str) -> None:
+    """events at ``mult``× the sf1 row count (1M) into a rel soak dir —
+    same schema and recurrences as the sf1 generator (cumulative 1-12 s
+    gaps, 5 event types, JSON props), user population scaled with the
+    corpus so per-user session shapes stay comparable. Chunked with the
+    timestamp cumsum carried across chunks."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED + 2000 + mult)
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    n = N["events"] * mult
+    etypes = np.array(["error", "signup", "purchase", "view", "click"])
+    chunk = 5_000_000
+    base_us = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
+    carry = base_us
+    writer = None
+    path = os.path.join(out_dir, "events.parquet")
+    for lo in range(0, n, chunk):
+        m = min(chunk, n - lo)
+        ts = carry + np.cumsum(rng.integers(1_000_000, 12_000_000, m))
+        carry = int(ts[-1])
+        tbl = pa.table({
+            "event_id": pa.array(np.arange(lo, lo + m)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 15_000 * mult, m)),
+            "event_type": etypes[rng.integers(0, len(etypes), m)],
+            "value": np.round(rng.uniform(1, 500, m), 2),
+            "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, m)],
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(path, tbl.schema)
+        writer.write_table(tbl)
+    writer.close()
+    print(f"  events: {n} rows at {out_dir} in {time.time() - t0:.1f}s", flush=True)
+
+
+def run_events() -> None:
+    """FAMILY_EVENTS over every soak point carrying events.parquet —
+    merged into SOAK_sf1.json under 'family_events'.
+
+    PROTOCOL: execute-only (noop sink), NOT .collect() — unlike the
+    other families, most window/session faces emit O(events) rows
+    (per-event gaps, per-minute windows, per-user sessions), so a
+    .collect() at sf30 measures 30M-row driver materialization (and
+    OOMs the 16g driver on the session faces) instead of the
+    operator. A cluster deployment writes these outputs; the noop
+    sink is that measurement. The first (collect-protocol) run of
+    this family is preserved in SCALING.md as the evidence."""
+    import math
+
+    from real_time_event_streaming_pipeline_spark.plans import all_queries
+    from real_time_event_streaming_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_soak_events")
+    queries = all_queries()
+    dirs = {"sf0.1": "/root/testdata/sf0.1"}
+    for label, d in (("sf1", SF1_DIR), ("sf10", REL_SF10_DIR), ("sf30", REL_SF30_DIR)):
+        if os.path.exists(os.path.join(d, "events.parquet")):
+            dirs[label] = d
+    queries["cs_windowed_agg"](spark, dirs["sf0.1"]).collect()  # warm-up
+    results: dict = {}
+    for name in FAMILY_EVENTS:
+        results[name] = {}
+        for label, d in dirs.items():
+            best: float | str = float("inf")
+            try:
+                for _ in range(2):
+                    pinned = _hygiene(spark)
+                    t0 = time.perf_counter()
+                    queries[name](spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                best = round(best, 3)
+            except Exception as e:  # noqa: BLE001 — the sweep must finish
+                best = f"error: {type(e).__name__}"
+                pinned = -1
+            results[name][label] = best
+            print(f"  {name} @ {label}: {best} (pinned RDDs before: {pinned})",
+                  flush=True)
+
+    labels = list(dirs)
+    ratios = {"sf1": ("sf0.1", 10.0), "sf10": ("sf1", 10.0), "sf30": ("sf10", 3.0)}
+    print("\n| query | " + " | ".join(f"{l} (s)" for l in labels) + " | "
+          + " | ".join(f"exp →{l}" for l in labels[1:]) + " |")
+    print("|---|" + "---|" * (2 * len(labels) - 1))
+    for name, r in results.items():
+        cells = [str(r.get(l)) for l in labels]
+        for l in labels[1:]:
+            prev_l, fold = ratios[l]
+            a, b = r.get(prev_l), r.get(l)
+            if all(isinstance(x, (int, float)) and x > 0 for x in (a, b)):
+                cells.append(f"{math.log(b / a) / math.log(fold):.2f}")
+            else:
+                cells.append("—")
+        print(f"| {name} | " + " | ".join(cells) + " |")
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SOAK_sf1.json"
+    )
+    try:
+        with open(path) as fh:
+            existing = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        existing = {}
+    fam = existing.get("family_events", {})
+    fam.update(results)
+    fam["_protocol"] = "execute-only (noop sink) — see run_events docstring"
+    existing["family_events"] = fam
+    with open(path, "w") as fh:
+        json.dump(existing, fh, indent=1, sort_keys=True)
+    print("\nwrote family_events into SOAK_sf1.json")
+
+
 def run_rel() -> None:
     """The relational soak sweep: FAMILY_REL over every point whose
     dir carries lineitem (sf0.1 = driver testdata anchor; sf1/sf10/
@@ -1226,6 +1352,12 @@ def main() -> None:
         generate_rel(30, REL_SF30_DIR)
     if "--run-rel" in sys.argv:
         run_rel()
+    if "--generate-events-sf10" in sys.argv:
+        generate_events(10, REL_SF10_DIR)
+    if "--generate-events-sf30" in sys.argv:
+        generate_events(30, REL_SF30_DIR)
+    if "--run-events" in sys.argv:
+        run_events()
     if "--cap-frac" in sys.argv:
         run_cap_frac()
     if "--prune-demo" in sys.argv:
