@@ -102,6 +102,46 @@ def table_rows_metadata(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def table_column_bytes_metadata(sf_dir: str, name: str, column: str) -> int:
+    """Total UNCOMPRESSED bytes of one column, from parquet footers
+    only — no Spark job (the table_rows_metadata discipline). Footers
+    record per-row-group per-column total_uncompressed_size, so this
+    is an O(files) metadata read that sizes a text column's raw
+    volume; corpus-size route switches (e.g. the tfidf df-broadcast
+    gate) use it to Heaps-estimate vocabulary without scanning data."""
+    import pyarrow.parquet as pq
+
+    def _file_bytes(f: str) -> int:
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.names
+        if column not in names:
+            raise KeyError(
+                f"table_column_bytes_metadata: column {column!r} not in "
+                f"{f!r} (have {names})"
+            )
+        ci = names.index(column)
+        return sum(
+            md.row_group(g).column(ci).total_uncompressed_size
+            for g in range(md.num_row_groups)
+        )
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        files = [
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            raise FileNotFoundError(
+                f"table_column_bytes_metadata: directory {path!r} contains "
+                "no *.parquet files at any depth"
+            )
+        return sum(_file_bytes(f) for f in files)
+    return _file_bytes(path)
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """THE one ts-unit guard, shared by batch and stream so they can
     never diverge: the driver's testdata has shipped `events.ts` both

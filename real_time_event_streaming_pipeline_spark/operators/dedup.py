@@ -438,7 +438,8 @@ def _capped_bucket_lists(
     buckets are dropped AFTER materialization. Counters
     (dropped_buckets / max_bucket_seen) are computed from size(xs) and
     match the pre-size route's values exactly; results are identical
-    (parity pinned in tests/test_operators.py). Callers resolve the
+    (parity pinned in tests/test_scale_guards.py::
+    test_bucket_presize_routes_agree). Callers resolve the
     route once per (process, corpus) from parquet footers
     (plans.llmdata.resolved_bucket_presize) so query and oracle can
     never straddle it mid-verify.

@@ -518,10 +518,6 @@ _PRIORITY_R12_PLAN = (
 # plan above lands verbatim as the round's window.
 _PRIORITY_R12 = _PRIORITY_R12_PLAN
 
-# The live window alias: rotation tooling and tests reference THIS
-# name so each round's rewire is a one-line change, not a test edit.
-PRIORITY_WINDOW = _PRIORITY_R12
-
 # The PLANNED r13 window (refined at r12 close-out per the handoff
 # discipline): with _PRIORITY_R12 landing in r12, ZERO rows are
 # forced by r13 and the whole r11-verdict wave (the 50 rows of the
@@ -538,7 +534,25 @@ PRIORITY_WINDOW = _PRIORITY_R12
 # carry fresh external verdicts already.)
 _PRIORITY_R13_PLAN = _PRIORITY_R11_PLAN
 
-STAGED_NEXT_WINDOW = _PRIORITY_R13_PLAN
+# Wired live in round 13's first commit (r12 verdict #2): the staged
+# plan above lands verbatim as the round's window.
+_PRIORITY_R13 = _PRIORITY_R13_PLAN
+
+# The live window alias: rotation tooling and tests reference THIS
+# name so each round's rewire is a one-line change, not a test edit.
+PRIORITY_WINDOW = _PRIORITY_R13
+
+# The PLANNED r14 window (wire-time placeholder, to be refined at r13
+# close-out per the handoff discipline): with _PRIORITY_R13 landing
+# the whole r11-verdict wave in r13, the next deadline pressure is
+# the r12-verdict wave (the 50 rows of the r12 window, due by r16) —
+# pre-drain it exactly as r13 pre-drained r11's. This also carries
+# the one-round-lag commitment for r13's route work so far: the tfidf
+# df-broadcast route (llm_tfidf is a row of this plan) — refine at
+# close-out with anything else r13 touches outside the live window.
+_PRIORITY_R14_PLAN = _PRIORITY_R12_PLAN
+
+STAGED_NEXT_WINDOW = _PRIORITY_R14_PLAN
 
 _PRIORITY_R6 = (
     # new in round 6 — no driver verdict yet (rotation_check enforces

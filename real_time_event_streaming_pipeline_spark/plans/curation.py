@@ -372,7 +372,54 @@ LIMIT 50
 # ---------------------------------------------------------------------------
 
 
-def q_tfidf(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
+# tfidf df-broadcast route (r12 verdict #6 / ADVICE: the broadcast
+# hint on the document-frequency table was unconditional — correct on
+# every soak corpus, but a genuinely open vocabulary (≫10^7 distinct
+# tokens) would overflow the driver. Resolve the route from parquet
+# FOOTERS like every other size switch: Heaps-law vocabulary estimate
+# V ≈ K·N^β from the text column's uncompressed byte volume
+# (N ≈ bytes/5 tokens; K=30, β=0.55 — mid-range English constants,
+# which keep the measured sf30 win: 1.25e8 tokens → V̂ ≈ 8.6e5 ≪ the
+# bound — while a web-scale corpus, N ≥ 1e12 → V̂ ≥ 1.3e8, drops the
+# hint and leans on the AQE skew-split the docstring promises).
+# 5e6 terms ≈ 150 MB broadcast is the practical driver ceiling.
+# Memoized per (process, corpus) so query and oracle can never
+# straddle the route mid-verify (the _route_key discipline).
+_TFIDF_BROADCAST_CACHE: dict[str, bool] = {}
+_TFIDF_MAX_BROADCAST_VOCAB = 5_000_000
+_HEAPS_K, _HEAPS_BETA = 30.0, 0.55
+
+
+def estimated_vocab(sf_dir: str) -> int:
+    """Heaps-law vocabulary upper estimate for documents.text, from
+    parquet footers only (no Spark job)."""
+    from ..catalog import table_column_bytes_metadata
+
+    n_tokens = max(1, table_column_bytes_metadata(sf_dir, "documents", "text") // 5)
+    return int(_HEAPS_K * n_tokens**_HEAPS_BETA)
+
+
+def resolved_tfidf_broadcast(
+    sf_dir: str, max_vocab: int = _TFIDF_MAX_BROADCAST_VOCAB
+) -> bool:
+    """True (hint-broadcast the df table) while the Heaps-estimated
+    vocabulary fits the driver; footer-resolved, memoized."""
+    from .llmdata import _route_key
+
+    key = _route_key(sf_dir)
+    got = _TFIDF_BROADCAST_CACHE.get(key)
+    if got is None:
+        got = estimated_vocab(sf_dir) <= max_vocab
+        _TFIDF_BROADCAST_CACHE[key] = got
+    return got
+
+
+def q_tfidf(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = 3,
+    df_broadcast: bool | None = None,
+) -> DataFrame:
     """Top-k TF-IDF terms per document — the classic relevance /
     keyword signal for corpus curation. Document frequency is a
     groupBy aggregate of the tf stream joined back on term, with tf
@@ -400,11 +447,16 @@ def q_tfidf(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
     # Zipf-skewed, so broadcasting it beats any shuffled join: the
     # 46M-row sf30 tf stream crosses no exchange for the join at all
     # (measured 12.9 → 8.8 s at sf30 under the 8×-cores partition
-    # posture). A corpus whose vocab genuinely exceeds broadcast range
-    # (≫10^7 distinct tokens) would drop the hint and lean on AQE
-    # skew-split — noted, not routed, since no soak corpus approaches
-    # it.
-    dfreq = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    # posture). r13: the hint is now ROUTED, not assumed — a corpus
+    # whose footer-estimated vocabulary exceeds the driver's broadcast
+    # range drops the hint and leans on the AQE-chosen join + skew
+    # split (resolved_tfidf_broadcast above; route parity pinned in
+    # tests/test_scale_guards.py::test_tfidf_broadcast_routes_agree).
+    if df_broadcast is None:
+        df_broadcast = resolved_tfidf_broadcast(sf_dir)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if df_broadcast:
+        dfreq = F.broadcast(dfreq)
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")

@@ -76,21 +76,38 @@ def init_semdedup_index(
     centroid_source: DataFrame,
     index_dir: str,
     n_centroids: int = 64,
+    n_probe: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Freeze the centroid set — the index's immutable contract. The
+    """Freeze the index's immutable contract: the centroid set AND
+    n_probe. Both determine OR-rule candidacy, so both are persisted
+    here and validated on every ingest (r12 ADVICE: n_probe was
+    documented as contract but never stored — a caller resuming with
+    a different value, or a future default change, would silently
+    alter candidacy across epochs and break streamed==batch). The
     source is typically the first arriving corpus slice (at scale: a
     k-means sample); no vectors are ingested here."""
     cents = sample_centroids(centroid_source, n_centroids, id_col, vec_col)
     os.makedirs(index_dir, exist_ok=True)
     with open(_meta_path(index_dir), "w") as f:
-        json.dump(cents, f)
+        json.dump({"n_probe": int(n_probe), "centroids": cents}, f)
 
 
-def _load_centroids(index_dir: str) -> list[tuple[int, list[float]]]:
+def _load_meta(index_dir: str) -> tuple[list[tuple[int, list[float]]], int]:
+    """(centroids, n_probe) from centroids.json. A legacy bare-list
+    file predates the n_probe contract (and the role column) and must
+    be rebuilt — same loud failure as the schema change."""
     with open(_meta_path(index_dir)) as f:
-        return [(int(c), v) for c, v in json.load(f)]
+        meta = json.load(f)
+    if isinstance(meta, list):
+        raise ValueError(
+            "semdedup index at "
+            f"{index_dir!r} was built before the persisted-n_probe "
+            "contract (r13); rebuild it with init_semdedup_index"
+        )
+    cents = [(int(c), v) for c, v in meta["centroids"]]
+    return cents, int(meta["n_probe"])
 
 
 def read_survivors(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -150,17 +167,28 @@ def ingest_embeddings_batch(
     epoch_id: int,
     index_dir: str,
     threshold: float = 0.9,
-    n_probe: int = 6,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
     """Dedup one micro-batch of vectors against the index, then commit
     the batch's role-tagged cell rows to it. ``n_probe`` is part of
-    the index contract exactly like the frozen centroids: every epoch
-    of one index must use the same value, or the OR-rule's candidacy
-    differs across epochs. Returns {"n_dropped": ...}."""
+    the index contract exactly like the frozen centroids — it is read
+    from centroids.json; passing an explicit value that differs from
+    the stored one is an error (r12 ADVICE), because a mismatched
+    epoch's OR-rule candidacy would silently diverge from the rest of
+    the index. Returns {"n_dropped": ...}."""
     spark = batch.sparkSession
-    cents = _load_centroids(index_dir)
+    cents, stored_probe = _load_meta(index_dir)
+    if n_probe is None:
+        n_probe = stored_probe
+    elif int(n_probe) != stored_probe:
+        raise ValueError(
+            f"n_probe={n_probe} does not match this index's frozen "
+            f"contract (n_probe={stored_probe} in centroids.json); "
+            "candidacy must be identical across epochs — rebuild the "
+            "index to change n_probe"
+        )
     batch_cells = asym_cell_rows(
         batch, cents, n_probe, id_col=id_col, vec_col=vec_col
     ).localCheckpoint()
@@ -182,7 +210,15 @@ def ingest_embeddings_batch(
         within_dropped
         if cross_dropped is None
         else within_dropped.unionByName(cross_dropped)
-    ).distinct().localCheckpoint()  # materialize BEFORE the index write below
+    ).distinct()
+    # r12 ADVICE: the shared kernel emits b_id = max(pair ids), so a
+    # batch that violates the documented id-ordered contract can
+    # surface an INDEX-side id here — harmless for the anti-join (no
+    # batch row carries that id) but it would inflate n_dropped. Keep
+    # only ids actually present in this batch before counting.
+    dropped = dropped.join(
+        batch.select(id_col), id_col, "left_semi"
+    ).localCheckpoint()  # materialize BEFORE the index write below
     survivors = batch.join(dropped, id_col, "left_anti")
 
     batch_cells.write.mode("overwrite").parquet(
@@ -202,13 +238,15 @@ def start_semdedup_ingest(
     schema=None,
     max_files_per_trigger: int = 1,
     threshold: float = 0.9,
-    n_probe: int = 6,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
     """Stream an embedding directory through the incremental semantic
     dedup (availableNow drain; drop the trigger for a live feed). The
-    index must be init'd (frozen centroids) before starting."""
+    index must be init'd (frozen centroids + n_probe) before starting;
+    n_probe defaults to the index's stored contract and an explicit
+    mismatching value fails per-epoch in ingest_embeddings_batch."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     stream = (

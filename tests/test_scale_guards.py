@@ -257,3 +257,44 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     assert sum(y_spans) / len(y_spans) < 0.6, y_spans
     # contents unchanged by the rewrite
     assert spark.read.parquet(p).count() == 200_000
+
+
+def test_tfidf_broadcast_routes_agree(spark, tmp_path):
+    """r12 verdict #6 / ADVICE: the tfidf df-broadcast hint is now a
+    footer-resolved route, and BOTH routes (hinted broadcast vs the
+    AQE-chosen join) must emit bitwise-identical rows on a planted
+    wide-vocabulary corpus — the regime where the route matters."""
+    from real_time_event_streaming_pipeline_spark.plans.curation import (
+        estimated_vocab,
+        q_tfidf,
+        resolved_tfidf_broadcast,
+    )
+
+    # open vocabulary: every doc contributes mostly-unique hash tokens
+    rows = [
+        (i, "en", " ".join([f"t{i}x{j}" for j in range(30)] + ["shared common"]))
+        for i in range(300)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    got = [
+        sorted(map(tuple, q_tfidf(spark, sf_dir, df_broadcast=b).collect()))
+        for b in (True, False)
+    ]
+    assert got[0] == got[1] and len(got[0]) > 0
+
+    # the resolver flips exactly at the estimated-vocab bound; both
+    # sides of the flip resolve from footers only (no Spark job)
+    v = estimated_vocab(sf_dir)
+    assert v > 0
+    assert resolved_tfidf_broadcast(sf_dir, max_vocab=v) is True
+    from real_time_event_streaming_pipeline_spark.plans.curation import (
+        _TFIDF_BROADCAST_CACHE,
+    )
+
+    _TFIDF_BROADCAST_CACHE.clear()
+    assert resolved_tfidf_broadcast(sf_dir, max_vocab=v - 1) is False
+    _TFIDF_BROADCAST_CACHE.clear()

@@ -52,7 +52,9 @@ def _ids(df):
 
 def test_streamed_semdedup_matches_batch_and_exact(spark, emb, tmp_path):
     index_dir = str(tmp_path / "index")
-    init_semdedup_index(emb, index_dir, n_centroids=N_CENTROIDS)
+    init_semdedup_index(
+        emb, index_dir, n_centroids=N_CENTROIDS, n_probe=N_PROBE
+    )
     cents = S.sample_centroids(emb, N_CENTROIDS)
 
     n = emb.count()
@@ -86,7 +88,9 @@ def test_streamed_semdedup_matches_batch_and_exact(spark, emb, tmp_path):
 
 def test_semdedup_epoch_replay_idempotent(spark, emb, tmp_path):
     index_dir = str(tmp_path / "index")
-    init_semdedup_index(emb, index_dir, n_centroids=N_CENTROIDS)
+    init_semdedup_index(
+        emb, index_dir, n_centroids=N_CENTROIDS, n_probe=N_PROBE
+    )
     mid = emb.count() // 2
     b0 = emb.filter(F.col("vec_id") < mid)
     b1 = emb.filter(F.col("vec_id") >= mid)
@@ -122,7 +126,9 @@ def test_semdedup_streaming_end_to_end(spark, emb, tmp_path):
         shutil.rmtree(part_dir)
 
     index_dir = str(tmp_path / "index")
-    init_semdedup_index(emb, index_dir, n_centroids=N_CENTROIDS)
+    init_semdedup_index(
+        emb, index_dir, n_centroids=N_CENTROIDS, n_probe=N_PROBE
+    )
     ckpt = str(tmp_path / "ckpt")
     q = start_semdedup_ingest(
         spark, src, index_dir, ckpt, threshold=THRESHOLD, n_probe=N_PROBE
@@ -140,3 +146,57 @@ def test_semdedup_streaming_end_to_end(spark, emb, tmp_path):
     )
     q2.awaitTermination(180)
     assert _ids(read_survivors(spark, index_dir)) == streamed
+
+def test_semdedup_n_probe_is_frozen_contract(spark, emb, tmp_path):
+    """r12 ADVICE (medium): n_probe is persisted at init and validated
+    on ingest — a mismatching explicit value errors instead of
+    silently altering candidacy mid-index."""
+    index_dir = str(tmp_path / "index")
+    init_semdedup_index(
+        emb, index_dir, n_centroids=N_CENTROIDS, n_probe=N_PROBE
+    )
+    b = emb.filter(F.col("vec_id") < 20)
+    with pytest.raises(ValueError, match="n_probe"):
+        ingest_embeddings_batch(b, 0, index_dir, THRESHOLD, N_PROBE + 1)
+    # omitted n_probe inherits the stored contract
+    ingest_embeddings_batch(b, 0, index_dir, THRESHOLD)
+    assert len(_ids(read_survivors(spark, index_dir))) > 0
+
+
+def test_semdedup_legacy_meta_rejected(spark, emb, tmp_path):
+    """A pre-r13 bare-list centroids.json (no persisted n_probe, no
+    role column in its cells) must fail loudly, not load."""
+    import json
+
+    index_dir = str(tmp_path / "index")
+    os.makedirs(index_dir)
+    cents = S.sample_centroids(emb, N_CENTROIDS)
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump(cents, f)
+    b = emb.filter(F.col("vec_id") < 20)
+    with pytest.raises(ValueError, match="rebuild"):
+        ingest_embeddings_batch(b, 0, index_dir, THRESHOLD)
+
+
+def test_semdedup_n_dropped_counts_batch_rows_only(spark, emb, tmp_path):
+    """r12 ADVICE (low): with out-of-id-order batches the shared
+    kernel's b_id = max(pair ids) can name an INDEX-side id; the
+    semi-join against the batch keeps n_dropped = rows actually
+    dropped from THIS batch (survivor parquet stays consistent)."""
+    index_dir = str(tmp_path / "index")
+    init_semdedup_index(
+        emb, index_dir, n_centroids=N_CENTROIDS, n_probe=N_PROBE
+    )
+    mid = emb.count() // 2
+    hi = emb.filter(F.col("vec_id") >= mid)  # LARGE ids arrive first
+    lo = emb.filter(F.col("vec_id") < mid)
+    r0 = ingest_embeddings_batch(hi, 0, index_dir, THRESHOLD)
+    r1 = ingest_embeddings_batch(lo, 1, index_dir, THRESHOLD)
+    surv0 = spark.read.parquet(
+        os.path.join(index_dir, "survivors", "epoch=0")
+    ).count()
+    surv1 = spark.read.parquet(
+        os.path.join(index_dir, "survivors", "epoch=1")
+    ).count()
+    assert r0["n_dropped"] == hi.count() - surv0
+    assert r1["n_dropped"] == lo.count() - surv1
