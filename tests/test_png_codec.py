@@ -10,7 +10,9 @@ import pytest
 
 from real_time_event_streaming_pipeline_spark.operators.png import (
     decode_png,
+    decode_png_batch,
     encode_png,
+    encode_png_batch,
     resize_nearest,
 )
 
@@ -25,6 +27,37 @@ def test_roundtrip_every_shape_and_filter(shape, filter_type):
     dec = decode_png(encode_png(arr, filter_type))
     assert dec.shape == arr.shape
     assert (dec == arr).all()
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (9, 13, 3), (7, 5, 4)])
+def test_batch_codec_matches_per_image(shape):
+    """r12 verdict #3: the batch codec twins must be BYTE/PIXEL
+    identical to the scalar ones for every filter type, mixed within
+    one batch — the bitwise llm_image_dedup_pairs oracle rides on
+    this."""
+    rng = np.random.default_rng(sum(shape))
+    n = 23
+    arrs = rng.integers(0, 256, size=(n, *shape), dtype=np.uint8)
+    fts = np.arange(n) % 5
+    pngs = encode_png_batch(arrs, fts)
+    for i in range(n):
+        assert pngs[i] == encode_png(arrs[i], int(fts[i]))
+    dec = decode_png_batch(pngs)
+    for i in range(n):
+        assert (dec[i] == arrs[i]).all()
+        assert (decode_png(pngs[i]) == arrs[i]).all()
+
+
+def test_batch_codec_rejects_bad_input():
+    a = np.zeros((2, 8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="filter_types"):
+        encode_png_batch(a, [0, 9])
+    small = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    big = encode_png(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="same-shape"):
+        decode_png_batch([small, big])
+    with pytest.raises(ValueError, match="empty"):
+        decode_png_batch([])
 
 
 def test_corruption_detected():
