@@ -150,40 +150,15 @@ def doc_shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFrame
     )
 
 
-def _observe_df_cap(grp: DataFrame, max_doc_freq: int, observation) -> DataFrame:
-    """Query-side visibility for the stop-shingle df-cap (r10 verdict
-    #4): the cap is correct and load-bearing — both engines apply it
-    identically — but at scale the capped fraction is a corpus-shape
-    alarm (sf1 already caps 16.5% of shingle INSTANCES; a shape change
-    could quietly turn 'contamination/near-dup among all shingles'
-    into 'among rare shingles only'). Attach a pyspark.sql.Observation
-    and read n_shingles / capped_shingles / n_instances /
-    capped_instances after the action — the soak harness derives
-    capped_shingle_frac and capped_instance_frac from these and alarms
-    past the documented threshold (SCALING.md). Same discipline as the
-    LSH bucket-saturation counters in _capped_bucket_lists."""
-    if observation is None:
-        return grp
-    # KNOWN LIMIT (r12): the observed node sits under a diamond in
-    # both ngram routes (it feeds the sizes leg and the pair/verify
-    # legs). At larger corpora (first seen at the sf3 soak point) AQE
-    # stops reusing the exchange, both legs evaluate the subtree —
-    # concurrently, so neither cache() nor localCheckpoint(eager=
-    # False) can pin it to one evaluation without changing the face's
-    # plan (checkpoint additionally detaches the metrics from the SQL
-    # execution and they read zero) — and PySpark's Observation.get
-    # then dies in toPyRow on the malformed metrics row. The driver
-    # sfs and sf1 are unaffected. Harnesses that sweep larger corpora
-    # fall back to `ngram_cap_profile` below: the SAME grp definition
-    # and the SAME counter expressions, evaluated as their own 1-row
-    # aggregate action.
-    return grp.observe(observation, *_cap_counter_exprs(max_doc_freq))
-
-
 def _cap_counter_exprs(max_doc_freq: int) -> list:
     """The four truncation counters over a (shingle, ids) cap node —
-    ONE definition shared by the riding Observation and the direct
-    profile aggregate, so the two read-out paths cannot drift."""
+    ONE definition, read out ONLY through ngram_cap_profile's direct
+    1-row aggregate (r12 verdict #5 retired the riding-Observation
+    read-out: the observed node sat under a diamond in both ngram
+    routes, and once AQE stopped reusing the exchange at sf3+ both
+    legs evaluated the subtree concurrently and Observation.get died
+    in toPyRow — a metrics path that only worked below sf3 was a trap
+    for the next operator copying the pattern)."""
     return [
         F.count(F.lit(1)).alias("n_shingles"),
         F.count_if(F.size("ids") > max_doc_freq).alias("capped_shingles"),
@@ -200,9 +175,16 @@ def ngram_cap_profile(
     """Truncation counters of the ngram stop-shingle cap as a direct
     1-row aggregate over the SAME cap-node definition the pair
     functions filter (doc_shingles → groupBy(shingle) → collect_list)
-    with the SAME expressions (_cap_counter_exprs). This is the
-    large-corpus read-out path for the counters — see the KNOWN LIMIT
-    note in _observe_df_cap."""
+    with the SAME expressions (_cap_counter_exprs). The ONLY read-out
+    path for the counters at every sf (r12 verdict #5): the cap is
+    correct and load-bearing — both engines apply it identically —
+    but the capped fraction is a corpus-shape alarm (sf1 caps 16.5%
+    of shingle INSTANCES; a shape change could quietly turn
+    'near-dup among all shingles' into 'among rare shingles only').
+    The soak harness derives capped_shingle_frac /
+    capped_instance_frac from these and alarms past the documented
+    threshold (SCALING.md). Same discipline as the LSH
+    bucket-saturation counters in _capped_bucket_lists."""
     grp = (
         doc_shingles(df, k, id_col)
         .groupBy("shingle")
@@ -218,7 +200,6 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int = 100,
     id_col: str = "doc_id",
-    cap_observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.
 
@@ -237,13 +218,15 @@ def ngram_jaccard_pairs(
     Catalyst/AQE picks broadcast only when the corpus is actually
     small (a forced broadcast of a per-document table would OOM the
     driver at scale).
+
+    Cap-truncation visibility lives in ngram_cap_profile — a direct
+    1-row aggregate over the same cap node, the one read-out path at
+    every sf (r12 verdict #5).
     """
-    grp = _observe_df_cap(
+    grp = (
         doc_shingles(df, k, id_col)
         .groupBy("shingle")
-        .agg(F.collect_list(id_col).alias("ids")),
-        max_doc_freq,
-        cap_observation,
+        .agg(F.collect_list(id_col).alias("ids"))
     ).filter(F.size("ids") <= max_doc_freq)
     # all ordered pairs from the sorted id list: for the i-th id (0-based),
     # pair it with every id after position i+1 (1-based slice start i+2)
@@ -301,7 +284,6 @@ def ngram_jaccard_pairs_lsh(
     bands: int = 8,
     max_bucket: int = 256,
     observation=None,
-    cap_observation=None,
 ) -> DataFrame:
     """n-gram Jaccard pairs via MinHash-LSH candidates + EXACT
     verification — the designated scale route for the exact path's one
@@ -344,12 +326,10 @@ def ngram_jaccard_pairs_lsh(
     cand = minhash_lsh_pairs(
         df, k, num_hashes, bands, id_col, max_bucket, observation
     ).select("a_id", "b_id")
-    grp = _observe_df_cap(
+    grp = (
         doc_shingles(df, k, id_col)
         .groupBy("shingle")
-        .agg(F.collect_list(id_col).alias("ids")),
-        max_doc_freq,
-        cap_observation,
+        .agg(F.collect_list(id_col).alias("ids"))
     ).filter(F.size("ids") <= max_doc_freq)
     per_doc = (
         grp.select("shingle", F.explode("ids").alias(id_col))

@@ -92,9 +92,7 @@ FROM tri
 _CONTAM_MAX_DF = 100
 
 
-def q_contamination(
-    spark: SparkSession, sf_dir: str, cap_observation=None
-) -> DataFrame:
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: test-split documents sharing any
     5-gram with the train split (split = the deterministic hash split
     of rel_deterministic_split, so both engines agree on membership).
@@ -106,11 +104,13 @@ def q_contamination(
     on one reducer and replicate it across every test hit. The oracle
     applies the identical cap.
 
-    r11 (r10 verdict #4): pass a pyspark.sql.Observation as
-    ``cap_observation`` to surface how much the cap bites — the soak
-    harness reads cross_shingles / capped_shingles / n_instances /
-    capped_instances after the action and alarms past the documented
-    SCALING.md threshold, the same discipline as the LSH
+    Cap-truncation visibility lives in contamination_cap_profile — a
+    direct 1-row aggregate over the same per-split counts, the one
+    read-out path at every sf (r12 verdict #5 retired the
+    riding-Observation read-out, whose diamond broke Observation.get
+    at sf3+). The soak harness reads cross_shingles / capped_shingles
+    / n_instances / capped_instances from it and alarms past the
+    documented SCALING.md threshold, the same discipline as the LSH
     bucket-saturation counters.
 
     r12: at/above the shared presize switch (~20k docs, the
@@ -127,11 +127,11 @@ def q_contamination(
     shingle stream through a SHUFFLE_HASH join, and only then do the
     bounded lists collect (≤ _CONTAM_MAX_DF each by construction).
     Below the switch the r11 single-shuffle collect-then-filter shape
-    stays (the sizing pass is pure overhead there). The Observation
-    counters are value-identical on both routes (parity pinned in
-    tests/test_llmdata.py); the oracle is unchanged — same surviving
-    shingles, same output. Both routes drop the middle 80-90 bucket
-    band before the shuffle (those rows feed neither list)."""
+    stays (the sizing pass is pure overhead there). The oracle is
+    identical on both routes — same surviving shingles, same output
+    (parity pinned in tests/test_llmdata.py). Both routes drop the
+    middle 80-90 bucket band before the shuffle (those rows feed
+    neither list)."""
     from .llmdata import resolved_bucket_presize
 
     docs = load(spark, sf_dir, "documents")
@@ -150,24 +150,6 @@ def q_contamination(
             F.count_if(F.col("_b") < 80).alias("_ntr"),
             F.count_if(F.col("_b") >= 90).alias("_nte"),
         )
-        if cap_observation is not None:
-            # counters over CROSS-SPLIT shingles only (others never
-            # reach the output regardless of the cap) — same values
-            # the list-size form derives from size(tr)/size(te)
-            cross = (F.col("_nte") > 0) & (F.col("_ntr") > 0)
-            over = (F.col("_ntr") > _CONTAM_MAX_DF) | (
-                F.col("_nte") > _CONTAM_MAX_DF
-            )
-            inst = F.col("_ntr") + F.col("_nte")
-            sizes = sizes.observe(
-                cap_observation,
-                F.count_if(cross).alias("cross_shingles"),
-                F.count_if(cross & over).alias("capped_shingles"),
-                F.sum(F.when(cross, inst).otherwise(F.lit(0))).alias("n_instances"),
-                F.sum(F.when(cross & over, inst).otherwise(F.lit(0))).alias(
-                    "capped_instances"
-                ),
-            )
         kept = sizes.filter(
             (F.col("_ntr") >= 1) & (F.col("_ntr") <= _CONTAM_MAX_DF)
             & (F.col("_nte") >= 1) & (F.col("_nte") <= _CONTAM_MAX_DF)
@@ -186,19 +168,6 @@ def q_contamination(
         grp = sh.join(kept, "shingle").groupBy("shingle").agg(tr_of, te_of)
     else:
         grp = sh.groupBy("shingle").agg(tr_of, te_of)
-        if cap_observation is not None:
-            cross = (F.size("te") > 0) & (F.size("tr") > 0)
-            over = (F.size("tr") > _CONTAM_MAX_DF) | (F.size("te") > _CONTAM_MAX_DF)
-            inst = F.size("tr") + F.size("te")
-            grp = grp.observe(
-                cap_observation,
-                F.count_if(cross).alias("cross_shingles"),
-                F.count_if(cross & over).alias("capped_shingles"),
-                F.sum(F.when(cross, inst).otherwise(F.lit(0))).alias("n_instances"),
-                F.sum(F.when(cross & over, inst).otherwise(F.lit(0))).alias(
-                    "capped_instances"
-                ),
-            )
         grp = grp.filter(
             (F.size("te") > 0)
             & (F.size("tr") > 0)
@@ -223,6 +192,41 @@ def q_contamination(
             F.countDistinct("train_id").alias("n_train_docs"),
         )
     )
+
+
+def contamination_cap_profile(spark: SparkSession, sf_dir: str) -> dict:
+    """Truncation counters of the contamination stop-shingle cap as a
+    direct 1-row aggregate — the one read-out path at every sf (r12
+    verdict #5; twin of dedup.ngram_cap_profile). Counters cover
+    CROSS-SPLIT shingles only (others never reach the output
+    regardless of the cap) over the identical shingle/split/count
+    definitions q_contamination filters, counted via the per-split
+    conditional counts that are value-identical to size(tr)/size(te)
+    of the list form (route parity was pinned while both read-outs
+    existed; the sf0.01/sf0.1 literals are pinned in
+    tests/test_llmdata.py)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, k=5)
+    bucket = split_bucket(F.col("doc_id"), 100)
+    sh = sh.withColumn("_b", bucket).filter(
+        (F.col("_b") < 80) | (F.col("_b") >= 90)
+    )
+    sizes = sh.groupBy("shingle").agg(
+        F.count_if(F.col("_b") < 80).alias("_ntr"),
+        F.count_if(F.col("_b") >= 90).alias("_nte"),
+    )
+    cross = (F.col("_nte") > 0) & (F.col("_ntr") > 0)
+    over = (F.col("_ntr") > _CONTAM_MAX_DF) | (F.col("_nte") > _CONTAM_MAX_DF)
+    inst = F.col("_ntr") + F.col("_nte")
+    row = sizes.agg(
+        F.count_if(cross).alias("cross_shingles"),
+        F.count_if(cross & over).alias("capped_shingles"),
+        F.sum(F.when(cross, inst).otherwise(F.lit(0))).alias("n_instances"),
+        F.sum(F.when(cross & over, inst).otherwise(F.lit(0))).alias(
+            "capped_instances"
+        ),
+    ).first()
+    return {k_: int(row[k_] or 0) for k_ in row.asDict()}
 
 
 _CONTAMINATION_SQL = f"""

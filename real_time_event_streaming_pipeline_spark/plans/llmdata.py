@@ -233,7 +233,6 @@ def q_ngram_jaccard(
     spark: SparkSession,
     sf_dir: str,
     pair_method: str | None = None,
-    cap_observation=None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs, route-switched by corpus size
     exactly like q_dedup_clusters (r9 verdict #5 — this was the one
@@ -255,7 +254,6 @@ def q_ngram_jaccard(
         k=3,
         threshold=0.5,
         max_doc_freq=100,
-        cap_observation=cap_observation,
     )
 
 

@@ -992,12 +992,12 @@ def test_ivf_scheme_resolved_once_and_occupancy_pins():
         L.clear_ivf_scheme_cache()
 
 
-def test_df_cap_observation_counters(spark):
-    """r10 verdict #4: the stop-shingle df-cap surfaces its truncation
-    through the Observation hook — counters must match a by-hand count
-    on a corpus engineered to cap one shingle."""
-    from pyspark.sql import Observation
-
+def test_df_cap_profile_counters(spark):
+    """r10 verdict #4 / r12 verdict #5: the stop-shingle df-cap
+    surfaces its truncation through ngram_cap_profile — the single
+    direct-aggregate read-out path — and the counters must match a
+    by-hand count on a corpus engineered to cap one shingle (the same
+    literals the retired riding-Observation path asserted)."""
     # 5 docs all sharing the trigram "a b c"; cap=3 drops it, while
     # "d e f" (2 docs) survives
     rows = [
@@ -1008,60 +1008,74 @@ def test_df_cap_observation_counters(spark):
         (5, "a b c m n o"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    obs = Observation()
-    D.ngram_jaccard_pairs(
-        docs, k=3, threshold=0.1, max_doc_freq=3, cap_observation=obs
-    ).collect()
-    got = {k: int(v or 0) for k, v in obs.get.items()}
+    got = D.ngram_cap_profile(docs, k=3, max_doc_freq=3)
     # distinct shingles: per-doc 4 shingles each, "a b c" shared by all
     # 5 docs (df=5 > 3 -> capped); every other shingle df <= 2
     assert got["capped_shingles"] == 1
     assert got["capped_instances"] == 5
     assert got["n_shingles"] > 1 and got["n_instances"] > 5
-    # and the LSH route threads the same counters
-    obs2 = Observation()
-    D.ngram_jaccard_pairs_lsh(
-        docs, k=3, threshold=0.1, max_doc_freq=3, cap_observation=obs2
-    ).collect()
-    got2 = {k: int(v or 0) for k, v in obs2.get.items()}
-    assert got2["capped_shingles"] == 1 and got2["capped_instances"] == 5
 
 
-def test_contamination_cap_observation(spark, sf_med):
-    """The contamination face's cap counters ride its own query: the
-    observed values must be internally consistent and the query result
-    unchanged by observing."""
-    from pyspark.sql import Observation
-
+def test_contamination_cap_profile(spark, sf_med):
+    """r12 verdict #5: contamination_cap_profile is the single
+    read-out path for the contamination cap counters; values must be
+    internally consistent and pinned EQUAL to what the retired
+    riding-Observation path reported at this sf (captured before
+    retirement: cross_shingles=184, n_instances=368, nothing
+    capped on the sf0.01 driver corpus)."""
     from real_time_event_streaming_pipeline_spark.plans.curation import (
-        q_contamination,
+        contamination_cap_profile,
     )
 
-    plain = {tuple(map(str, r)) for r in q_contamination(spark, sf_med).collect()}
-    obs = Observation()
-    observed = {
-        tuple(map(str, r))
-        for r in q_contamination(spark, sf_med, cap_observation=obs).collect()
+    got = contamination_cap_profile(spark, sf_med)
+    assert got == {
+        "cross_shingles": 184,
+        "capped_shingles": 0,
+        "n_instances": 368,
+        "capped_instances": 0,
     }
-    assert observed == plain
-    got = {k: int(v or 0) for k, v in obs.get.items()}
-    assert got["cross_shingles"] >= got["capped_shingles"] >= 0
-    assert got["n_instances"] >= got["capped_instances"] >= 0
-    assert got["cross_shingles"] > 0  # the driver corpus does share shingles
+
+
+def test_cap_profiles_match_retired_observation_path_sf01(spark):
+    """r12 verdict #5 'pinned equal to the old path' gate: the
+    direct-aggregate profiles must reproduce the riding-Observation
+    counters captured at sf0.1 immediately before the rider was
+    retired (ngram: n_shingles=27213, n_instances=260388; contam:
+    cross_shingles=1719, n_instances=3473; zero capped at this sf)."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.plans.curation import (
+        contamination_cap_profile,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    got = D.ngram_cap_profile(load(spark, sf, "documents"))
+    assert got == {
+        "n_shingles": 27213,
+        "capped_shingles": 0,
+        "n_instances": 260388,
+        "capped_instances": 0,
+    }
+    got = contamination_cap_profile(spark, sf)
+    assert got == {
+        "cross_shingles": 1719,
+        "capped_shingles": 0,
+        "n_instances": 3473,
+        "capped_instances": 0,
+    }
 
 
 def test_contamination_presize_routes_agree(spark, tmp_path, monkeypatch):
     """r12: the contamination presize route (cap applied before the
-    per-split lists materialize) must emit the IDENTICAL output AND
-    identical cap counters as the r11 collect-then-filter shape — on
-    a planted corpus whose hottest 5-gram blows the train-side cap,
-    so the capped branch is exercised, not just clean data."""
+    per-split lists materialize) must emit the IDENTICAL output as
+    the r11 collect-then-filter shape — on a planted corpus whose
+    hottest 5-gram blows the train-side cap, so the capped branch is
+    exercised, not just clean data."""
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from pyspark.sql import Observation
 
     from real_time_event_streaming_pipeline_spark.plans import llmdata as L
     from real_time_event_streaming_pipeline_spark.plans.curation import (
+        contamination_cap_profile,
         q_contamination,
     )
 
@@ -1085,14 +1099,15 @@ def test_contamination_presize_routes_agree(spark, tmp_path, monkeypatch):
     out = {}
     for route in (True, False):
         monkeypatch.setattr(L, "resolved_bucket_presize", lambda d, _r=route: _r)
-        obs = Observation(f"contam_{route}")
-        res = {
+        out[route] = {
             tuple(map(str, r))
-            for r in q_contamination(spark, str(sf), cap_observation=obs).collect()
+            for r in q_contamination(spark, str(sf)).collect()
         }
-        out[route] = (res, {k: int(v or 0) for k, v in obs.get.items()})
     assert out[True] == out[False]
-    assert out[True][1]["capped_shingles"] > 0  # the cap really bit
+    # the profile read-out (route-independent by construction, r12
+    # verdict #5) confirms the planted hot shingle really blew the cap
+    prof = contamination_cap_profile(spark, str(sf))
+    assert prof["capped_shingles"] > 0
 
 
 def test_asym_pairing_recall_on_planted_margin(spark):

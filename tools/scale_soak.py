@@ -721,18 +721,22 @@ def run_family_isolated() -> None:
 
 
 def run_cap_frac() -> None:
-    """The capped_instance_frac trajectory (r11 verdict #7): run the
-    two cap-observing faces (llm_dedup_ngram_jaccard via its
-    cap_observation, llm_contamination via its cross-split counters)
-    at every family soak point and record the derived fractions, so
-    the df-cap's semantic drift ('near-dup/contamination among ALL
-    shingles' degrading toward 'among rare shingles only') is caught
-    by data. Alarm threshold: capped_instance_frac > 0.25
-    (SCALING.md; sf1 ngram baseline 0.165)."""
-    from pyspark.sql import Observation
-
-    from real_time_event_streaming_pipeline_spark.plans import llmdata as L
-    from real_time_event_streaming_pipeline_spark.plans.curation import q_contamination
+    """The capped_instance_frac trajectory (r11 verdict #7): read the
+    two capped faces' truncation counters (ngram_cap_profile /
+    contamination_cap_profile — the single direct-aggregate read-out
+    path, r12 verdict #5) at every family soak point and record the
+    derived fractions, so the df-cap's semantic drift
+    ('near-dup/contamination among ALL shingles' degrading toward
+    'among rare shingles only') is caught by data. Alarm threshold:
+    capped_instance_frac > 0.25 (SCALING.md; sf1 ngram baseline
+    0.165)."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.operators.dedup import (
+        ngram_cap_profile,
+    )
+    from real_time_event_streaming_pipeline_spark.plans.curation import (
+        contamination_cap_profile,
+    )
     from real_time_event_streaming_pipeline_spark.session import get_spark
 
     spark = get_spark("cap_frac_soak")
@@ -744,38 +748,17 @@ def run_cap_frac() -> None:
     out: dict = {}
     for label, d in dirs.items():
         out[label] = {}
-        for face, runner in (
+        for face, profiler in (
             ("llm_dedup_ngram_jaccard",
-             lambda s, sd, o: L.q_ngram_jaccard(s, sd, cap_observation=o)),
-            ("llm_contamination",
-             lambda s, sd, o: q_contamination(s, sd, cap_observation=o)),
+             lambda s, sd: ngram_cap_profile(load(s, sd, "documents"))),
+            ("llm_contamination", contamination_cap_profile),
         ):
-            obs = Observation(f"cap_{face}_{label}")
             _hygiene(spark)
             try:
-                runner(spark, d, obs).collect()  # collect keeps CollectMetrics
-                m = {k: int(v or 0) for k, v in obs.get.items()}
-                m["source"] = "observation"
+                m = profiler(spark, d)
             except Exception as e:  # noqa: BLE001 — the sweep must finish
-                if face == "llm_dedup_ngram_jaccard":
-                    # the riding Observation is diamond-doubled at
-                    # sf3+ and PySpark's get dies in toPyRow (the
-                    # KNOWN LIMIT in dedup._observe_df_cap); read the
-                    # SAME counters via the direct profile aggregate
-                    try:
-                        from real_time_event_streaming_pipeline_spark.catalog import load
-                        from real_time_event_streaming_pipeline_spark.operators.dedup import (
-                            ngram_cap_profile,
-                        )
-
-                        m = ngram_cap_profile(load(spark, d, "documents"))
-                        m["source"] = "profile_fallback"
-                    except Exception as e2:  # noqa: BLE001
-                        out[label][face] = f"error: {type(e2).__name__}"
-                        continue
-                else:
-                    out[label][face] = f"error: {type(e).__name__}"
-                    continue
+                out[label][face] = f"error: {type(e).__name__}"
+                continue
             sh_key = "cross_shingles" if "cross_shingles" in m else "n_shingles"
             frac_sh = m["capped_shingles"] / m[sh_key] if m.get(sh_key) else 0.0
             frac_inst = (
@@ -938,24 +921,21 @@ def run() -> None:
               f"{results['semdedup_survivors_recal'][label]}", flush=True)
 
     # the n-gram stop-shingle cap's truncation profile per scale (the
-    # SCALING.md follow-up; r10 verdict #4 moved it from a manual
-    # side-aggregation to the QUERY-SIDE Observation hook — the
-    # counters now ride the registered faces' own cap node, so the
-    # soak measures exactly what the query drops, the same discipline
-    # as lsh_bucket_saturation below). Derived fractions:
+    # SCALING.md follow-up; r12 verdict #5 settled the read-out on the
+    # direct 1-row profile aggregates over the faces' own cap-node
+    # definitions — ONE code path at every sf, same discipline as
+    # lsh_bucket_saturation below). Derived fractions:
     # capped_shingle_frac / capped_instance_frac; the SCALING.md alarm
     # threshold is capped_instance_frac > 0.25 (sf1 baseline 0.165).
-    from pyspark.sql import Observation as _Obs
-
+    from real_time_event_streaming_pipeline_spark.catalog import load as _load
+    from real_time_event_streaming_pipeline_spark.operators.dedup import (
+        ngram_cap_profile,
+    )
     from real_time_event_streaming_pipeline_spark.plans.curation import (
-        q_contamination,
-    )
-    from real_time_event_streaming_pipeline_spark.plans.llmdata import (
-        q_ngram_jaccard,
+        contamination_cap_profile,
     )
 
-    def _cap_profile(obs) -> dict:
-        got = {k: int(v or 0) for k, v in obs.get.items()}
+    def _cap_profile(got: dict) -> dict:
         n_sh = max(got.get("n_shingles", got.get("cross_shingles", 0)), 1)
         return {
             **got,
@@ -968,14 +948,10 @@ def run() -> None:
     results["ngram_cap_profile"] = {}
     results["contamination_cap_profile"] = {}
     for label, d in dirs.items():
-        obs = _Obs()
-        q_ngram_jaccard(spark, d, cap_observation=obs).count()
-        prof = _cap_profile(obs)
+        prof = _cap_profile(ngram_cap_profile(_load(spark, d, "documents")))
         results["ngram_cap_profile"][label] = prof
         print(f"  ngram_cap_profile @ {label}: {prof}", flush=True)
-        obs = _Obs()
-        q_contamination(spark, d, cap_observation=obs).count()
-        prof = _cap_profile(obs)
+        prof = _cap_profile(contamination_cap_profile(spark, d))
         results["contamination_cap_profile"][label] = prof
         print(f"  contamination_cap_profile @ {label}: {prof}", flush=True)
 
