@@ -123,6 +123,21 @@ def main() -> None:
         reps_raw[name] = raw
         times[name] = min(raw)
 
+    # Per-face noise flags (r12 verdict #7): a fresh JVM's reps are
+    # monotone-DECREASING as codegen warms, so a rep that jumps back
+    # UP past 30% of a preceding rep can only be box load, not code.
+    # Flagged faces' round-over-round deltas are noise-suspect and
+    # must not be adjudicated as regressions (r12's llm_text_stats
+    # "1.60x regression" had reps [0.703, 0.627, 0.51] on untouched
+    # code — the flag automates that manual call). The normalized
+    # headline (value_normalized) is the primary cross-round number;
+    # the raw value still gates the 2x-baseline check.
+    noise_suspect = sorted(
+        name
+        for name, raw in reps_raw.items()
+        if any(b > a * 1.3 for a, b in zip(raw, raw[1:]))
+    )
+
     # full sweep: every registered query once (single rep — the goal is
     # regression VISIBILITY for the non-headline queries round over
     # round, not a precision number; headline keeps best-of-N). A query
@@ -226,6 +241,10 @@ def main() -> None:
         # (< 1.0 = faster); robust to fixed per-query overhead
         "geomean_ratio_prev": geomean,
         "geomean_prev_round": prev_round,
+        # faces whose reps bounced UP >30% mid-measurement (box load;
+        # see the noise_suspect comment above) — their cross-round
+        # deltas are not creditable as regressions or wins
+        "noise_suspect_queries": noise_suspect,
     }
     # The driver records only the output TAIL: r2's line went out with
     # the ~90-entry full map inline and came back truncated/unparseable.

@@ -55,6 +55,51 @@ VOCAB = (
 # stopwords 'a'/'the' the gopher gate needs — without them zero docs
 # pass the gate and downstream stages see an empty corpus)
 
+
+def _doc_texts(rng, n: int) -> list:
+    """Shared soak document synthesizer — OPEN vocabulary (r12 verdict
+    #4): the closed 31-word vocabulary saturated trigram space at sf3+
+    (mean df ~270 > the 100 cap), so the ngram face's rare-shingle
+    semantics went vacuous — bitwise-green over an EMPTY kept-shingle
+    set. Now ~90% of fresh docs hash-suffix half their tokens from a
+    pool that SCALES with the corpus (pool = max(31, n // 50)), so
+    k-gram space grows with the corpus and the rare-shingle regime
+    survives every soak point; the other ~10% (i % 10 == 7) stay on
+    the closed vocabulary — synthetic 'boilerplate' (license-header
+    analogue) that keeps a real subset for the df-cap to bite on.
+    Unsuffixed base words keep the gopher stopwords frequent. Planted
+    exact dups (every 17th doc copies i-3) and 8%-flip near dups
+    (every 10th copies i-1) are unchanged, so the dedup faces' planted
+    structure is intact. Object-dtype word arrays: suffixed tokens are
+    longer than the base vocab's fixed <U8 itemsize and a fixed-width
+    assignment would silently truncate them."""
+    import numpy as np
+
+    vocab = np.array(VOCAB)
+    pool = max(31, n // 50)
+    texts: list = []
+    lengths = rng.integers(10, 101, n)
+    cache: dict = {}
+    for i in range(n):
+        if i % 17 == 3 and i >= 3:
+            w = cache[i - 3]                # exact duplicate
+        elif i % 10 == 1 and i >= 1:
+            w = cache[i - 1].copy()         # near duplicate: ~8% swapped
+            flip = rng.random(len(w)) < 0.08
+            w[flip] = vocab[rng.integers(0, len(vocab), int(flip.sum()))]
+        else:
+            w = vocab[rng.integers(0, len(vocab), lengths[i])].astype(object)
+            if i % 10 != 7:
+                m = rng.random(len(w)) < 0.5
+                if m.any():
+                    sfx = rng.integers(0, pool, int(m.sum()))
+                    w[m] = [f"{a}_{s:x}" for a, s in zip(w[m], sfx)]
+        cache[i] = w
+        texts.append(" ".join(w))
+        if i >= 20:
+            cache.pop(i - 20, None)  # bound memory; dups look back <= 3
+    return texts
+
 SOAK_QUERIES = [
     # bench headline
     "cs_windowed_agg", "cs_sliding_agg", "cs_cities", "cs_stats",
@@ -210,26 +255,10 @@ def generate() -> None:
         "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n)],
     }))
 
-    # -- documents: bag-of-words with planted exact + near dups -------
+    # -- documents: open-vocab bag-of-words, planted exact + near dups
     n = N["documents"]
-    vocab = np.array(VOCAB)
     langs = np.array(["en"] * 9 + ["zh"])
-    texts: list[str] = []
-    lengths = rng.integers(10, 101, n)
-    words_cache: dict[int, np.ndarray] = {}
-    for i in range(n):
-        if i % 17 == 3 and i >= 3:
-            w = words_cache[i - 3]          # exact duplicate
-        elif i % 10 == 1 and i >= 1:
-            w = words_cache[i - 1].copy()   # near duplicate: ~8% words swapped
-            flip = rng.random(len(w)) < 0.08
-            w[flip] = vocab[rng.integers(0, len(vocab), int(flip.sum()))]
-        else:
-            w = vocab[rng.integers(0, len(vocab), lengths[i])]
-        words_cache[i] = w
-        texts.append(" ".join(w))
-        if i >= 20:
-            words_cache.pop(i - 20, None)  # bound memory; dups look back <= 3
+    texts = _doc_texts(rng, n)
     _write("documents", pa.table({
         "doc_id": pa.array(range(n)),
         "text": texts,
@@ -317,24 +346,8 @@ def generate_sf3(mult: int = 3, out_dir: str | None = None) -> None:
         print(f"  {table}: {tbl.num_rows} rows")
 
     n = N["documents"] * mult
-    vocab = np.array(VOCAB)
     langs = np.array(["en"] * 9 + ["zh"])
-    texts: list = []
-    lengths = rng.integers(10, 101, n)
-    words_cache: dict = {}
-    for i in range(n):
-        if i % 17 == 3 and i >= 3:
-            w = words_cache[i - 3]
-        elif i % 10 == 1 and i >= 1:
-            w = words_cache[i - 1].copy()
-            flip = rng.random(len(w)) < 0.08
-            w[flip] = vocab[rng.integers(0, len(vocab), int(flip.sum()))]
-        else:
-            w = vocab[rng.integers(0, len(vocab), lengths[i])]
-        words_cache[i] = w
-        texts.append(" ".join(w))
-        if i >= 20:
-            words_cache.pop(i - 20, None)
+    texts = _doc_texts(rng, n)
     write("documents", pa.table({
         "doc_id": pa.array(range(n)),
         "text": texts,
@@ -787,6 +800,153 @@ def run_cap_frac() -> None:
     with open(path, "w") as fh:
         json.dump(existing, fh, indent=1, sort_keys=True)
     print("\nwrote cap_frac into SOAK_sf1.json")
+
+
+# The r12 watch-list: faces whose worst r12 sweep exceeded exponent
+# 1.1 with no same-box A/B closing them (±30-50% box drift left the
+# claims unresolvable) — plus image_dedup, whose r13 batch-codec
+# decode cut must be credited under the same protocol.
+INTERLEAVED_FACES = [
+    "llm_dedup_minhash_lsh",
+    "llm_bpe_encode",
+    "llm_contamination",
+    "llm_semdedup_survivors",
+    "llm_image_dedup_pairs",
+]
+
+
+def run_interleaved(faces=None, reps: int = 3) -> None:
+    """Variance-controlled soak protocol (r12 verdict #1). The box
+    shows ±30-50% run-to-run drift at sf30 and the r12 calibration
+    probe moved 27% WITHIN one round, so per-face exponents measured
+    as block sweeps (all of face A's points, then all of face B's)
+    confound code with whatever the box was doing during that block.
+    This protocol cancels the drift three ways:
+
+    1. INTERLEAVE — reps round-robin across every (face, point) cell
+       (A@sf1, B@sf1, ..., A@sf3, ... then the whole cycle again), so
+       each cell's reps are spread uniformly across the session and a
+       load burst hits all cells equally instead of one face's block;
+    2. MEDIAN-of-k per cell (k=``reps``) — robust to a single burst
+       landing inside a cell's rep;
+    3. PROBE-NORMALIZE — the bench calibration probe (same 200M-row
+       JVM sum) runs immediately before every timed rep; each cell's
+       normalized median divides by its own probe medians relative to
+       the session-wide probe median, so exponents computed BETWEEN
+       points (measured minutes apart) are corrected for the drift
+       the probe saw at each point.
+
+    Exponent claims gate on the normalized interleaved median
+    (exp_norm); raw medians are recorded beside them. Writes
+    SOAK_sf1.json['interleaved'] and prints the adjudication table.
+    JVM hygiene (_hygiene) runs outside every timed window, as in
+    run_family."""
+    import math
+    import statistics
+
+    from real_time_event_streaming_pipeline_spark.plans import all_queries
+    from real_time_event_streaming_pipeline_spark.session import get_spark
+
+    faces = faces or INTERLEAVED_FACES
+    spark = get_spark("interleaved_soak")
+    queries = all_queries()
+    points = [("sf1", SF1_DIR, 1.0), ("sf3", SF3_DIR, 3.0)]
+    if os.path.isdir(SF10_DIR):
+        points.append(("sf10", SF10_DIR, 10.0))
+    if os.path.isdir(SF30_DIR):
+        points.append(("sf30", SF30_DIR, 30.0))
+    queries[faces[0]](spark, points[0][1]).collect()  # warm-up, unmeasured
+
+    def probe() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    cells = [(f, p) for f in faces for p in points]
+    walls: dict = {c[0] + "@" + c[1][0]: [] for c in cells}
+    probes: dict = {c[0] + "@" + c[1][0]: [] for c in cells}
+    for r in range(reps):
+        for f, (label, d, _sfv) in cells:
+            key = f + "@" + label
+            _hygiene(spark)
+            try:
+                probes[key].append(round(probe(), 3))
+                t0 = time.perf_counter()
+                queries[f](spark, d).collect()
+                walls[key].append(round(time.perf_counter() - t0, 3))
+            except Exception as e:  # noqa: BLE001 — the sweep must finish
+                walls[key].append(f"error: {type(e).__name__}")
+            print(f"  rep {r + 1}/{reps} {key}: {walls[key][-1]} "
+                  f"(probe {probes[key][-1] if probes[key] else '—'})",
+                  flush=True)
+
+    all_probes = [p for v in probes.values() for p in v]
+    probe_global = statistics.median(all_probes)
+    out: dict = {"protocol": {
+        "reps": reps, "order": "round-robin across (face, point) cells",
+        "probe_global_median": round(probe_global, 3),
+        "probe_spread": [round(min(all_probes), 3), round(max(all_probes), 3)],
+    }}
+    table: dict = {}
+    for f in faces:
+        table[f] = {}
+        for label, _d, sfv in points:
+            key = f + "@" + label
+            ok = [w for w in walls[key] if isinstance(w, float)]
+            if not ok:
+                table[f][label] = None
+                out[key] = {"reps": walls[key], "probes": probes[key]}
+                continue
+            med = statistics.median(ok)
+            pmed = statistics.median(probes[key])
+            norm = med * (probe_global / pmed)
+            table[f][label] = (med, norm, sfv)
+            out[key] = {
+                "reps": walls[key], "probes": probes[key],
+                "median": round(med, 3), "median_normalized": round(norm, 3),
+            }
+
+    folds = {"sf3": ("sf1", 3.0), "sf10": ("sf3", 10.0 / 3.0), "sf30": ("sf10", 3.0)}
+    labels = [p[0] for p in points]
+    print("\n| face | " + " | ".join(f"{l} med (norm)" for l in labels)
+          + " | " + " | ".join(f"exp→{l} raw/norm" for l in labels[1:]) + " |")
+    print("|---|" + "---|" * (len(labels) * 2 - 1))
+    for f in faces:
+        cells_s, exps_s = [], []
+        for label in labels:
+            v = table[f].get(label)
+            cells_s.append(f"{v[0]:.2f} ({v[1]:.2f})" if v else "—")
+        for label in labels[1:]:
+            prev_l, fold = folds[label]
+            a, b = table[f].get(prev_l), table[f].get(label)
+            if a and b:
+                e_raw = math.log(b[0] / a[0]) / math.log(fold)
+                e_norm = math.log(b[1] / a[1]) / math.log(fold)
+                exps_s.append(f"{e_raw:.2f}/{e_norm:.2f}")
+                out.setdefault(f + "@" + label, {})["exp_raw"] = round(e_raw, 3)
+                out[f + "@" + label]["exp_norm"] = round(e_norm, 3)
+            else:
+                exps_s.append("—")
+        print(f"| {f} | " + " | ".join(cells_s + exps_s) + " |")
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SOAK_sf1.json"
+    )
+    try:
+        with open(path) as fh:
+            existing = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        existing = {}
+    merged = existing.get("interleaved", {})
+    merged.update(out)
+    existing["interleaved"] = merged
+    with open(path, "w") as fh:
+        json.dump(existing, fh, indent=1, sort_keys=True)
+    print("\nwrote interleaved into SOAK_sf1.json (gate exponent claims "
+          "on exp_norm)")
 
 
 def run_family() -> None:
@@ -1336,6 +1496,16 @@ def main() -> None:
         run_events()
     if "--cap-frac" in sys.argv:
         run_cap_frac()
+    if "--run-interleaved" in sys.argv:
+        only = [
+            n for a in sys.argv if a.startswith("--faces=")
+            for n in a.split("=", 1)[1].split(",")
+        ]
+        reps = next(
+            (int(a.split("=", 1)[1]) for a in sys.argv if a.startswith("--reps=")),
+            3,
+        )
+        run_interleaved(only or None, reps)
     if "--prune-demo" in sys.argv:
         # sf1's 85 cells cannot prune with n_probe=10 (n_probe²/cells
         # > 1 — measured 1.18× below); the corpus-scaled cell count
