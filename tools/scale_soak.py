@@ -294,11 +294,12 @@ SF30_DIR = os.environ.get("SPARK_GRAFT_SF30_DIR", "/tmp/spark_graft_sf30")
 
 # the dedup/ANN/corpus family measured at the extra sf3 point
 # (VERDICT r5 #7). Documents+embeddings only — these queries read no
-# TPC-H table. The EXACT n-gram pair path's superlinear slope on this
-# closed-31-word vocabulary is measured and documented at sf1
-# (SCALING.md; cap regime 16.5% of instances); since r10 the
-# REGISTERED ngram face route-switches onto MinHash-LSH at >=20k docs,
-# so it joins the family below to measure the routed slope.
+# TPC-H table. Corpora are OPEN-vocabulary since r13 (_doc_texts);
+# pre-r13 SCALING.md rows (e.g. the sf1 exact-path 16.5%-capped
+# regime) were measured on the old closed-31-word corpus and are not
+# comparable to rows on the new one. Since r10 the REGISTERED ngram
+# face route-switches onto MinHash-LSH at >=20k docs, so it joins the
+# family below to measure the routed slope.
 FAMILY_SF3 = [
     "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_clusters",
     # registered face routes through LSH at >=20k docs since r10
@@ -309,8 +310,9 @@ FAMILY_SF3 = [
     "llm_semdedup", "llm_semdedup_survivors", "llm_emb_cosine_topk",
     "llm_emb_ann_lsh", "llm_emb_ann_ivf", "llm_emb_ann_pq",
     "llm_corpus_pipeline",
-    # BPE tokenizer (r6): training cost ~ word-TYPE table (Heaps-law,
-    # heavily sub-linear on this closed vocabulary), encode ~ corpus
+    # BPE tokenizer (r6): training cost ~ word-TYPE table (Heaps-law;
+    # the r13 open vocabulary makes the type table grow with the
+    # corpus, the realistic regime), encode ~ corpus
     "llm_bpe_train", "llm_bpe_encode",
     # perceptual-hash image dedup (r7: checkpointed decode — every PNG
     # decodes exactly once; decode is the constant factor, banded
