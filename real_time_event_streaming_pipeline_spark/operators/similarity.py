@@ -998,6 +998,27 @@ def portable_sample_matrix(
     return np.array([list(r[0]) for r in rows], dtype=np.float64)
 
 
+def lloyd_sample_size(n_centroids: int) -> int:
+    """Driver-Lloyd training-sample size — ONE formula shared by
+    sample_centroids' default and the oracle twins that replay the
+    training (plans/llmdata._emb_ann_ivf_sql), so query and oracle can
+    never train on different matrices. 16 rows per centroid, floored
+    at 256, CAPPED at 32768 (r13, from the r12-verdict interleaved
+    adjudication of llm_semdedup_survivors): uncapped, training flops
+    are k·sample = 16·k² ∝ n²/4096 in the constant-occupancy band
+    (k = n/256) — the one genuinely superlinear term the decomposition
+    isolated (driver Lloyd wall 1.35 s at 200k vectors → 4.7 s at
+    600k, while the distributed pipeline held exp 0.96 under the
+    interleaved A/B). The cap linearizes training (and the sample
+    fetch/convert) past k = 2048, i.e. past ~524k vectors; every
+    committed fixture and driver sf sits below it, so centroids there
+    are bit-unchanged. Above it the per-centroid sample thins (16 →
+    32768/k rows), which only perturbs WHERE cell boundaries fall —
+    candidate recall rides on the n_probe OR-rule, not on centroid
+    optimality, and the planted-margin recall pin covers the rule."""
+    return max(min(16 * n_centroids, 32768), 256)
+
+
 def sample_centroids(
     emb: DataFrame,
     n_centroids: int,
@@ -1041,7 +1062,7 @@ def sample_centroids(
     if kmeans not in ("driver", "aggs"):
         raise ValueError(f"kmeans must be 'driver' or 'aggs', got {kmeans!r}")
     if sample_size is None:
-        sample_size = max(16 * n_centroids, 256)
+        sample_size = lloyd_sample_size(n_centroids)
     samp_df = (
         _hash_ordered(emb, id_col, seed, order=order)
         .limit(int(sample_size))

@@ -809,7 +809,7 @@ def _emb_ann_ivf_sql(
     if n_centroids is None:
         n_centroids = resolved_ivf_scheme(sf_dir)[1]
     C = S._lloyd_spherical(
-        S.portable_sample_matrix(sf_dir, max(16 * n_centroids, 256)),
+        S.portable_sample_matrix(sf_dir, S.lloyd_sample_size(n_centroids)),
         n_centroids,
         iters,
     )
