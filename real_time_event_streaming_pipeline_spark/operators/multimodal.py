@@ -735,79 +735,93 @@ def _ahash_bits_py(doc_id: int) -> int:
     return bits
 
 
+def _synth_png_batch(ids):
+    """PNG payloads for one Arrow batch of doc ids — the shared synth
+    kernel (r13): md5 bit patterns stay a tight per-doc loop (µs
+    each), but the cell grid, the 4x upsample, and the PNG
+    filter/encode all vectorize across the batch (encode_png_batch
+    emits bytes identical to per-image encode_png calls)."""
+    import numpy as np
+
+    from .png import encode_png_batch
+
+    ids = np.asarray(ids, dtype=np.int64)
+    bits = np.array([_ahash_bits_py(int(d)) for d in ids], dtype=np.uint64)
+    bright = (
+        bits[:, None] >> np.arange(AHASH_BITS, dtype=np.uint64)
+    ) & np.uint64(1)
+    cells = np.full((len(ids), 64), AHASH_DARK, dtype=np.uint8)
+    cells[:, :AHASH_BITS][bright == 1] = AHASH_BRIGHT
+    imgs = np.repeat(np.repeat(cells.reshape(-1, 8, 8), 4, axis=1), 4, axis=2)
+    return encode_png_batch(imgs, ids % 5)
+
+
+def _ahash_from_pngs(payloads):
+    """Average-hashes for one batch of PNG payloads: REALLY decode,
+    mean each 4x4 cell, threshold against the global mean, pack cells
+    0..59 into a long (int64 numpy array out). The decode vectorizes
+    across the batch (r12 verdict #3); cell pooling and the threshold
+    are exact (integer-valued float64 sums of <=16 uint8 values), so
+    the hash is bit-identical to the per-image path and the md5
+    closed-form oracle."""
+    import numpy as np
+
+    from .png import decode_png_batch
+
+    arrs = decode_png_batch(payloads).astype(np.float64)
+    cells = arrs.reshape(-1, 8, 4, 8, 4).mean(axis=(2, 4)).reshape(-1, 64)
+    bright = cells > cells.mean(axis=1, keepdims=True)
+    weights = np.uint64(1) << np.arange(AHASH_BITS, dtype=np.uint64)
+    hashes = (bright[:, :AHASH_BITS].astype(np.uint64) * weights).sum(axis=1)
+    return hashes.astype(np.int64)
+
+
 def synth_phash_images(df_docs: DataFrame) -> DataFrame:
     """Deterministic image table with REAL PNG payloads drawn from the
     planted bit patterns: cell k of the 8x8 grid is bright iff bit k
     is set (cells 60-63 always dark, so the global mean strictly
     separates bright from dark)."""
-    from .png import encode_png_batch
-
     base = _spread(df_docs.select("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame({"doc_id": [], "payload": []})
                 continue
-            # r13: batch the whole pipeline — md5 bit patterns stay a
-            # tight per-doc loop (µs each), but the cell grid, the 4x
-            # upsample, and the PNG filter/encode all vectorize across
-            # the Arrow batch (encode_png_batch emits bytes identical
-            # to the old per-image encode_png calls).
-            ids = np.asarray(pdf["doc_id"], dtype=np.int64)
-            bits = np.array(
-                [_ahash_bits_py(int(d)) for d in ids], dtype=np.uint64
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": _synth_png_batch(pdf["doc_id"])}
             )
-            bright = (
-                bits[:, None] >> np.arange(AHASH_BITS, dtype=np.uint64)
-            ) & np.uint64(1)
-            cells = np.full((len(ids), 64), AHASH_DARK, dtype=np.uint8)
-            cells[:, :AHASH_BITS][bright == 1] = AHASH_BRIGHT
-            imgs = np.repeat(
-                np.repeat(cells.reshape(-1, 8, 8), 4, axis=1), 4, axis=2
-            )
-            payloads = encode_png_batch(imgs, ids % 5)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return base.mapInPandas(run, "doc_id long, payload binary")
 
 
 def image_ahash(df_docs: DataFrame) -> DataFrame:
-    """(doc_id, ahash): average-hash of each REALLY decoded image —
-    decode the PNG, mean each 4x4 cell, threshold against the global
-    mean, pack cells 0..59 into a long. The hash is reconstructed
-    from PIXELS; the SQL twin derives the same value from the md5
-    closed form, so a bitwise match proves decode + cell pooling +
-    thresholding end-to-end. Embarrassingly parallel mapInPandas."""
-    from .png import decode_png_batch
+    """(doc_id, ahash): average-hash of each REALLY decoded image.
+    The hash is reconstructed from PIXELS; the SQL twin derives the
+    same value from the md5 closed form, so a bitwise match proves
+    PNG encode + decode + cell pooling + thresholding end-to-end.
 
-    imgs = synth_phash_images(df_docs)
+    r13 fusion: synth (encode) and hash (decode) run in ONE
+    mapInPandas over bare doc ids, so the ~1 KB/image PNG payload
+    never crosses the Arrow boundary (the previous two-kernel chain
+    shipped every payload JVM→Python→JVM→Python — at sf30 that is
+    2×1.5 GB of serialization for 1.5M images). Both codec halves
+    still really run (the decoded pixels, not the planted bits, feed
+    the hash), and the emitted (doc_id, ahash) rows are identical,
+    so the oracle and every downstream consumer are unchanged.
+    Embarrassingly parallel."""
+    base = _spread(df_docs.select("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame({"doc_id": [], "ahash": []})
                 continue
-            # r13 (r12 verdict #3): decode the WHOLE Arrow batch at
-            # once — the scanline-filter recurrences vectorize across
-            # images, cutting the per-byte Python loop that made this
-            # the most expensive face at sf30. Cell pooling and the
-            # threshold are exact (integer-valued float64 sums of <=16
-            # uint8 values), so the hash is bit-identical to the
-            # per-image path and the md5 closed-form oracle.
-            arrs = decode_png_batch(list(pdf["payload"])).astype(np.float64)
-            cells = arrs.reshape(-1, 8, 4, 8, 4).mean(axis=(2, 4)).reshape(-1, 64)
-            bright = cells > cells.mean(axis=1, keepdims=True)
-            weights = np.uint64(1) << np.arange(AHASH_BITS, dtype=np.uint64)
-            hashes = (bright[:, :AHASH_BITS].astype(np.uint64) * weights).sum(
-                axis=1
-            )
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "ahash": hashes.astype(np.int64)}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": _ahash_from_pngs(_synth_png_batch(pdf["doc_id"])),
+                }
             )
 
-    return imgs.mapInPandas(run, "doc_id long, ahash long")
+    return base.mapInPandas(run, "doc_id long, ahash long")
