@@ -542,14 +542,21 @@ _PRIORITY_R13 = _PRIORITY_R13_PLAN
 # name so each round's rewire is a one-line change, not a test edit.
 PRIORITY_WINDOW = _PRIORITY_R13
 
-# The PLANNED r14 window (wire-time placeholder, to be refined at r13
-# close-out per the handoff discipline): with _PRIORITY_R13 landing
-# the whole r11-verdict wave in r13, the next deadline pressure is
-# the r12-verdict wave (the 50 rows of the r12 window, due by r16) —
-# pre-drain it exactly as r13 pre-drained r11's. This also carries
-# the one-round-lag commitment for r13's route work so far: the tfidf
-# df-broadcast route (llm_tfidf is a row of this plan) — refine at
-# close-out with anything else r13 touches outside the live window.
+# The PLANNED r14 window (refined at r13 close-out per the handoff
+# discipline): with _PRIORITY_R13 landing the whole r11-verdict wave
+# in r13, the next deadline pressure is the r12-verdict wave (the 50
+# rows of the r12 window, due by r16) — pre-drain it exactly as r13
+# pre-drained r11's. Checked at close-out: every face r13 touched
+# OUTSIDE its live window sits in this plan already —
+# llm_image_dedup_pairs (batch PNG codec + synth/hash fusion; output
+# bit-identical, plan changed), llm_emb_ann_ivf / llm_emb_ann_pq
+# (lloyd_sample_size cap; centroids bit-unchanged below 524k
+# vectors, so driver results identical), llm_contamination /
+# llm_dedup_minhash_lsh (Observation-rider removal; results
+# unchanged), and llm_tfidf (the r12-close df-broadcast route). The
+# r13-window rows r13 touched (llm_semdedup, llm_semdedup_survivors,
+# llm_dedup_ngram_jaccard) carry fresh external verdicts from the
+# live r13 window itself.
 _PRIORITY_R14_PLAN = _PRIORITY_R12_PLAN
 
 STAGED_NEXT_WINDOW = _PRIORITY_R14_PLAN
