@@ -265,3 +265,23 @@ def test_sample_centroids_threshold_path_bitwise(spark):
         )
         skinny = sample_centroids(df, 32, sample_size=4096, order=order)
         assert fast == skinny, order
+
+
+def test_lloyd_sample_size_formula_and_default(clustered):
+    """r13 (from the r12-verdict interleaved adjudication): the
+    driver-Lloyd training sample is 16 rows/centroid, floored at 256,
+    CAPPED at 32768 — the cap linearizes the one superlinear term the
+    decomposition isolated (training flops ~ 16*k^2 with k = n/256).
+    Pin the formula's three regimes and that sample_centroids'
+    default is exactly lloyd_sample_size(k), so the IVF oracle twin
+    (which derives its replay sample from the same function) can
+    never train on a different matrix than the query path."""
+    assert S.lloyd_sample_size(1) == 256  # floor
+    assert S.lloyd_sample_size(16) == 256  # 16*16 hits the floor edge
+    assert S.lloyd_sample_size(64) == 1024  # linear band: 16/centroid
+    assert S.lloyd_sample_size(2048) == 32768  # cap boundary (16*2048)
+    assert S.lloyd_sample_size(4096) == 32768  # capped
+    assert S.lloyd_sample_size(1 << 20) == 32768  # stays capped
+    assert S.sample_centroids(clustered, 16) == S.sample_centroids(
+        clustered, 16, sample_size=S.lloyd_sample_size(16)
+    )

@@ -266,3 +266,43 @@ def test_image_dedup_probe_scheme_equals_banded(spark, sf_small):
     # same pigeonhole completeness at hamming ≤ 8, same pair set
     probe3 = {tuple(r) for r in q_image_dedup_pairs(spark, sf_small, scheme="probe3").collect()}
     assert probe3 == banded
+
+
+def test_image_ahash_fused_equals_composed_chain(spark, sf_small):
+    """r13 fusion guard: image_ahash runs synth (encode) and hash
+    (decode) in ONE mapInPandas so the ~1 KB/image PNG payload never
+    crosses the Arrow boundary. Pin that it emits EXACTLY the rows of
+    the composed two-kernel chain it replaced — synth_phash_images
+    payloads shipped through the DataFrame API into a decode+hash
+    kernel — so the fusion is a pure transport optimization."""
+    import pandas as pd
+
+    from real_time_event_streaming_pipeline_spark.catalog import load
+    from real_time_event_streaming_pipeline_spark.operators.multimodal import (
+        _ahash_from_pngs,
+        image_ahash,
+        synth_phash_images,
+    )
+
+    docs = load(spark, sf_small, "documents").limit(60)
+    fused = {(r.doc_id, r.ahash) for r in image_ahash(docs).collect()}
+
+    def hash_payloads(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"doc_id": [], "ahash": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": _ahash_from_pngs(list(pdf["payload"])),
+                }
+            )
+
+    composed = {
+        (r.doc_id, r.ahash)
+        for r in synth_phash_images(docs)
+        .mapInPandas(hash_payloads, "doc_id long, ahash long")
+        .collect()
+    }
+    assert fused == composed and len(fused) == 60
