@@ -92,6 +92,32 @@ FROM tri
 _CONTAM_MAX_DF = 100
 
 
+def _contamination_shingle_counts(spark: SparkSession, sf_dir: str):
+    """THE shared shingle/split/count definition for the contamination
+    query and its cap profile — one node, so the alarm metric can
+    never drift from what the query actually caps (r13 review: the
+    profile previously re-built this pipeline by copy, re-opening the
+    dual-read-out divergence class r12 verdict #5 retired). Returns
+    (sh, sizes): ``sh`` = each document's distinct 5-grams restricted
+    to the train (bucket < 80) / test (>= 90) bands with the `_b`
+    bucket column — the middle band feeds neither list, so dropping
+    it before any shuffle changes nothing; ``sizes`` = per-shingle
+    conditional split counts (_ntr, _nte), value-identical to
+    size(tr)/size(te) of the collect_list form. Both results are lazy
+    nodes — callers that use only one pay only for that one."""
+    docs = load(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, k=5)
+    bucket = split_bucket(F.col("doc_id"), 100)
+    sh = sh.withColumn("_b", bucket).filter(
+        (F.col("_b") < 80) | (F.col("_b") >= 90)
+    )
+    sizes = sh.groupBy("shingle").agg(
+        F.count_if(F.col("_b") < 80).alias("_ntr"),
+        F.count_if(F.col("_b") >= 90).alias("_nte"),
+    )
+    return sh, sizes
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: test-split documents sharing any
     5-gram with the train split (split = the deterministic hash split
@@ -134,22 +160,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     neither list)."""
     from .llmdata import resolved_bucket_presize
 
-    docs = load(spark, sf_dir, "documents")
-    sh = doc_shingles(docs, k=5)
-    bucket = split_bucket(F.col("doc_id"), 100)
-    # keep only the two splits' rows before any shuffle (the middle
-    # 80-90 bucket band feeds neither list; NULLs never entered the
-    # collect_lists, so output and counters are unchanged)
-    sh = sh.withColumn("_b", bucket).filter(
-        (F.col("_b") < 80) | (F.col("_b") >= 90)
-    )
+    sh, sizes = _contamination_shingle_counts(spark, sf_dir)
     tr_of = F.collect_list(F.when(F.col("_b") < 80, F.col("doc_id"))).alias("tr")
     te_of = F.collect_list(F.when(F.col("_b") >= 90, F.col("doc_id"))).alias("te")
     if resolved_bucket_presize(sf_dir):
-        sizes = sh.groupBy("shingle").agg(
-            F.count_if(F.col("_b") < 80).alias("_ntr"),
-            F.count_if(F.col("_b") >= 90).alias("_nte"),
-        )
         kept = sizes.filter(
             (F.col("_ntr") >= 1) & (F.col("_ntr") <= _CONTAM_MAX_DF)
             & (F.col("_nte") >= 1) & (F.col("_nte") <= _CONTAM_MAX_DF)
@@ -199,22 +213,13 @@ def contamination_cap_profile(spark: SparkSession, sf_dir: str) -> dict:
     direct 1-row aggregate — the one read-out path at every sf (r12
     verdict #5; twin of dedup.ngram_cap_profile). Counters cover
     CROSS-SPLIT shingles only (others never reach the output
-    regardless of the cap) over the identical shingle/split/count
-    definitions q_contamination filters, counted via the per-split
-    conditional counts that are value-identical to size(tr)/size(te)
-    of the list form (route parity was pinned while both read-outs
-    existed; the sf0.01/sf0.1 literals are pinned in
-    tests/test_llmdata.py)."""
-    docs = load(spark, sf_dir, "documents")
-    sh = doc_shingles(docs, k=5)
-    bucket = split_bucket(F.col("doc_id"), 100)
-    sh = sh.withColumn("_b", bucket).filter(
-        (F.col("_b") < 80) | (F.col("_b") >= 90)
-    )
-    sizes = sh.groupBy("shingle").agg(
-        F.count_if(F.col("_b") < 80).alias("_ntr"),
-        F.count_if(F.col("_b") >= 90).alias("_nte"),
-    )
+    regardless of the cap) over the LITERAL shared node
+    (_contamination_shingle_counts) q_contamination filters — not a
+    parallel copy, so the definitions cannot drift (r13 review); the
+    counts are value-identical to size(tr)/size(te) of the list form
+    (route parity was pinned while both read-outs existed; the
+    sf0.01/sf0.1 literals are pinned in tests/test_llmdata.py)."""
+    _sh, sizes = _contamination_shingle_counts(spark, sf_dir)
     cross = (F.col("_nte") > 0) & (F.col("_ntr") > 0)
     over = (F.col("_ntr") > _CONTAM_MAX_DF) | (F.col("_nte") > _CONTAM_MAX_DF)
     inst = F.col("_ntr") + F.col("_nte")
@@ -407,10 +412,12 @@ def resolved_tfidf_broadcast(
     sf_dir: str, max_vocab: int = _TFIDF_MAX_BROADCAST_VOCAB
 ) -> bool:
     """True (hint-broadcast the df table) while the Heaps-estimated
-    vocabulary fits the driver; footer-resolved, memoized."""
+    vocabulary fits the driver; footer-resolved, memoized. max_vocab
+    is part of the memo key — a custom bound must never read a stale
+    default-bound route (r13 review)."""
     from .llmdata import _route_key
 
-    key = _route_key(sf_dir)
+    key = f"{_route_key(sf_dir)}#{int(max_vocab)}"
     got = _TFIDF_BROADCAST_CACHE.get(key)
     if got is None:
         got = estimated_vocab(sf_dir) <= max_vocab

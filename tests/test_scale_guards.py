@@ -291,10 +291,12 @@ def test_tfidf_broadcast_routes_agree(spark, tmp_path):
     v = estimated_vocab(sf_dir)
     assert v > 0
     assert resolved_tfidf_broadcast(sf_dir, max_vocab=v) is True
+    # max_vocab is part of the memo key (r13 review): a different
+    # bound on the same corpus must re-resolve, not read a stale route
+    assert resolved_tfidf_broadcast(sf_dir, max_vocab=v - 1) is False
+    assert resolved_tfidf_broadcast(sf_dir, max_vocab=v) is True
     from real_time_event_streaming_pipeline_spark.plans.curation import (
         _TFIDF_BROADCAST_CACHE,
     )
 
-    _TFIDF_BROADCAST_CACHE.clear()
-    assert resolved_tfidf_broadcast(sf_dir, max_vocab=v - 1) is False
     _TFIDF_BROADCAST_CACHE.clear()

@@ -867,7 +867,15 @@ def run_interleaved(faces=None, reps: int = 3) -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    cells = [(f, p) for f in faces for p in points]
+    # POINT-major cell order — the documented round-robin (A@sf1,
+    # B@sf1, ..., A@sf3, ...): within one cycle a load burst shorter
+    # than the cycle hits one POINT across every face (face-vs-face
+    # ratios survive), never one face's whole exponent sweep. (r13
+    # review: the first recorded campaign ran face-major — all of A's
+    # points, then B's — so its cross-cycle rep spread and probe
+    # normalization applied but the within-cycle interleave did not;
+    # the campaign was re-run under this order.)
+    cells = [(f, p) for p in points for f in faces]
     walls: dict = {c[0] + "@" + c[1][0]: [] for c in cells}
     probes: dict = {c[0] + "@" + c[1][0]: [] for c in cells}
     for r in range(reps):
@@ -911,7 +919,14 @@ def run_interleaved(faces=None, reps: int = 3) -> None:
                 "median": round(med, 3), "median_normalized": round(norm, 3),
             }
 
-    folds = {"sf3": ("sf1", 3.0), "sf10": ("sf3", 10.0 / 3.0), "sf30": ("sf10", 3.0)}
+    # exponent predecessors follow the points ACTUALLY present (r13
+    # review: a hard-wired sf30->sf10 map silently dropped the sf30
+    # exponent when sf10 was absent — the gate number the run paid
+    # sf30 medians to produce); fold = ratio of adjacent present sfs
+    folds = {
+        points[i][0]: (points[i - 1][0], points[i][2] / points[i - 1][2])
+        for i in range(1, len(points))
+    }
     labels = [p[0] for p in points]
     print("\n| face | " + " | ".join(f"{l} med (norm)" for l in labels)
           + " | " + " | ".join(f"exp→{l} raw/norm" for l in labels[1:]) + " |")
