@@ -167,14 +167,45 @@ def events_arrival_schema(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(table_path(sf_dir, "events")).schema
 
 
+# Lazy-DataFrame memo: spark.read.parquet() costs a driver-side file
+# listing + footer schema read + several py4j round trips (~40-120 ms
+# per call measured at sf0.1), and a 6-table join query pays it six
+# times PER PLAN BUILD — the bench rebuilds each query every rep, so
+# this overhead sat inside every recorded latency (r13 optimization,
+# guide §1: the time was going to driver-side plan construction, not
+# execution). The memo stores the UNEXECUTED scan DataFrame only —
+# every action still computes from the parquet files; no rows, no
+# results, no intermediates are cached. Keyed by (applicationId,
+# realpath, table) so a stopped/recreated context can never see a
+# stale session's plan. Caveat (same contract as the route memos
+# below in plans/llmdata.py): a harness that REWRITES a table in
+# place under an already-loaded path within one Spark application
+# must call clear_load_memo() — the memoized scan pins the file
+# listing of first load. Test corpora are write-once tmp dirs, and
+# /root/testdata is immutable, so in practice the memo is
+# write-once.
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_load_memo() -> None:
+    """Escape hatch for harnesses that rewrite a table in place under
+    a path already loaded this process (mirrors
+    plans.llmdata.clear_ngram_route_cache)."""
+    _LOAD_MEMO.clear()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy; scan-level pushdown applies)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_defaults(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        df = normalize_events_ts(df)
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+    df = _LOAD_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if name == "events":
+            df = normalize_events_ts(df)
+        _LOAD_MEMO[key] = df
     return df
 
 

@@ -62,46 +62,77 @@ def connected_components(
     # plan, and label lineage grows a join per round until planning
     # itself dominates. localCheckpoint truncates lineage; cluster
     # deployments would use checkpoint() on reliable storage.
-    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).union(
-        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    # Symmetrize via inline(), not union-of-two-selects (r13 opt):
+    # the union form put the pair-generation subtree in the plan
+    # TWICE — exchange reuse deduplicates everything below the
+    # generator's last shuffle, but its post-shuffle join/filter
+    # stages re-executed once per union leg. inline() emits both
+    # directions from one narrow pass, so the generator runs exactly
+    # once regardless of its shape. Checkpoint is lazy: count() is
+    # the materializing action (one job, not two).
+    e = pairs.select(
+        F.inline(
+            F.array(
+                F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+                F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+            )
+        )
     )
     if not pairs_unique:
         e = e.distinct()
-    edges = e.localCheckpoint()
-    # count is ~free on the checkpointed partitions and buys exact
-    # loop sizing (see _EDGES_PER_PARTITION); coalesce is narrow — no
+    edges = e.localCheckpoint(eager=False)
+    # count materializes the lazy checkpoint and buys exact loop
+    # sizing (see _EDGES_PER_PARTITION); coalesce is narrow — no
     # extra shuffle, and never increases the partition count
     n_edges = edges.count()
     n_part = max(1, math.ceil(n_edges / _EDGES_PER_PARTITION))
     if n_part < edges.rdd.getNumPartitions():
         edges = edges.coalesce(n_part)
-    labels = (
-        edges.select("u")
-        .distinct()
-        .select(F.col("u").alias("vertex"), F.col("u").alias("component"))
-    )
 
     # labels only ever decrease (min over own + neighbors), so
     # Σcomponent strictly decreases every non-converged round: a 1-row
     # aggregate detects the fixpoint without the old-vs-new join the
     # naive convergence check needs (halves the per-round job count —
-    # round latency, not data volume, dominates this loop). No
-    # pre-loop baseline sum is computed: with the strict a<b pair
-    # contract every non-empty symmetrized edge set forces at least
-    # one label change in round 0 (the larger endpoint of any edge
-    # adopts the smaller), so a round-0 early exit is unreachable and
-    # round 0's own sum is the baseline; with pointer halving the
-    # fixpoint needs max_iter >= log2(diameter) + O(1) rounds (the
-    # last one confirming). Summed as
+    # round latency, not data volume, dominates this loop). The fused
+    # round 0 below computes the baseline sum; every loop round
+    # compares against the previous round's sum, so a round that
+    # changes nothing exits immediately (the fixpoint needs one
+    # confirming round, same as before the r13 restructure); with
+    # pointer halving the fixpoint needs max_iter >= log2(diameter) +
+    # O(1) rounds (the last one confirming). Summed as
     # decimal(38,0): many vertices with snowflake-scale 64-bit ids
     # would overflow a long sum, which throws under ANSI mode.
     def _label_sum(df):
         return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
 
     if n_edges == 0:  # empty graph: nothing to propagate
-        return labels
-    prev_sum = None
-    for rnd in range(max_iter):
+        return edges.select(
+            F.col("u").alias("vertex"), F.col("u").alias("component")
+        )
+    # Round 0, join-free (r13 opt): the initial labels are the
+    # identity (vertex -> vertex), so round 0's neighbor join would
+    # just rename edges — min(own, neighbors) over identity labels is
+    # a direct groupBy over (u, v) ∪ (u, u). One shuffle replaces the
+    # old init-distinct + round-0 join + groupBy; the output labels
+    # are identical by construction. Checkpoints in this loop are
+    # LAZY: the per-round 1-row label-sum action is what materializes
+    # them, so each round runs one job, not a checkpoint job plus a
+    # sum job (the mid-round halving checkpoint below stays eager —
+    # both sides of the halving self-join read it, and a lazy
+    # checkpoint would let the two join legs race to compute the
+    # union+groupBy lineage twice within the same job, the r8 ADVICE
+    # regression).
+    labels = (
+        edges.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
+        .unionByName(
+            edges.select(F.col("u").alias("vertex"), F.col("u").alias("component"))
+        )
+        .groupBy("vertex")
+        .agg(F.min("component").alias("component"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = _label_sum(labels)
+    for rnd in range(1, max_iter):
         # candidate label per vertex: min over (own label, neighbors' labels)
         neighbor_labels = (
             edges.join(labels, edges.v == labels.vertex)
@@ -138,8 +169,8 @@ def connected_components(
                 "vertex",
                 F.coalesce("_lc", "component").alias("component"),
             )
-        labels = labels.localCheckpoint()
-        new_sum = _label_sum(labels)
+        labels = labels.localCheckpoint(eager=False)
+        new_sum = _label_sum(labels)  # materializes the checkpoint
         if new_sum == prev_sum:
             return labels
         prev_sum = new_sum

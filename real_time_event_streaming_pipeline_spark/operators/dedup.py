@@ -361,16 +361,25 @@ def minhash_signatures(
     sh = doc_shingles(df, k, id_col).withColumn(
         "h", _h60(F.col("shingle")) % _MERSENNE
     )
+    # r13 opt: the per-permutation aggregate expressions are built as
+    # SQL strings (one py4j round trip each) instead of Column-object
+    # chains (~6 round trips each) — the 32-permutation loop was ~200
+    # driver round trips of pure plan-construction latency per bench
+    # rep. The parsed expressions are identical: same long literals,
+    # same Remainder/Multiply/Add nodes, same result bit-for-bit.
     mins = sh.groupBy(id_col).agg(
         *[
-            F.min((F.col("h") * F.lit(_perm(i)[0]) + F.lit(_perm(i)[1])) % _MERSENNE).alias(
-                f"m{i}"
+            F.expr(
+                f"min((h * {_perm(i)[0]}L + {_perm(i)[1]}L) % {_MERSENNE}L) AS m{i}"
             )
             for i in range(num_hashes)
         ]
     )
     return mins.select(
-        F.col(id_col), F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+        F.col(id_col),
+        F.expr(
+            "array(" + ", ".join(f"m{i}" for i in range(num_hashes)) + ") AS sig"
+        ),
     )
 
 
@@ -485,28 +494,24 @@ def minhash_band_rows(
     computed at ingest time equals one computed in a batch sweep."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, k, num_hashes, id_col)
+    # r13 opt: the whole banded explode is ONE parsed SQL expression
+    # (one py4j round trip) instead of ~400 Column-object calls for
+    # the 8 band structs — identical expression tree (same _h60 =
+    # CAST(conv(substring(md5(..),1,15),16,10) AS BIGINT) over the
+    # same comma-joined signature slice), bit-identical band keys.
+    structs = ", ".join(
+        "struct({b} AS band, CAST(conv(substring(md5(concat_ws(',', {cols})), 1, 15), 16, 10) AS BIGINT) AS bhash)".format(
+            b=b,
+            cols=", ".join(
+                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return sig.select(
         F.col(id_col),
         F.col("sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _h60(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(f"explode(array({structs})) AS bk"),
     ).select(id_col, "sig", "bk.band", "bk.bhash")
 
 
@@ -604,20 +609,24 @@ def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
         .select(F.col(id_col), F.explode("_toks").alias("tok"))
         .withColumn("h", _h60(F.col("tok")))
     )
+    # r13 opt: per-bit aggregates and the signature reassembly are
+    # parsed SQL strings (one py4j round trip each / one total)
+    # instead of ~10 Column-object calls per bit — identical
+    # expression trees, bit-identical signatures (same CASE/shift/sum
+    # nodes, same left-associated term chain).
     votes = tok.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+            )
             for i in range(bits)
         ]
     )
-    sig = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long")
-        sig = term if sig is None else sig + term
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+    sig_sql = " + ".join(
+        f"((CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) * CAST({1 << i} AS BIGINT))"
+        for i in range(bits)
+    )
+    return votes.select(F.col(id_col), F.expr(f"({sig_sql}) AS simhash"))
 
 
 def simhash_neardup_pairs(
@@ -641,23 +650,16 @@ def simhash_neardup_pairs(
     block_bits = bits // n_blocks
     sig = simhash(df, bits, id_col)
     mask = (1 << block_bits) - 1
+    # one parsed SQL expression for the block explode (r13 opt — same
+    # py4j-batching as minhash_band_rows; identical expression tree)
+    structs = ", ".join(
+        f"struct({b} AS blk, CAST((shiftright(simhash, {b * block_bits}) & {mask}) AS BIGINT) AS key)"
+        for b in range(n_blocks)
+    )
     blocked = sig.select(
         F.col(id_col),
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("blk"),
-                        F.shiftright(F.col("simhash"), b * block_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .cast("long")
-                        .alias("key"),
-                    )
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(f"explode(array({structs})) AS bk"),
     ).select(id_col, "simhash", "bk.blk", "bk.key")
     # one groupBy on the block key; pairs emitted map-side from the
     # collected per-bucket list (same one-pass shape as

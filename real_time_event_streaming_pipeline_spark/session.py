@@ -71,6 +71,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # r13 opt: PySpark 4 wraps EVERY DataFrame/Column API call
+        # with a call-site capture for error context — measured ~3
+        # extra py4j round trips + a Python stack walk per call
+        # (profiling the minhash plan build: 4.5k round trips, the
+        # majority from this wrapper). Plans here are built
+        # programmatically (32-permutation loops etc.), so the
+        # wrapper taxes every bench rep's plan construction for
+        # context no one reads in a verified engine; off = plan-build
+        # latency roughly halves on expression-heavy faces. Purely a
+        # driver-side Python toggle: plans, results, and executed
+        # bytecode are identical.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # The driver `events` table stores ts as parquet TIMESTAMP(NANOS),
         # which Spark has no native type for; read it as epoch-nanos long
         # and convert in catalog.load (truncating to µs, matching DuckDB).
