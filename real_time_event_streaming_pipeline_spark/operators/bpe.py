@@ -155,7 +155,16 @@ def train(docs: DataFrame, num_merges: int, text_col: str = "text") -> list[tupl
     with raw (undisplayed) symbol text. Driver traffic is one 1-row
     argmax per round; the word table stays distributed and is
     localCheckpoint-ed per round so the fold lineage never deepens."""
-    words = word_types(docs, text_col).localCheckpoint()
+    # r13 opt: checkpoints are LAZY — each round's 1-row argmax job is
+    # what materializes the (tiny, Heaps-law-sized) word table, so a
+    # round runs ONE job instead of an eager-checkpoint job plus the
+    # argmax job. Round latency, not data volume, dominates this loop
+    # (the r13 bench: the word table is a few thousand rows at any
+    # tested sf while each extra job costs ~0.1 s of scheduling).
+    # Lineage still truncates at every round: the checkpoint persists
+    # during the argmax job and the next round's projection reads the
+    # persisted partitions.
+    words = word_types(docs, text_col).localCheckpoint(eager=False)
     merges: list[tuple] = []
     for rank in range(1, num_merges + 1):
         best = (
@@ -169,7 +178,7 @@ def train(docs: DataFrame, num_merges: int, text_col: str = "text") -> list[tupl
         words = words.select(
             "freq",
             merge_pass(F.col("repr"), F.lit(best["lhs"]), F.lit(best["rhs"])).alias("repr"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 

@@ -1243,7 +1243,17 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS (another supplier contributed to the order) and one NOT
     EXISTS (no OTHER supplier was late) against the same fact table —
     Catalyst decorrelates both into semi/anti joins that reuse the
-    orderkey shuffle rather than re-scanning lineitem per row."""
+    orderkey shuffle rather than re-scanning lineitem per row.
+
+    r13 opt: the NOT EXISTS leg used to re-join lineitem⋈orders just
+    to read the order date of l3's order — but l3.l_orderkey =
+    l1.l_orderkey and o_orderkey is unique, so that o3 row IS the
+    outer query's orders row. Referencing the outer o_orderdate
+    directly drops one full lineitem⋈orders join from the anti leg
+    (plan: 3 lineitem-side joins → 2) with provably identical rows
+    (orderkey is the orders PK). The DuckDB oracle keeps the original
+    self-join spelling — equivalent by the same uniqueness — so the
+    face stays value-checked against an independent derivation."""
     from ..catalog import register_all
 
     register_all(spark, sf_dir)
@@ -1262,9 +1272,8 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
           AND NOT EXISTS (
             SELECT 1 FROM lineitem l3
-            JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
             WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
         GROUP BY s_name
         """
     )

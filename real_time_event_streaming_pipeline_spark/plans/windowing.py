@@ -325,14 +325,29 @@ def q_recursive_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shallow-chain shape (max depth 4 on this corpus), and the query
     pins the recursive-CTE surface cross-engine."""
     load(spark, sf_dir, "events").createOrReplaceTempView("_rs_events")
+    # r13 opt: the recursive step references the lag table once per
+    # chain-depth level, and a CTE subplan is re-evaluated per
+    # reference — the scan + user-window sort ran at every level
+    # (depth 4 on this corpus = 4 redundant window passes). The lag
+    # table is level-invariant, so materialize it ONCE behind a lazy
+    # localCheckpoint (first level's job computes it; later levels
+    # read the persisted partitions) and keep WITH RECURSIVE for the
+    # chain itself — the surface this face pins. Same rows, same
+    # recursion, bitwise-identical output.
+    lagged = spark.sql(
+        """
+        SELECT user_id, event_id, ts,
+          lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+          unix_micros(ts) - unix_micros(
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM _rs_events
+        """
+    ).localCheckpoint(eager=False)
+    lagged.createOrReplaceTempView("_rs_lagged")
     return spark.sql(
         """
         WITH RECURSIVE lagged AS (
-          SELECT user_id, event_id, ts,
-            lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
-            unix_micros(ts) - unix_micros(
-              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
-          FROM _rs_events
+          SELECT * FROM _rs_lagged
         ),
         chain (user_id, event_id, ts, session_start_us) AS (
           SELECT user_id, event_id, ts, unix_micros(ts)
