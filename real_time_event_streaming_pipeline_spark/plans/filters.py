@@ -157,43 +157,47 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT, with both operands non-negative so truncating and flooring
     division agree across engines.
 
-    Shuffle profile (r13 opt): NONE — the per-document histogram is
-    computed with higher-order array functions inside the projection,
-    so the plan is a single scan + map, no explode and no exchange.
-    The previous shape exploded one row PER CHARACTER (~300× the
-    corpus row count) and hash-aggregated twice ((doc, ch) then doc);
-    at 100 TB that is two full shuffles of a character stream for a
-    quantity that is a pure per-row function of `text`. Per-row work
-    is O(n_chars × alphabet) in whole-stage codegen. Value parity is
-    exact by construction: the per-(c, n) micro-nat term
-    CAST(round(ln(c/n)·1e6) AS BIGINT) is the identical double→long
-    arithmetic, and the summation is over LONGS (associative and
-    commutative in any order), so the emitted integers are
-    bit-identical to the exploded shape's — pinned against the
-    unchanged DuckDB oracle. Empty/NULL texts vanish exactly as they
-    vanished from the old explode (filter n >= 1)."""
+    Shuffle profile: one char explode → hash agg on (doc_id, ch) →
+    hash agg on doc_id; n_chars rides along from length(text), so no
+    join back to the scan. Per-key state is O(alphabet) per doc.
+
+    r13 opt NOT taken (measured, guide §1.1's "fresh ideal
+    implementation is usually slower" case): a shuffle-free rewrite
+    computing the histogram with nested higher-order array functions
+    (0 Exchanges on paper) ran 2.3 s → 49 s at sf0.1 — HOF lambdas
+    evaluate INTERPRETED, outside whole-stage codegen, and the inner
+    per-distinct-char filter rebuilt the O(n_chars) char array per
+    distinct char (O(n·k) allocations per row). The explode shape
+    keeps every operator in codegen and its two exchanges carry only
+    (doc_id, n, ch) — reverted to it and pinned the lesson here."""
     docs = load(spark, sf_dir, "documents")
+    # guard: F.sequence(1, 0) generates DESCENDING [1, 0], not an
+    # empty array — an empty-text doc must vanish from the explode
+    # exactly as it does under DuckDB's generate_series(1, 0)
+    idx = F.when(
+        F.length("text") >= 1, F.sequence(F.lit(1), F.length("text"))
+    ).otherwise(F.array().cast("array<int>"))
+    chars = (
+        docs.select("doc_id", "text", F.length("text").alias("n"))
+        .select("doc_id", "n", F.explode(idx).alias("i"), F.col("text"))
+        .select("doc_id", "n", F.expr("substr(text, i, 1)").alias("ch"))
+    )
+    counts = chars.groupBy("doc_id", "n", "ch").agg(F.count(F.lit(1)).alias("c"))
+    mn = F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double")) * F.lit(1_000_000.0)
+    ).cast("long")
     return (
-        docs.select("doc_id", F.length("text").alias("n"), "text")
-        .filter(F.col("n") >= 1)
+        counts.select("doc_id", "n", (F.col("c") * mn).alias("cmn"))
+        .groupBy("doc_id", "n")
+        .agg(
+            (-F.sum("cmn")).alias("neg_sum_micronats"),
+            F.count(F.lit(1)).alias("distinct_chars"),
+        )
         .select(
             "doc_id",
             F.col("n").alias("n_chars"),
-            F.expr(
-                "size(array_distinct(transform(sequence(1, n), i -> substr(text, i, 1))))"
-            ).alias("distinct_chars"),
-            F.expr(
-                """
-                (-aggregate(
-                    transform(
-                        array_distinct(transform(sequence(1, n), i -> substr(text, i, 1))),
-                        ch -> size(filter(transform(sequence(1, n), i -> substr(text, i, 1)), x -> x = ch))
-                    ),
-                    CAST(0 AS BIGINT),
-                    (acc, c) -> acc + c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
-                )) div n
-                """
-            ).alias("entropy_micronats"),
+            "distinct_chars",
+            F.expr("neg_sum_micronats div n").alias("entropy_micronats"),
         )
     )
 
