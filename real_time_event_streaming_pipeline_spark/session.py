@@ -67,6 +67,24 @@ def get_spark(
             str(8 * (shuffle_partitions or cpus)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r13 opt (guide §3.1/§9): let the planner pick shuffled-hash
+        # join when its size conditions hold instead of always
+        # preferring sort-merge — SHJ skips both sides' sorts. Honest
+        # measurement note: a strictly-alternating A/B first read as
+        # 15-24% wins, but an ABBA-ordered re-run (including a null
+        # test on a join-free face) showed those gaps were serial
+        # box-drift — at sf0.1 every join broadcasts, so this flag is
+        # NEUTRAL locally (smj 0.969 vs shj 1.033 on contamination,
+        # within rep noise). It is kept as CLUSTER posture: where
+        # neither side broadcasts, SHJ avoids sorting both sides, the
+        # planner only chooses it when the build side is provably
+        # buildable per partition (canBuildLocalHashMap — bounded by
+        # autoBroadcastJoinThreshold × shuffle partitions), AQE skew
+        # split still applies to SHJ, and every float-bearing
+        # aggregate in the registry is integer-scaled, so
+        # join-order-dependent float drift cannot exist (strict gate
+        # re-run green under this flag).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
