@@ -199,13 +199,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_defaults(spark)
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.realpath(sf_dir), name)
     df = _LOAD_MEMO.get(key)
-    if df is None:
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if name == "events":
-            df = normalize_events_ts(df)
-        _LOAD_MEMO[key] = df
+    # The memoized DataFrame is bound to the SparkSession that built
+    # it: under newSession() (several sessions over one context — the
+    # driver contract allows an externally built session) a hit from
+    # a DIFFERENT session would silently bind downstream temp views
+    # to the wrong session's catalog (r13 review finding). Identity
+    # check on the owning session; mismatch rebuilds for the caller's
+    # session (correctness over cache locality — alternating sessions
+    # just stop caching).
+    if df is not None and df.sparkSession is spark:
+        return df
+    # evict entries from stopped contexts: a new applicationId makes
+    # old keys unreachable forever, so drop them instead of holding
+    # dead-JVM plan references for the life of the module
+    stale = [k for k in _LOAD_MEMO if k[0] != app_id]
+    for k in stale:
+        del _LOAD_MEMO[k]
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = normalize_events_ts(df)
+    _LOAD_MEMO[key] = df
     return df
 
 

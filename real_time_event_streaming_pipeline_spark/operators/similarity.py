@@ -1441,7 +1441,7 @@ def ivf_ann_topk(
         # it inside the union lineage. Skipped when the probed set is
         # most of the cells anyway (a large query side) — then the
         # filter costs more than the rows it saves.
-        q = q.localCheckpoint(eager=True)  # r13: lazy A/B'd SLOWER here (ivf 4.30 vs 3.39 s interleaved) — keep eager
+        q = q.localCheckpoint(eager=True)  # r13: lazy A/B'd SLOWER on this path (ivf noop 4.30 lazy vs 3.39 eager, interleaved) — keep eager
         probed = [r["cell"] for r in q.select("cell").distinct().collect()]
         if len(probed) <= n_centroids // 2:
             c = c.filter(F.col("cell").isin(probed))
@@ -1874,7 +1874,7 @@ def lsh_ann_topk(
         # the PLAN differs everywhere since r11: signatures come from
         # the pandas-UDF lsh_signature_kernel, not the literal-folded
         # expression. Result-identity, not plan byte-identity.)
-        q = q.localCheckpoint(eager=True)  # r13: lazy A/B'd SLOWER here (ivf 4.30 vs 3.39 s interleaved) — keep eager
+        q = q.localCheckpoint(eager=True)  # r13: lazy A/B'd SLOWER on this family (lsh noop 1.35 lazy vs 1.17 eager; ivf 4.30 vs 3.39, interleaved) — keep eager
         probed = [r["bucket"] for r in q.select("bucket").distinct().collect()]
         if len(probed) <= (1 << n_planes) // 2:
             c = c.filter(F.col("bucket").isin(probed))

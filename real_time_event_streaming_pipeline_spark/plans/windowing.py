@@ -333,7 +333,12 @@ def q_recursive_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint (first level's job computes it; later levels
     # read the persisted partitions) and keep WITH RECURSIVE for the
     # chain itself — the surface this face pins. Same rows, same
-    # recursion, bitwise-identical output.
+    # recursion, bitwise-identical output. Each call persists a fresh
+    # checkpoint copy; it is reclaimed by the ContextCleaner once the
+    # returned DataFrame is garbage-collected (no explicit unpersist:
+    # a caller may still hold the previous result, and unpersisting a
+    # LOCAL checkpoint under a live reader is unrecoverable — the
+    # truncated lineage cannot recompute).
     lagged = spark.sql(
         """
         SELECT user_id, event_id, ts,

@@ -300,3 +300,26 @@ def test_tfidf_broadcast_routes_agree(spark, tmp_path):
     )
 
     _TFIDF_BROADCAST_CACHE.clear()
+
+
+def test_load_memo_is_session_correct(spark, sf_small):
+    """r13: catalog.load memoizes the lazy parquet-scan DataFrame per
+    (applicationId, realpath, table). The memo must never hand a
+    DataFrame bound to ANOTHER session over the same context — a
+    newSession() caller registering temp views would silently write
+    them into the wrong session's catalog (review finding). A
+    same-session hit must be the identical object (the memo working);
+    a different-session call must rebuild for that session."""
+    from real_time_event_streaming_pipeline_spark.catalog import load
+
+    a1 = load(spark, sf_small, "nation")
+    a2 = load(spark, sf_small, "nation")
+    assert a1 is a2  # memo hit within one session
+
+    s2 = spark.newSession()
+    b = load(s2, sf_small, "nation")
+    assert b.sparkSession is s2  # rebuilt for the caller's session
+    # and the view path actually works in the new session
+    b.createOrReplaceTempView("_memo_probe_nation")
+    assert s2.sql("SELECT count(*) c FROM _memo_probe_nation").first()["c"] == b.count()
+    s2.catalog.dropTempView("_memo_probe_nation")
