@@ -538,28 +538,110 @@ _PRIORITY_R13_PLAN = _PRIORITY_R11_PLAN
 # plan above lands verbatim as the round's window.
 _PRIORITY_R13 = _PRIORITY_R13_PLAN
 
+# The r14 window, wired live in round 14's first commit. NOTE: the
+# plan staged at r13 close-out (a verbatim copy of _PRIORITY_R12_PLAN)
+# was WRONG — its close-out analysis claimed "the next deadline
+# pressure is the r12-verdict wave (due by r16)", overlooking that the
+# r10-verdict wave (the 41 rows last externally verified in r10, never
+# refreshed by the r11/r12/r13 windows) hits age 4 at r14.
+# rotation_check caught it at r14 open (41 violations). Corrected
+# here by deadline analysis against the recorded CORRECTNESS history:
+#   - all 41 due-by-r14 rows (latest verdict r10) — the fn_* scalar
+#     battery, the corpus/sampling/packing family, multimodal
+#     png/wav/avi/features, the TPC-H pricing/supplier wave,
+#     cs_tx_dml_lifecycle, rel misc;
+#   - 9 fillers, chosen to discharge the r13 one-round-lag
+#     commitments and cover every face round 14 plans to touch:
+#     llm_dedup_minhash_lsh + llm_dedup_simhash_pairs (r13 verdict
+#     task #8 — their expression trees were rewritten in r13 while
+#     rotated out), llm_image_dedup_pairs (r13 codec fusion + r14
+#     banding-join work), llm_emb_ann_ivf / _lsh (r14 probed-set
+#     prune) and _pq (r13 lloyd cap), llm_contamination (r13
+#     Observation removal; the SHJ-flag adjudication face),
+#     llm_tfidf (r13 df-broadcast route), llm_dedup_ngram_jaccard
+#     (r14 capped-shingle materialization re-test).
+# With this window landing in r14 and the staged r15 plan below,
+# the replayed history shows ZERO violations through r16.
+_PRIORITY_R14_PLAN = (
+    # due-by-r14 block (41 rows, latest external verdict r10)
+    "cs_tx_dml_lifecycle",
+    "fn_array",
+    "fn_datetime",
+    "fn_higher_order",
+    "fn_hll_mergeable",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_sketch_set_algebra",
+    "fn_string",
+    "fn_unpivot",
+    "fn_url",
+    "llm_corpus_build",
+    "llm_corpus_pipeline",
+    "llm_doc_repetition",
+    "llm_dup_chunk_fraction",
+    "llm_fuzzy_linkage",
+    "llm_multimodal_avi",
+    "llm_multimodal_features",
+    "llm_multimodal_png",
+    "llm_multimodal_wav",
+    "llm_pack_materialize",
+    "llm_per_source_cap",
+    "llm_seq_packing",
+    "llm_source_mixture",
+    "llm_stratified_sample",
+    "rel_customer_order_counts",
+    "rel_customers_with_urgent_orders",
+    "rel_deterministic_split",
+    "rel_dominant_part_suppliers",
+    "rel_ewma_user_value",
+    "rel_grouping_sets",
+    "rel_large_volume_customer",
+    "rel_local_supplier_volume",
+    "rel_nation_profit",
+    "rel_pricing_summary",
+    "rel_retention_cohorts",
+    "rel_setops_suppliers",
+    "rel_shipping_priority",
+    "rel_sql_subqueries",
+    "rel_top_orders_per_customer",
+    # fillers: r13 one-round-lag commitments + every r14-touched face
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash_pairs",
+    "llm_image_dedup_pairs",
+    "llm_emb_ann_ivf",
+    "llm_emb_ann_lsh",
+    "llm_emb_ann_pq",
+    "llm_contamination",
+    "llm_tfidf",
+    "llm_dedup_ngram_jaccard",
+)
+
+_PRIORITY_R14 = _PRIORITY_R14_PLAN
+
 # The live window alias: rotation tooling and tests reference THIS
 # name so each round's rewire is a one-line change, not a test edit.
-PRIORITY_WINDOW = _PRIORITY_R13
+PRIORITY_WINDOW = _PRIORITY_R14
 
-# The PLANNED r14 window (refined at r13 close-out per the handoff
-# discipline): with _PRIORITY_R13 landing the whole r11-verdict wave
-# in r13, the next deadline pressure is the r12-verdict wave (the 50
-# rows of the r12 window, due by r16) — pre-drain it exactly as r13
-# pre-drained r11's. Checked at close-out: every face r13 touched
-# OUTSIDE its live window sits in this plan already —
-# llm_image_dedup_pairs (batch PNG codec + synth/hash fusion; output
-# bit-identical, plan changed), llm_emb_ann_ivf / llm_emb_ann_pq
-# (lloyd_sample_size cap; centroids bit-unchanged below 524k
-# vectors, so driver results identical), llm_contamination /
-# llm_dedup_minhash_lsh (Observation-rider removal; results
-# unchanged), and llm_tfidf (the r12-close df-broadcast route). The
-# r13-window rows r13 touched (llm_semdedup, llm_semdedup_survivors,
-# llm_dedup_ngram_jaccard) carry fresh external verdicts from the
-# live r13 window itself.
-_PRIORITY_R14_PLAN = _PRIORITY_R12_PLAN
+# The PLANNED r15 window: the 42 r12-verdict rows not already pulled
+# forward into the r14 fillers above (due by r16), plus 8 fillers
+# from the r13-verdict wave (due r17 — the cs endpoint family, the
+# lowest-risk members). After this lands in r15, the replayed history
+# shows zero rows due at r16 and the r13 wave's remainder due r17.
+_PRIORITY_R15_PLAN = tuple(
+    q for q in _PRIORITY_R12_PLAN if q not in set(_PRIORITY_R14_PLAN)
+) + (
+    "cs_aggregations_filtered",
+    "cs_alerts",
+    "cs_alerts_recent",
+    "cs_cities",
+    "cs_events_by_city",
+    "cs_global_counts",
+    "cs_raw_events",
+    "cs_raw_with_ttl",
+)
 
-STAGED_NEXT_WINDOW = _PRIORITY_R14_PLAN
+STAGED_NEXT_WINDOW = _PRIORITY_R15_PLAN
 
 _PRIORITY_R6 = (
     # new in round 6 — no driver verdict yet (rotation_check enforces
