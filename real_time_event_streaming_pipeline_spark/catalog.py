@@ -177,14 +177,15 @@ def events_arrival_schema(spark: SparkSession, sf_dir: str):
 # every action still computes from the parquet files; no rows, no
 # results, no intermediates are cached. Keyed by (applicationId,
 # realpath, table) so a stopped/recreated context can never see a
-# stale session's plan. Caveat (same contract as the route memos
-# below in plans/llmdata.py): a harness that REWRITES a table in
-# place under an already-loaded path within one Spark application
-# must call clear_load_memo() — the memoized scan pins the file
-# listing of first load. Test corpora are write-once tmp dirs, and
-# /root/testdata is immutable, so in practice the memo is
-# write-once.
-_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# stale session's plan, PLUS a freshness token (mtime_ns + size of
+# the table path, one os.stat per load — r13 ADVICE): a harness that
+# rewrites a table in place under an already-loaded path gets a
+# fresh scan instead of the pinned file listing of first load, so
+# the fail-safe is mechanical, not a clear_load_memo() convention.
+# (A rewrite that preserves both mtime_ns and byte size is not a
+# realistic filesystem event; clear_load_memo() remains the explicit
+# escape hatch.)
+_LOAD_MEMO: dict[tuple[str, str, str], tuple[tuple[int, int], DataFrame]] = {}
 
 
 def clear_load_memo() -> None:
@@ -201,7 +202,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_defaults(spark)
     app_id = spark.sparkContext.applicationId
     key = (app_id, os.path.realpath(sf_dir), name)
-    df = _LOAD_MEMO.get(key)
+    # freshness token (r13 ADVICE): an in-place rewrite changes the
+    # path's mtime/size, so the memo misses and relists instead of
+    # serving a stale pinned file set
+    try:
+        st = os.stat(table_path(sf_dir, name))
+        token = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        token = (-1, -1)  # let spark.read raise the real error below
+    hit = _LOAD_MEMO.get(key)
     # The memoized DataFrame is bound to the SparkSession that built
     # it: under newSession() (several sessions over one context — the
     # driver contract allows an externally built session) a hit from
@@ -210,8 +219,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # check on the owning session; mismatch rebuilds for the caller's
     # session (correctness over cache locality — alternating sessions
     # just stop caching).
-    if df is not None and df.sparkSession is spark:
-        return df
+    if hit is not None:
+        tok, df = hit
+        if tok == token and df.sparkSession is spark:
+            return df
     # evict entries from stopped contexts: a new applicationId makes
     # old keys unreachable forever, so drop them instead of holding
     # dead-JVM plan references for the life of the module
@@ -221,7 +232,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_events_ts(df)
-    _LOAD_MEMO[key] = df
+    _LOAD_MEMO[key] = (token, df)
     return df
 
 

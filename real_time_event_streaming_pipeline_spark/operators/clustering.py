@@ -43,6 +43,24 @@ from pyspark.sql import functions as F
 _EDGES_PER_PARTITION = 1_000_000
 
 
+def lazy_checkpoint_materialized(df: DataFrame, action):
+    """localCheckpoint(eager=False) paired with the single-reference
+    action that materializes it, as ONE construct (r14, closing the
+    r13 ADVICE item): the r8 regression — a lazily-checkpointed plan
+    referenced twice before any action — silently recomputes its
+    lineage once per reference (the plan's two legs race to fill the
+    block-store cache inside one job). Pairing checkpoint and
+    materializing action structurally means a caller cannot hold the
+    checkpointed frame without its action having run first, so the
+    invariant no longer depends on comment discipline. Returns
+    (checkpointed_df, action_result); the invariant itself is pinned
+    mechanically by tests/test_clustering.py::
+    test_lazy_checkpoint_materializes_upstream_once (an accumulator
+    counts upstream evaluations)."""
+    out = df.localCheckpoint(eager=False)
+    return out, action(out)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
@@ -80,11 +98,10 @@ def connected_components(
     )
     if not pairs_unique:
         e = e.distinct()
-    edges = e.localCheckpoint(eager=False)
     # count materializes the lazy checkpoint and buys exact loop
     # sizing (see _EDGES_PER_PARTITION); coalesce is narrow — no
     # extra shuffle, and never increases the partition count
-    n_edges = edges.count()
+    edges, n_edges = lazy_checkpoint_materialized(e, lambda d: d.count())
     n_part = max(1, math.ceil(n_edges / _EDGES_PER_PARTITION))
     if n_part < edges.rdd.getNumPartitions():
         edges = edges.coalesce(n_part)
@@ -122,16 +139,15 @@ def connected_components(
     # checkpoint would let the two join legs race to compute the
     # union+groupBy lineage twice within the same job, the r8 ADVICE
     # regression).
-    labels = (
+    labels, prev_sum = lazy_checkpoint_materialized(
         edges.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
         .unionByName(
             edges.select(F.col("u").alias("vertex"), F.col("u").alias("component"))
         )
         .groupBy("vertex")
-        .agg(F.min("component").alias("component"))
-        .localCheckpoint(eager=False)
+        .agg(F.min("component").alias("component")),
+        _label_sum,
     )
-    prev_sum = _label_sum(labels)
     for rnd in range(1, max_iter):
         # candidate label per vertex: min over (own label, neighbors' labels)
         neighbor_labels = (
@@ -169,8 +185,7 @@ def connected_components(
                 "vertex",
                 F.coalesce("_lc", "component").alias("component"),
             )
-        labels = labels.localCheckpoint(eager=False)
-        new_sum = _label_sum(labels)  # materializes the checkpoint
+        labels, new_sum = lazy_checkpoint_materialized(labels, _label_sum)
         if new_sum == prev_sum:
             return labels
         prev_sum = new_sum

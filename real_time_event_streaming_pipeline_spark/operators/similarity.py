@@ -1181,7 +1181,7 @@ def sample_centroids(
         for _ in range(max(0, int(iters))):
             rows = (
                 samp.withColumn(
-                    "cell", nearest_cells(F.col("_vec"), cents, 1)[0]["cell"]
+                    "cell", nearest_cells("_vec", cents, 1)[0]["cell"]
                 )
                 .select("cell", F.posexplode("_vec").alias("pos", "x"))
                 .groupBy("cell", "pos")
@@ -1362,7 +1362,35 @@ def assign_cells_kernel(
 def nearest_cells(vec, cents: list[tuple[int, list[float]]], n: int) -> Column:
     """The n nearest centroid cells by dot product, as an array of
     structs sorted nearest-first — centroids fold into the plan as
-    literals (JVM-side, no UDF)."""
+    literals (JVM-side, no UDF).
+
+    r14 (the r13 minhash expression-batching treatment, guide §4
+    driver boundary): when ``vec`` is a COLUMN NAME, the whole
+    k-centroid expression is built as ONE parsed SQL string —
+    cProfile'd at sf0.1, the Column-object form cost 2,213
+    _invoke_function calls / ~11k py4j round trips / ~3.3 s of the
+    ivf face's plan build (two nearest_cells calls of 16 centroids ×
+    64 dims each). The parsed tree is semantically identical: same
+    double literals (repr() round-trips IEEE exactly and Spark's
+    parser reads them with Java's Double.parseDouble), same
+    zip_with/aggregate fold, same struct field names and types, same
+    array_sort comparator — parity pinned bitwise in
+    tests/test_llmdata.py. Column inputs keep the original path
+    (external callers may pass derived expressions)."""
+    if isinstance(vec, str):
+        def dot_sql(cvec):
+            arr = "array(" + ", ".join(repr(float(x)) + "D" for x in cvec) + ")"
+            return (
+                f"aggregate(zip_with(`{vec}`, {arr}, "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "0.0D, (acc, v) -> acc + v)"
+            )
+
+        structs = ", ".join(
+            f"named_struct('negdot', -({dot_sql(cvec)}), 'cell', {int(cid)})"
+            for cid, cvec in cents
+        )
+        return F.expr(f"slice(array_sort(array({structs})), 1, {int(n)})")
     scored = F.array(
         *[
             F.struct(
@@ -1386,6 +1414,7 @@ def ivf_ann_topk(
     order: str = "xxhash64",
     scheme: str = "expr",
     n_rows: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN — the other mandated scale path besides
     LSH: partition the corpus into Voronoi cells around centroids,
@@ -1435,28 +1464,46 @@ def ivf_ann_topk(
         # unprobed cells are ~all of them (5 driver queries × 4 probes
         # vs 2343 cells at sf30 — the full 600k-row shuffle + Arrow
         # crossing was the dominant term after the Lloyd fix). The
-        # probed set is a BOUNDED collect (≤ |queries|·n_probe cell
-        # ids, deduped by distinct); the checkpoint materializes the
-        # tiny query assignment once so the collect does not re-run
-        # it inside the union lineage. Skipped when the probed set is
-        # most of the cells anyway (a large query side) — then the
-        # filter costs more than the rows it saves.
+        # checkpoint materializes the tiny query assignment once so
+        # the probed set does not re-run it inside the union lineage.
+        # Skipped when the probed set is most of the cells anyway (a
+        # large query side) — then the filter costs more than the
+        # rows it saves.
         q = q.localCheckpoint(eager=True)  # r13: lazy A/B'd SLOWER on this path (ivf noop 4.30 lazy vs 3.39 eager, interleaved) — keep eager
-        probed = [r["cell"] for r in q.select("cell").distinct().collect()]
-        if len(probed) <= n_centroids // 2:
-            c = c.filter(F.col("cell").isin(probed))
+        if n_queries is not None:
+            # r14 (r13 verdict #5): when the caller can bound the
+            # query count, the prune gate is decided from the BOUND
+            # (|probed| ≤ n_queries·n_probe, dedup only shrinks it)
+            # and the probed set attaches as a broadcast semi-join —
+            # one driver action (checkpoint) instead of two
+            # (checkpoint, then a distinct().collect() whose ids come
+            # back as an isin literal list). The broadcast build runs
+            # as a plan-internal future, not a blocking py4j round
+            # trip. Same rows: the semi-join keeps exactly the
+            # corpus cells some query probes, as the isin did.
+            if n_queries * n_probe <= n_centroids // 2:
+                probed_df = q.select("cell").distinct()
+                c = c.join(F.broadcast(probed_df), "cell", "leftsemi")
+        else:
+            # unknown query count (generic callers): the r11-r13
+            # collect+isin gate, unchanged — the probed set is a
+            # BOUNDED collect (≤ |queries|·n_probe cell ids, deduped
+            # by distinct)
+            probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+            if len(probed) <= n_centroids // 2:
+                c = c.filter(F.col("cell").isin(probed))
         return _grouped_gemm_topk(c.unionByName(q), "cell", k)
     assert scheme == "expr", scheme
 
     c = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        nearest_cells(F.col(vec_col), cents, 1)[0]["cell"].alias("cell"),
+        nearest_cells(vec_col, cents, 1)[0]["cell"].alias("cell"),
         F.lit("c").alias("role"),
     )
     q = (
         queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-        .withColumn("cells", nearest_cells(F.col("_vec"), cents, n_probe))
+        .withColumn("cells", nearest_cells("_vec", cents, n_probe))
         .select(
             "_id", "_vec", F.explode(F.col("cells")["cell"]).alias("cell"),
             F.lit("q").alias("role"),
@@ -1818,6 +1865,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus by LSH signature, probe each
     query's own bucket plus all buckets within hamming distance
@@ -1875,7 +1923,15 @@ def lsh_ann_topk(
         # the pandas-UDF lsh_signature_kernel, not the literal-folded
         # expression. Result-identity, not plan byte-identity.)
         q = q.localCheckpoint(eager=True)  # r13: lazy A/B'd SLOWER on this family (lsh noop 1.35 lazy vs 1.17 eager; ivf 4.30 vs 3.39, interleaved) — keep eager
-        probed = [r["bucket"] for r in q.select("bucket").distinct().collect()]
-        if len(probed) <= (1 << n_planes) // 2:
-            c = c.filter(F.col("bucket").isin(probed))
+        if n_queries is not None:
+            # r14 (r13 verdict #5): bound-gated broadcast semi-join —
+            # same mechanism as ivf_ann_topk; |probed| ≤
+            # n_queries·|masks|, so the gate needs no driver collect
+            if n_queries * len(masks) <= (1 << n_planes) // 2:
+                probed_df = q.select("bucket").distinct()
+                c = c.join(F.broadcast(probed_df), "bucket", "leftsemi")
+        else:
+            probed = [r["bucket"] for r in q.select("bucket").distinct().collect()]
+            if len(probed) <= (1 << n_planes) // 2:
+                c = c.filter(F.col("bucket").isin(probed))
     return _grouped_gemm_topk(c.unionByName(q), "bucket", k, dedup=True)

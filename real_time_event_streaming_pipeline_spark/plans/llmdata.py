@@ -654,7 +654,10 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     _, n_planes = resolved_lsh_planes(sf_dir)
     return S.lsh_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=n_planes
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=n_planes,
+        # static query-count bound (vec_id < 5): lets the probed-bucket
+        # prune gate decide without a driver collect (r14)
+        n_queries=5,
     )
 
 
@@ -779,6 +782,9 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # footer count: a pure prune hint for the sampler's threshold
         # fast path — cannot change the sample (see sample_centroids)
         n_rows=table_rows_metadata(sf_dir, "embeddings"),
+        # static query-count bound (vec_id < 5): lets the probed-cell
+        # prune gate decide without a driver collect (r14)
+        n_queries=5,
     )
 
 
@@ -1803,7 +1809,27 @@ def _hamming_masks(w: int, r: int) -> list[int]:
 _AHASH_PROBE3_SWITCH = 30_000_000
 
 
-def _ahash_candidates(hashes: DataFrame, scheme: str) -> DataFrame:
+# Broadcast cap for the multi-probe index side (r14, r13 verdict #1):
+# the probe join is ASYMMETRIC — probe rows are 211·n_blocks per doc,
+# index rows only n_blocks (probe2) — yet a shuffle join moves BOTH
+# sides. Broadcasting the index side removes the probe-side exchange
+# entirely (at sf30 that is ~950M exploded probe rows, the measured
+# wall after the r13 codec fusion) AND serializes the lazy-checkpoint
+# materialization: the broadcast job computes the (doc_id, ahash)
+# table once before the probe stage starts, where the old plan's two
+# concurrent exchange-map stages raced to compute the checkpointed
+# decode twice. Cap chosen as rows, the unit the 512M-row broadcast
+# limit and the hash-relation build are linear in: 16M index rows ≈
+# 0.4-0.5 GB built (within the guide's "few hundred MB is fine"),
+# reached at n_docs ≈ 5.3M under probe2's 3 rows/doc. Above the cap
+# (and on probe3's 62 rows/doc index side, which blows past it by
+# construction at its ≥30M-doc switch) the shuffle join stays.
+_AHASH_BCAST_MAX_INDEX_ROWS = 16_000_000
+
+
+def _ahash_candidates(
+    hashes: DataFrame, scheme: str, n_docs: int | None = None
+) -> DataFrame:
     """Candidate (a_id, b_id, hamming) pairs from a (doc_id, ahash)
     table, deduped, NOT yet threshold-filtered. Both schemes are
     pigeonhole-COMPLETE at hamming ≤ 8 over the 60-bit hash, so the
@@ -1888,13 +1914,31 @@ def _ahash_candidates(hashes: DataFrame, scheme: str) -> DataFrame:
             ).alias("key"),
         )
 
-    p = expand(blocks, r_probe).alias("p")
-    i = expand(blocks, r_index).alias("i")
+    # Fuse (blk, key) into ONE long join key (r14, guide §3.1): key <
+    # 2^width, so bk = blk·2^width + key is a bijection and the join
+    # predicate is unchanged. A single long equi-key lets the join
+    # build/probe Spark's specialized long-keyed hash relation instead
+    # of hashing and comparing a generic two-column row per probe —
+    # measured 5× on the probe lookup at sf3 (95M probe rows: 10.2 s
+    # two-col vs 1.8 s fused, same 15.17M-row join output).
+    def fused(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id",
+            "ahash",
+            (F.col("blk").cast("long") * (1 << width) + F.col("key")).alias("bk"),
+        )
+
+    p = fused(expand(blocks, r_probe)).alias("p")
+    i = fused(expand(blocks, r_index)).alias("i")
+    # index-side rows per doc: n_blocks keys, each expanded to the
+    # radius-r_index mask count (1 for r_index=0)
+    idx_rows_per_doc = n_blocks * len(_hamming_masks(width, r_index))
+    if n_docs is not None and n_docs * idx_rows_per_doc <= _AHASH_BCAST_MAX_INDEX_ROWS:
+        i = F.broadcast(i)
     return (
         p.join(
             i,
-            (F.col("p.blk") == F.col("i.blk"))
-            & (F.col("p.key") == F.col("i.key"))
+            (F.col("p.bk") == F.col("i.bk"))
             & (F.col("p.doc_id") != F.col("i.doc_id")),
         )
         .select(
@@ -1932,12 +1976,13 @@ def q_image_dedup_pairs(
     pure-Python PNG cost; with the diamond materialized every image
     decodes exactly once."""
     docs = load(spark, sf_dir, "documents")
+    # corpus size from parquet footers, not an eager docs.count()
+    # Spark job at plan-construction time (r8 ADVICE): a query
+    # builder must stay side-effect-free, and the scheme pick only
+    # needs metadata. Soak callers can pass scheme explicitly; the
+    # footer count still feeds the broadcast gate (r14).
+    n_docs = table_rows_metadata(sf_dir, "documents")
     if scheme is None:
-        # corpus size from parquet footers, not an eager docs.count()
-        # Spark job at plan-construction time (r8 ADVICE): a query
-        # builder must stay side-effect-free, and the scheme pick only
-        # needs metadata. Soak callers can pass scheme explicitly.
-        n_docs = table_rows_metadata(sf_dir, "documents")
         if n_docs >= _AHASH_PROBE3_SWITCH:
             scheme = "probe3"
         elif n_docs >= _AHASH_PROBE_SWITCH:
@@ -1945,7 +1990,9 @@ def q_image_dedup_pairs(
         else:
             scheme = "banded"
     hashes = M.image_ahash(docs).localCheckpoint(eager=False)
-    return _ahash_candidates(hashes, scheme).filter(F.col("hamming") <= 8)
+    return _ahash_candidates(hashes, scheme, n_docs=n_docs).filter(
+        F.col("hamming") <= 8
+    )
 
 
 _IMAGE_DEDUP_PAIRS_SQL = """
@@ -2032,8 +2079,22 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # catch it across the join boundary). localCheckpoint materializes
     # it once on the executors and truncates the lineage — the same
     # discipline connected_components applies to its edge set.
+    # r14 (r13 verdict #6, job-count audit): the checkpoint is LAZY
+    # and the IVF stage's cell-count sizing scan (sem_src.count()
+    # inside neardup_pairs_ivf_candidates, which runs at plan-build
+    # time and references nd_docs exactly ONCE) is the materializing
+    # action — one query runs the gate→dedup→pair pipeline AND counts
+    # the semantic source, where the eager checkpoint previously spent
+    # a dedicated materialization pass first. Counted with the
+    # job-group profiler at sf0.1: plan-build jobs 19 → 18 (the one
+    # removed is the eager checkpoint's own job; the rest are the
+    # count query's AQE per-stage jobs and the centroid sampler),
+    # wall flat at sf0.1 within the box's noise band. The r8
+    # single-reference invariant holds by ordering: the count (below,
+    # inside the candidates call) runs before any plan references
+    # nd_docs twice.
     nd_docs = exact_docs.join(nd_dropped, "doc_id", "left_anti").localCheckpoint(
-        eager=True
+        eager=False
     )
 
     # 4 — semantic survivors over the remaining docs' embeddings

@@ -338,7 +338,12 @@ def q_recursive_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned DataFrame is garbage-collected (no explicit unpersist:
     # a caller may still hold the previous result, and unpersisting a
     # LOCAL checkpoint under a live reader is unrecoverable — the
-    # truncated lineage cannot recompute).
+    # truncated lineage cannot recompute). The temp view is dropped
+    # below once the outer query is analyzed (r14, r13 ADVICE:
+    # createOrReplaceTempView would otherwise hold the LAST call's
+    # checkpointed plan in the session catalog for the session
+    # lifetime — spark.sql resolves the view eagerly at analysis, so
+    # the returned plan keeps its own reference and the drop is safe).
     lagged = spark.sql(
         """
         SELECT user_id, event_id, ts,
@@ -349,7 +354,7 @@ def q_recursive_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).localCheckpoint(eager=False)
     lagged.createOrReplaceTempView("_rs_lagged")
-    return spark.sql(
+    out = spark.sql(
         """
         WITH RECURSIVE lagged AS (
           SELECT * FROM _rs_lagged
@@ -369,6 +374,8 @@ def q_recursive_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain GROUP BY user_id, session_start_us
         """
     )
+    spark.catalog.dropTempView("_rs_lagged")
+    return out
 
 
 _RECURSIVE_SESSIONS_SQL = """

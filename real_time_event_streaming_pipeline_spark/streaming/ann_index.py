@@ -52,7 +52,7 @@ def _assigned(df: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        nearest_cells(F.col(vec_col), cents, 1)[0]["cell"].alias("cell"),
+        nearest_cells(vec_col, cents, 1)[0]["cell"].alias("cell"),
     )
 
 
@@ -127,7 +127,7 @@ def search(
     cell_tbl = spark.read.parquet(_cells_dir(index_dir))
     q = (
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("cells", nearest_cells(F.col("q_vec"), cents, n_probe))
+        .withColumn("cells", nearest_cells("q_vec", cents, n_probe))
         .select("q_id", "q_vec", F.explode(F.col("cells")["cell"]).alias("cell"))
     )
     probed = [r.cell for r in q.select("cell").distinct().collect()]

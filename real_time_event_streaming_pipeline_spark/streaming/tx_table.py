@@ -257,6 +257,45 @@ def _rel_path(col) -> "F.Column":
     return F.element_at(F.split(col, "/data/"), -1)
 
 
+def _read_entries_with_pos(
+    spark: SparkSession, table_dir: str, entries: list[dict], schema_json
+):
+    """Live rows of these manifest entries WITH their (_file, _pos)
+    row-identity columns — the one candidate scan the DV ops share
+    (r14): the matcher count, the sidecar write, and (for UPDATE/
+    MERGE) the rewritten-row append all previously re-derived this
+    frame, re-scanning the candidate files once per consumer. Old DVs
+    are anti-joined here, so new positions are disjoint from old by
+    construction."""
+    if not entries:
+        return None
+    paths = [os.path.join(_data_dir(table_dir), f["path"]) for f in entries]
+    reader = spark.read
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    df = reader.parquet(*paths)
+    raw = df.select(
+        "*",
+        _rel_path(F.col("_metadata.file_path")).alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    dv_dirs = sorted({f["dv"] for f in entries if f.get("dv")})
+    if not dv_dirs:
+        return raw
+    dv_files = {f["path"] for f in entries if f.get("dv")}
+    dv = (
+        spark.read.parquet(*[os.path.join(_data_dir(table_dir), d) for d in dv_dirs])
+        # a file's pointer names ONE sidecar; rows for other files in a
+        # shared sidecar are older subsets (unioned forward), rows for
+        # rewritten paths can never match a fresh txn path
+        .filter(F.col("_file").isin(sorted(dv_files)))
+        .select("_file", "_pos")
+    )
+    return raw.join(dv, ["_file", "_pos"], "left_anti")
+
+
 def _read_entries(spark: SparkSession, table_dir: str, entries: list[dict], schema_json):
     """DataFrame over exactly these manifest entries. When the
     manifest carries a schema it OWNS the table schema (Delta-style):
@@ -271,36 +310,19 @@ def _read_entries(spark: SparkSession, table_dir: str, entries: list[dict], sche
     O(DV'd files' rows), and compaction folds DVs away entirely."""
     if not entries:
         return None
-    paths = [os.path.join(_data_dir(table_dir), f["path"]) for f in entries]
-    reader = spark.read
-    if schema_json is not None:
-        from pyspark.sql.types import StructType
+    if not any(f.get("dv") for f in entries):
+        # fast path: no DVs anywhere — plain scan, no _metadata
+        # row-identity materialization
+        paths = [os.path.join(_data_dir(table_dir), f["path"]) for f in entries]
+        reader = spark.read
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
 
-        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
-    df = reader.parquet(*paths)
-    dv_dirs = sorted({f["dv"] for f in entries if f.get("dv")})
-    if not dv_dirs:
-        return df
-    dv_files = {f["path"] for f in entries if f.get("dv")}
-    dv = (
-        spark.read.parquet(*[os.path.join(_data_dir(table_dir), d) for d in dv_dirs])
-        # a file's pointer names ONE sidecar; rows for other files in a
-        # shared sidecar are older subsets (unioned forward), rows for
-        # rewritten paths can never match a fresh txn path
-        .filter(F.col("_file").isin(sorted(dv_files)))
-        .select("_file", "_pos")
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(*paths)
+    return _read_entries_with_pos(spark, table_dir, entries, schema_json).drop(
+        "_file", "_pos"
     )
-    cols = df.columns
-    live = (
-        df.select(
-            "*",
-            _rel_path(F.col("_metadata.file_path")).alias("_file"),
-            F.col("_metadata.row_index").alias("_pos"),
-        )
-        .join(dv, ["_file", "_pos"], "left_anti")
-        .select(*cols)
-    )
-    return live
 
 
 def read_changes(spark: SparkSession, table_dir: str, version: int) -> DataFrame | None:
@@ -706,6 +728,7 @@ def _dv_delete_entries(
     new_version: int,
     cand_entries: list[dict],
     matcher,
+    live=None,
 ) -> list[dict] | None:
     """Merge-on-read delete core: compute the row POSITIONS matching
     ``matcher`` among the candidates' LIVE rows (existing DVs applied
@@ -720,19 +743,65 @@ def _dv_delete_entries(
     Delta/Iceberg v2 deletion-vector pattern; compaction later folds
     DVs into clean files. n_rows stats stay the RAW file count;
     ``n_deleted`` tracks the DV cardinality so table_count stays
-    metadata-only."""
-    schema_json = old_manifest.get("schema")
-    reader = spark.read
-    if schema_json is not None:
-        from pyspark.sql.types import StructType
+    metadata-only.
 
-        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
-    paths = [os.path.join(_data_dir(table_dir), f["path"]) for f in cand_entries]
-    raw = reader.parquet(*paths).select(
-        "*",
-        _rel_path(F.col("_metadata.file_path")).alias("_file"),
-        F.col("_metadata.row_index").alias("_pos"),
-    )
+    ``live`` (r14): the caller may pass the
+    ``_read_entries_with_pos`` frame it already holds — PERSISTED —
+    so the matcher count and the sidecar write here, plus the
+    caller's own consumers (updated-row appends), all read one
+    materialized candidate scan instead of re-deriving it per action.
+    When None, the scan is built and persisted here (the count job
+    materializes it; the sidecar write reads the cache)."""
+    owns_live = live is None
+    if owns_live:
+        live = _read_entries_with_pos(
+            spark, table_dir, cand_entries, old_manifest.get("schema")
+        ).persist()
+    try:
+        planned = _dv_match_counts(live, matcher)
+        if planned is None:
+            return None
+        matches, counts = planned
+        return _dv_write_sidecar(
+            spark, table_dir, new_version, cand_entries, matches, counts
+        )
+    finally:
+        if owns_live:
+            live.unpersist()
+
+
+def _dv_match_counts(live, matcher):
+    """Phase 1 of a DV commit: matched (_file, _pos) rows and their
+    per-file counts. The count job is also the action that
+    MATERIALIZES the caller's persisted candidate scan — run it before
+    launching anything concurrent against that scan (the r8 lesson:
+    two concurrent jobs racing to fill one cache each compute the
+    lineage). Returns None when nothing matched (no commit needed)."""
+    matches = matcher(live).select("_file", "_pos")
+    counts = {
+        r["_file"]: r["_n"]
+        for r in matches.groupBy("_file").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }  # bounded: one row per candidate file
+    if not counts:
+        return None
+    return matches, counts
+
+
+def _dv_write_sidecar(
+    spark: SparkSession,
+    table_dir: str,
+    new_version: int,
+    cand_entries: list[dict],
+    matches,
+    counts: dict,
+) -> list[dict]:
+    """Phase 2 of a DV commit: write the sidecar (new matches ∪ the
+    touched files' carried-forward old DV rows) and return the
+    replacement manifest entries. Separated from phase 1 so callers
+    with an independent append (UPDATE/MERGE's rewritten rows) can
+    overlap the two writes (guide §2.6) — both read the persisted
+    candidate scan phase 1 already materialized."""
+    sidecar = matches
     old_dv_dirs = sorted({f["dv"] for f in cand_entries if f.get("dv")})
     if old_dv_dirs:
         old_dv_files = sorted({f["path"] for f in cand_entries if f.get("dv")})
@@ -743,27 +812,15 @@ def _dv_delete_entries(
             .filter(F.col("_file").isin(old_dv_files))
             .select("_file", "_pos")
         )
-        live = raw.join(old_dv, ["_file", "_pos"], "left_anti")
-    else:
-        old_dv = None
-        live = raw
-    matches = matcher(live).select("_file", "_pos")
-    counts = {
-        r["_file"]: r["_n"]
-        for r in matches.groupBy("_file").agg(F.count(F.lit(1)).alias("_n")).collect()
-    }  # bounded: one row per candidate file
-    if not counts:
-        return None
-    sidecar = matches
-    if old_dv is not None:
         carried = old_dv.filter(F.col("_file").isin(sorted(counts)))
         sidecar = sidecar.unionByName(carried)
     txn_rel = f"txn-{new_version:010d}-{uuid.uuid4().hex[:8]}"
     dv_rel = f"{txn_rel}/_dv"
-    # partition the sidecar BY FILE: a commit deleting billions of rows
-    # across many files writes one (AQE-coalesced) sidecar file per
-    # data-file group instead of funnelling through a single writer;
-    # for point deletes AQE collapses the shuffle to one tiny file
+    # partition the sidecar BY FILE: a commit deleting billions of
+    # rows across many files writes one (AQE-coalesced) sidecar
+    # file per data-file group instead of funnelling through a
+    # single writer; for point deletes AQE collapses the shuffle
+    # to one tiny file
     sidecar.repartition("_file").write.parquet(
         os.path.join(_data_dir(table_dir), dv_rel)
     )
@@ -1154,6 +1211,7 @@ def merge(
         eff_epoch = int(epoch_id) if epoch_id is not None else _next_epoch(old_manifest)
         kb = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast("int")
         src = source.withColumn("kb", kb).persist()
+        existing_pos = None  # dv mode: the ONE persisted candidate scan (r14)
         try:
             if not src_checked:
                 # One key, one source row — DELIBERATELY stricter than
@@ -1189,7 +1247,17 @@ def merge(
                 return old_version
             keep = [f for f in old_manifest["files"] if f["kb"] not in set(affected)]
             cand = [f for f in old_manifest["files"] if f["kb"] in set(affected)]
-            existing = _read_entries(spark, table_dir, cand, old_manifest.get("schema"))
+            if mode == "dv" and cand:
+                # dv mode consumes the candidate rows three ways (the
+                # DV matcher count + sidecar write, the updated-row
+                # append, the not-matched anti-join); one persisted
+                # scan with row positions serves all of them (r14)
+                existing_pos = _read_entries_with_pos(
+                    spark, table_dir, cand, old_manifest.get("schema")
+                ).persist()
+                existing = existing_pos.drop("_file", "_pos")
+            else:
+                existing = _read_entries(spark, table_dir, cand, old_manifest.get("schema"))
             if old_manifest.get("schema") is not None:
                 from pyspark.sql.types import StructType
 
@@ -1208,6 +1276,7 @@ def merge(
             )
             parts = []
             cand_entries = cand  # dv mode swaps in DV'd replacements
+            dv_plan = None  # dv mode: (matches, counts) for the overlapped sidecar write
             if existing is not None:
                 # a left-join row is matched iff a source row exists —
                 # detected via a sentinel column, since all-null source
@@ -1227,12 +1296,11 @@ def merge(
                             F.coalesce(F.col("_src_matched"), F.lit(False)) & clause
                         )
 
-                    dv_entries = _dv_delete_entries(
-                        spark, table_dir, old_manifest, old_version + 1, cand,
-                        matcher=dv_matcher,
-                    )
-                    if dv_entries is not None:
-                        cand_entries = dv_entries
+                    # phase 1 only: the count job materializes the
+                    # persisted candidate scan; the sidecar WRITE is
+                    # deferred so it can overlap the updated/inserted
+                    # rows' append below (guide §2.6)
+                    dv_plan = _dv_match_counts(existing_pos, dv_matcher)
                     if upd:
                         upd_rows = existing.join(
                             F.broadcast(src_sentinel), key_cols, "inner"
@@ -1281,12 +1349,37 @@ def merge(
                         )
                     inserts = inserts.select(*schema_cols)
                 parts.append(inserts)
-            if not parts and cand_entries is cand:
+            if not parts and mode == "dv" and dv_plan is None:
                 return old_version  # no clause fired, nothing to insert
+            if not parts and mode != "dv" and cand_entries is cand:
+                return old_version
+            merged = None
             if parts:
                 merged = parts[0]
                 for p in parts[1:]:
                     merged = merged.unionByName(p)
+            if mode == "dv" and dv_plan is not None:
+                # overlap the two independent writes (sidecar + append)
+                # over the already-materialized candidate scan
+                from concurrent.futures import ThreadPoolExecutor
+
+                matches, counts = dv_plan
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f_side = pool.submit(
+                        _dv_write_sidecar, spark, table_dir, old_version + 1,
+                        cand, matches, counts,
+                    )
+                    f_app = (
+                        pool.submit(
+                            _write_txn_files, merged, table_dir, old_version + 1,
+                            stats_cols=old_manifest.get("stats_cols"),
+                        )
+                        if merged is not None
+                        else None
+                    )
+                    cand_entries = f_side.result()
+                    new_entries = f_app.result() if f_app is not None else []
+            elif merged is not None:
                 new_entries = _write_txn_files(
                     merged, table_dir, old_version + 1,
                     stats_cols=old_manifest.get("stats_cols"),
@@ -1315,6 +1408,8 @@ def merge(
                 continue
         finally:
             src.unpersist()
+            if existing_pos is not None:
+                existing_pos.unpersist()
     raise CommitConflict(f"gave up after {max_retries} commit conflicts")
 
 
@@ -1371,7 +1466,6 @@ def update_where(
             return old_version  # stats prove nothing matches
         cand_paths = {f["path"] for f in candidates}
         keep = [f for f in old_manifest["files"] if f["path"] not in cand_paths]
-        live = _read_entries(spark, table_dir, candidates, old_manifest.get("schema"))
         matched = F.coalesce(cond, F.lit(False))
 
         def _apply(df: DataFrame, always: bool) -> DataFrame:
@@ -1383,19 +1477,43 @@ def update_where(
             return out
 
         if mode == "dv":
-            new_cand = _dv_delete_entries(
-                spark, table_dir, old_manifest, old_version + 1, candidates,
-                matcher=lambda lv: lv.filter(matched),
-            )
-            if new_cand is None:
-                return old_version  # nothing matched: no commit needed
-            updated_rows = _apply(live.filter(matched), always=True)
-            appended = _write_txn_files(
-                updated_rows, table_dir, old_version + 1,
-                stats_cols=old_manifest.get("stats_cols"),
-            )
+            # ONE persisted candidate scan (r14): the DV matcher count,
+            # the sidecar write, and the updated-row append previously
+            # each re-derived the candidate read (3 scans per commit);
+            # the count job materializes this cache, the two writes
+            # read it.
+            live_pos = _read_entries_with_pos(
+                spark, table_dir, candidates, old_manifest.get("schema")
+            ).persist()
+            try:
+                planned = _dv_match_counts(live_pos, lambda lv: lv.filter(matched))
+                if planned is None:
+                    return old_version  # nothing matched: no commit needed
+                matches, counts = planned
+                updated_rows = _apply(
+                    live_pos.drop("_file", "_pos").filter(matched), always=True
+                )
+                # the sidecar and the updated-row append are
+                # independent writes over the scan the count job just
+                # materialized — overlap them (guide §2.6); the commit
+                # below still publishes both atomically or neither
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f_side = pool.submit(
+                        _dv_write_sidecar, spark, table_dir, old_version + 1,
+                        candidates, matches, counts,
+                    )
+                    f_app = pool.submit(
+                        _write_txn_files, updated_rows, table_dir, old_version + 1,
+                        stats_cols=old_manifest.get("stats_cols"),
+                    )
+                    new_cand, appended = f_side.result(), f_app.result()
+            finally:
+                live_pos.unpersist()
             files = keep + new_cand + appended
         else:
+            live = _read_entries(spark, table_dir, candidates, old_manifest.get("schema"))
             rewritten = _apply(live, always=False)
             files = keep + _write_txn_files(
                 rewritten, table_dir, old_version + 1,

@@ -42,3 +42,41 @@ def test_cluster_summary(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.representative, r.cluster_size, r.members) == (5, 3, "5,7,9")
+
+
+def test_lazy_checkpoint_materializes_upstream_once(spark):
+    """Mechanical pin of the lazy-checkpoint invariant (r14, closing
+    the r13 ADVICE item): lazy_checkpoint_materialized must leave the
+    checkpointed frame fully materialized, so a downstream plan that
+    references it TWICE (the r8 double-execution shape: both legs of a
+    self-join) never re-runs the upstream lineage. An accumulator
+    inside an upstream UDF counts evaluations: exactly one per row
+    during the materializing action, zero more during the double-
+    reference consumption."""
+    from pyspark.sql import functions as F
+
+    from real_time_event_streaming_pipeline_spark.operators.clustering import (
+        lazy_checkpoint_materialized,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def counted(v):
+        acc.add(1)
+        return v
+
+    n = 100
+    base = spark.range(n).select(counted(F.col("id")).alias("k"))
+    ck, n_rows = lazy_checkpoint_materialized(base, lambda d: d.count())
+    assert n_rows == n
+    assert acc.value == n, "materializing action must evaluate upstream exactly once"
+
+    # double reference: self-join both legs read the checkpointed frame
+    a, b = ck.alias("a"), ck.alias("b")
+    joined = a.join(b, F.col("a.k") == F.col("b.k")).count()
+    assert joined == n
+    assert acc.value == n, (
+        f"upstream re-ran after materialization (accumulator {acc.value} != {n}): "
+        "the lazy checkpoint was consumed before its action"
+    )

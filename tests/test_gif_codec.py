@@ -268,6 +268,20 @@ def test_image_dedup_probe_scheme_equals_banded(spark, sf_small):
     assert probe3 == banded
 
 
+def test_image_dedup_probe_shuffle_join_equals_broadcast(spark, sf_small, monkeypatch):
+    """r14: the probe scheme's index side broadcasts below
+    _AHASH_BCAST_MAX_INDEX_ROWS (the test corpus is tiny, so the
+    `probe` set above exercises the broadcast path). Pin the OVER-cap
+    regime too — cap forced to 0 keeps the r8-r13 shuffle join — so
+    both join strategies provably emit the same pair set."""
+    from real_time_event_streaming_pipeline_spark.plans import llmdata as L
+
+    bcast = {tuple(r) for r in L.q_image_dedup_pairs(spark, sf_small, scheme="probe").collect()}
+    monkeypatch.setattr(L, "_AHASH_BCAST_MAX_INDEX_ROWS", 0)
+    shuffled = {tuple(r) for r in L.q_image_dedup_pairs(spark, sf_small, scheme="probe").collect()}
+    assert bcast and shuffled == bcast
+
+
 def test_image_ahash_fused_equals_composed_chain(spark, sf_small):
     """r13 fusion guard: image_ahash runs synth (encode) and hash
     (decode) in ONE mapInPandas so the ~1 KB/image PNG payload never

@@ -928,6 +928,33 @@ def test_ivf_kernel_scheme_matches_expr_scheme(spark, sf_small):
         ).collect()
     }
     assert expr and kern == expr
+    # r14: the bound-gated broadcast-semi-join probed-cell prune
+    # (n_queries known → no driver collect; 5·4 ≤ 16//2 is FALSE, so
+    # prune skipped — but an 8-probe call passes the gate): pin both
+    # gate outcomes row-identical to the expr scheme
+    kern_sj = {
+        tuple(map(str, r))
+        for r in S.ivf_ann_topk(
+            emb, queries, k=5, n_centroids=16, order="md5h60",
+            scheme="kernel", n_queries=5,
+        ).collect()
+    }
+    assert kern_sj == expr
+    kern_sj_1q = {
+        tuple(map(str, r))
+        for r in S.ivf_ann_topk(
+            emb, queries.filter(F.col("vec_id") < 1), k=5, n_centroids=16,
+            order="md5h60", scheme="kernel", n_queries=1,
+        ).collect()
+    }
+    kern_1q = {
+        tuple(map(str, r))
+        for r in S.ivf_ann_topk(
+            emb, queries.filter(F.col("vec_id") < 1), k=5, n_centroids=16,
+            order="md5h60", scheme="kernel",
+        ).collect()
+    }
+    assert kern_sj_1q and kern_sj_1q == kern_1q
 
 
 def test_ivf_scaled_route_bitwise_vs_twin(spark, monkeypatch):
@@ -1250,9 +1277,16 @@ def test_lsh_probed_bucket_prune_is_result_neutral(spark, monkeypatch):
     )
     kw = dict(k=5, n_planes=8, dim=dim, multiprobe=2)
     pruned = {tuple(map(str, r)) for r in S.lsh_ann_topk(emb, queries, **kw).collect()}
+    # r14: the bound-gated broadcast-semi-join prune (n_queries known,
+    # no driver collect) must also be row-identical
+    pruned_sj = {
+        tuple(map(str, r))
+        for r in S.lsh_ann_topk(emb, queries, n_queries=3, **kw).collect()
+    }
     monkeypatch.setattr(S, "_LSH_PRUNE_MIN_BUCKETS", 1 << 60)
     full = {tuple(map(str, r)) for r in S.lsh_ann_topk(emb, queries, **kw).collect()}
     assert pruned and pruned == full
+    assert pruned_sj == full
 
 
 def test_lsh_plane_count_pins():
@@ -1321,3 +1355,27 @@ def test_pq_encode_kernel_matches_expression(spark, sf_med):
             for r in S.pq_encode(emb, books, impl="expr").collect()
         }
         assert kern == expr, (m, n_codes)
+
+
+def test_nearest_cells_sql_string_matches_column_form(spark, sf_small):
+    """r14: nearest_cells' parsed-SQL fast path (column-name input —
+    one py4j round trip instead of ~11k for 16x64 centroids) must emit
+    BITWISE the rows of the Column-object form: same double literals
+    (repr round-trips IEEE; the SQL parser reads them with Java's
+    Double.parseDouble), same fold, same struct sort."""
+    emb = load(spark, sf_small, "embeddings")
+    cents = S.sample_centroids(emb, 8, order="md5h60")
+    for n in (1, 3):
+        a = [
+            tuple(map(str, r))
+            for r in emb.select(
+                "vec_id", S.nearest_cells("embedding", cents, n).alias("cells")
+            ).collect()
+        ]
+        b = [
+            tuple(map(str, r))
+            for r in emb.select(
+                "vec_id", S.nearest_cells(F.col("embedding"), cents, n).alias("cells")
+            ).collect()
+        ]
+        assert a and a == b

@@ -323,3 +323,35 @@ def test_load_memo_is_session_correct(spark, sf_small):
     b.createOrReplaceTempView("_memo_probe_nation")
     assert s2.sql("SELECT count(*) c FROM _memo_probe_nation").first()["c"] == b.count()
     s2.catalog.dropTempView("_memo_probe_nation")
+
+
+def test_load_memo_detects_inplace_rewrite(spark, tmp_path):
+    """r14 (r13 ADVICE): the load memo keys on a freshness token
+    (mtime_ns + size of the table path), so a harness that rewrites a
+    table in place under an already-loaded path gets a fresh scan —
+    fail-safe by mechanism, not by callers knowing to call
+    clear_load_memo()."""
+    import shutil
+    import time as _time
+
+    from real_time_event_streaming_pipeline_spark.catalog import load
+
+    sf = str(tmp_path / "sf_rw")
+    os.makedirs(sf)
+    from conftest import SF_SMALL
+
+    shutil.copy(os.path.join(SF_SMALL, "nation.parquet"), os.path.join(sf, "nation.parquet"))
+    n1 = load(spark, sf, "nation").count()
+
+    # rewrite IN PLACE with fewer rows (mtime and size both change)
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf, "nation.parquet"))
+    _time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    pq.write_table(tbl.slice(0, max(1, tbl.num_rows // 2)), os.path.join(sf, "nation.parquet"))
+
+    n2 = load(spark, sf, "nation").count()
+    assert n1 == tbl.num_rows
+    assert n2 == max(1, tbl.num_rows // 2), (
+        "memo served a stale pinned file listing after an in-place rewrite"
+    )

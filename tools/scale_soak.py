@@ -735,6 +735,88 @@ def run_family_isolated() -> None:
             print(f"  {name}: subprocess exit {r.returncode}", flush=True)
 
 
+# Core-scaling row (r14, r13 verdict #7): the driver's own 8-vs-32
+# core block runs at sf0.1, where every face is scheduling/driver
+# bound and the ratio reads ≈1 no matter what the executors do. At
+# sf1 the shuffle-heavy faces move real data, so the ratio is a
+# parallelism measurement, not overhead noise.
+CORE_SCALING_FACES = [
+    "llm_dedup_minhash_lsh",
+    "llm_contamination",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_clusters",
+]
+
+
+def run_core_scaling_arm() -> None:
+    """Child process: time CORE_SCALING_FACES at sf1 (best-of-3 noop)
+    on local[$SPARK_GRAFT_CPUS]; print one JSON line."""
+    from real_time_event_streaming_pipeline_spark.plans import all_queries
+    from real_time_event_streaming_pipeline_spark.session import get_spark
+
+    spark = get_spark("core_scaling_arm")
+    queries = all_queries()
+    queries[CORE_SCALING_FACES[0]](spark, SF1_DIR).collect()  # warm-up
+    out = {}
+    for name in CORE_SCALING_FACES:
+        best = float("inf")
+        for _ in range(3):
+            _hygiene(spark)
+            t0 = time.perf_counter()
+            queries[name](spark, SF1_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    print("CORE_ARM " + json.dumps({"cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"), "best": out}))
+
+
+def run_core_scaling() -> None:
+    """Parent: run the arm at 32 and at 8 cores (one subprocess each —
+    the master string is fixed per JVM), record t8/t32 per face into
+    SOAK_sf1.json['core_scaling_sf1']. A ratio near the core ratio
+    (4x) means the face is compute/shuffle-parallel at sf1; ≈1 means
+    it is still overhead-bound even at sf1."""
+    import subprocess
+
+    arms = {}
+    for cpus in ("32", "8"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--core-scaling-arm"],
+            capture_output=True, text=True, timeout=3600, env=env,
+        )
+        line = next((ln for ln in (r.stdout or "").splitlines() if ln.startswith("CORE_ARM ")), None)
+        if line is None:
+            print(r.stdout[-2000:] if r.stdout else "", file=sys.stderr)
+            print(r.stderr[-2000:] if r.stderr else "", file=sys.stderr)
+            raise RuntimeError(f"core-scaling arm at {cpus} cpus failed (exit {r.returncode})")
+        arms[cpus] = json.loads(line[len("CORE_ARM "):])["best"]
+        print(f"arm {cpus} cpus: {arms[cpus]}", flush=True)
+    block = {
+        name: {
+            "t32": arms["32"][name],
+            "t8": arms["8"][name],
+            "ratio_t8_over_t32": round(arms["8"][name] / arms["32"][name], 2),
+        }
+        for name in CORE_SCALING_FACES
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SOAK_sf1.json"
+    )
+    try:
+        with open(path) as fh:
+            existing = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        existing = {}
+    existing["core_scaling_sf1"] = {"protocol": "best-of-3 noop per face per arm, fresh JVM per arm", **block}
+    with open(path, "w") as fh:
+        json.dump(existing, fh, indent=1, sort_keys=True)
+    print("| face | t32 | t8 | t8/t32 |")
+    print("|---|---|---|---|")
+    for name, row in block.items():
+        print(f"| {name} | {row['t32']} | {row['t8']} | {row['ratio_t8_over_t32']} |")
+    print("\nwrote core_scaling_sf1 into SOAK_sf1.json")
+
+
 def run_cap_frac() -> None:
     """The capped_instance_frac trajectory (r11 verdict #7): read the
     two capped faces' truncation counters (ngram_cap_profile /
@@ -1513,6 +1595,10 @@ def main() -> None:
         run_events()
     if "--cap-frac" in sys.argv:
         run_cap_frac()
+    if "--core-scaling-arm" in sys.argv:
+        run_core_scaling_arm()
+    if "--core-scaling" in sys.argv:
+        run_core_scaling()
     if "--run-interleaved" in sys.argv:
         only = [
             n for a in sys.argv if a.startswith("--faces=")
