@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions import (
     ALERT_SEVERITIES,
+    SEVERITIES,
     MICRO_FMT_SPARK,
     WINDOW_FMT_SPARK,
     city_from_user,
@@ -84,15 +85,36 @@ def windowed_agg(enriched: DataFrame, watermark: str | None = None) -> DataFrame
     watermark for the streaming variant: state eviction bound, W1).
     groupBy(window, city, event_type) is a single hash aggregate with
     map-side partial aggregation; the shuffle key is high-cardinality
-    and unskewed, so the plan scales linearly with input."""
+    and unskewed, so the plan scales linearly with input.
+
+    r14 (guide §2.3 "aggregate before you shuffle"): `severities` was
+    array_join(array_sort(collect_list(severity))) — collect_list
+    forces ObjectHashAggregate (no whole-stage codegen) and its
+    map-side partials ship EVERY severity string through the
+    exchange. The enrichment severity domain is CLOSED by
+    construction (severity_from_event = SEVERITIES[event_id % 4]), so
+    the sorted list is just the four values' runs in alphabetical
+    order: aggregate one count per severity (codegen HashAggregate;
+    partials are 4 longs per group) and rebuild the identical string
+    with array_repeat + concat + array_join. sorted(SEVERITIES) is
+    computed, not hand-ordered, so the reconstruction order IS
+    array_sort's. Bitwise-identical output (the DuckDB oracle keeps
+    list_sort(list(...)) as an independent derivation; streamed ==
+    batch pins cover the streaming variant). NOT applied to
+    plans/native.py's twin: its severity comes from external records,
+    where the closed-domain premise is not provable."""
     if watermark is not None:
         enriched = enriched.withWatermark("ts", watermark)
+    sevs = sorted(SEVERITIES)
     return (
         enriched
         .groupBy(F.window("ts", "5 minutes").alias("w"), "city", "event_type")
         .agg(
             F.count("*").alias("event_count"),
-            F.array_join(F.array_sort(F.collect_list("severity")), ",").alias("severities"),
+            *[
+                F.count(F.when(F.col("severity") == s, F.lit(1))).alias(f"_n_{i}")
+                for i, s in enumerate(sevs)
+            ],
             F.date_format(F.max("ts"), MICRO_FMT_SPARK).alias("last_updated"),
         )
         .select(
@@ -100,7 +122,15 @@ def windowed_agg(enriched: DataFrame, watermark: str | None = None) -> DataFrame
             "city",
             "event_type",
             "event_count",
-            "severities",
+            F.array_join(
+                F.concat(
+                    *[
+                        F.array_repeat(F.lit(s), F.col(f"_n_{i}").cast("int"))
+                        for i, s in enumerate(sevs)
+                    ]
+                ),
+                ",",
+            ).alias("severities"),
             "last_updated",
             partition_key(F.col("city"), F.col("event_type"), F.col("w.start")).alias(
                 "partition_key"

@@ -67,24 +67,33 @@ def get_spark(
             str(8 * (shuffle_partitions or cpus)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # r13 opt (guide §3.1/§9): let the planner pick shuffled-hash
-        # join when its size conditions hold instead of always
-        # preferring sort-merge — SHJ skips both sides' sorts. Honest
-        # measurement note: a strictly-alternating A/B first read as
-        # 15-24% wins, but an ABBA-ordered re-run (including a null
-        # test on a join-free face) showed those gaps were serial
-        # box-drift — at sf0.1 every join broadcasts, so this flag is
-        # NEUTRAL locally (smj 0.969 vs shj 1.033 on contamination,
-        # within rep noise). It is kept as CLUSTER posture: where
-        # neither side broadcasts, SHJ avoids sorting both sides, the
-        # planner only chooses it when the build side is provably
-        # buildable per partition (canBuildLocalHashMap — bounded by
-        # autoBroadcastJoinThreshold × shuffle partitions), AQE skew
-        # split still applies to SHJ, and every float-bearing
-        # aggregate in the registry is integer-scaled, so
-        # join-order-dependent float drift cannot exist (strict gate
-        # re-run green under this flag).
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # r14 ADJUDICATION of the r13 `preferSortMergeJoin=false`
+        # posture (r13 verdict #2 — "a cluster posture nobody measured
+        # is a guess wearing a comment"): measured at rel-sf10
+        # (15M-row orders ⋈ 60M-row lineitem, sides past the 64MB
+        # broadcast threshold) where the flag provably BINDS — the
+        # committed per-arm plans flip SortMergeJoin ↔
+        # ShuffledHashJoin on rel_nation_profit and
+        # rel_local_supplier_volume — plus llm_contamination at sf3
+        # with broadcast disabled (its shuffle join stays SMJ either
+        # way: the planner's canBuildLocalHashMap guard rejects the
+        # build side), ABBA interleaved ×4 per arm with a join-free
+        # null control:
+        #   nation_profit   SMJ min 2.473 vs SHJ-allowed 2.469
+        #   local_supplier  SMJ min 4.388 vs SHJ-allowed 4.301
+        #   contamination   SMJ min 9.045 vs (still SMJ) 8.912
+        #   null control    0.692 vs 0.799 (the box's noise band)
+        # NEUTRAL where it binds, at every face, inside the null
+        # band. Decision: REVERT to the planner default (sort-merge
+        # preferred) — the measured upside is zero here, and the r13
+        # ADVICE's tail risk is real (canBuildLocalHashMap bounds the
+        # AVERAGE build partition, not the max; a skewed build side
+        # AQE's split misses can OOM a shuffled-hash join where
+        # sort-merge would spill). A cluster with large post-shuffle
+        # partitions, where skipping both sorts has measurable value,
+        # can opt in via get_spark(extra_conf={
+        # "spark.sql.join.preferSortMergeJoin": "false"}) — numbers
+        # and plans in SCALING.md / plans/r14/.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

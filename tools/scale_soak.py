@@ -749,21 +749,23 @@ CORE_SCALING_FACES = [
 
 
 def run_core_scaling_arm() -> None:
-    """Child process: time CORE_SCALING_FACES at sf1 (best-of-3 noop)
-    on local[$SPARK_GRAFT_CPUS]; print one JSON line."""
+    """Child process: time CORE_SCALING_FACES at the point dir
+    ($SPARK_GRAFT_CORE_DIR, default sf1; best-of-3 noop) on
+    local[$SPARK_GRAFT_CPUS]; print one JSON line."""
     from real_time_event_streaming_pipeline_spark.plans import all_queries
     from real_time_event_streaming_pipeline_spark.session import get_spark
 
+    point_dir = os.environ.get("SPARK_GRAFT_CORE_DIR", SF1_DIR)
     spark = get_spark("core_scaling_arm")
     queries = all_queries()
-    queries[CORE_SCALING_FACES[0]](spark, SF1_DIR).collect()  # warm-up
+    queries[CORE_SCALING_FACES[0]](spark, point_dir).collect()  # warm-up
     out = {}
     for name in CORE_SCALING_FACES:
         best = float("inf")
         for _ in range(3):
             _hygiene(spark)
             t0 = time.perf_counter()
-            queries[name](spark, SF1_DIR).write.format("noop").mode("overwrite").save()
+            queries[name](spark, point_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
     print("CORE_ARM " + json.dumps({"cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"), "best": out}))
@@ -772,14 +774,19 @@ def run_core_scaling_arm() -> None:
 def run_core_scaling() -> None:
     """Parent: run the arm at 32 and at 8 cores (one subprocess each —
     the master string is fixed per JVM), record t8/t32 per face into
-    SOAK_sf1.json['core_scaling_sf1']. A ratio near the core ratio
-    (4x) means the face is compute/shuffle-parallel at sf1; ≈1 means
-    it is still overhead-bound even at sf1."""
+    SOAK_sf1.json['core_scaling_<point>']. A ratio near the core
+    ratio (4x) means the face is compute/shuffle-parallel at that
+    point; ≈1 means it is still overhead-bound. Point dir via
+    SPARK_GRAFT_CORE_DIR (default sf1; r14 measured sf1 ratios of
+    only 1.10-1.49 — even sf1 under-saturates 8 cores — so the sf3
+    row is the parallelism evidence)."""
     import subprocess
 
+    point_dir = os.environ.get("SPARK_GRAFT_CORE_DIR", SF1_DIR)
+    point = os.path.basename(point_dir.rstrip("/")).replace("spark_graft_", "")
     arms = {}
     for cpus in ("32", "8"):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_CORE_DIR=point_dir)
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--core-scaling-arm"],
             capture_output=True, text=True, timeout=3600, env=env,
@@ -807,14 +814,16 @@ def run_core_scaling() -> None:
             existing = json.load(fh)
     except (FileNotFoundError, ValueError):
         existing = {}
-    existing["core_scaling_sf1"] = {"protocol": "best-of-3 noop per face per arm, fresh JVM per arm", **block}
+    existing[f"core_scaling_{point}"] = {
+        "protocol": "best-of-3 noop per face per arm, fresh JVM per arm", **block
+    }
     with open(path, "w") as fh:
         json.dump(existing, fh, indent=1, sort_keys=True)
     print("| face | t32 | t8 | t8/t32 |")
     print("|---|---|---|---|")
     for name, row in block.items():
         print(f"| {name} | {row['t32']} | {row['t8']} | {row['ratio_t8_over_t32']} |")
-    print("\nwrote core_scaling_sf1 into SOAK_sf1.json")
+    print(f"\nwrote core_scaling_{point} into SOAK_sf1.json")
 
 
 def run_cap_frac() -> None:
