@@ -602,13 +602,22 @@ def _write_txn_files(
     stats_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
     presorted: bool = False,
+    n_buckets: int | None = None,
 ) -> list[dict]:
     """Write one transaction's data files under a fresh directory and
     return manifest entries. `partitionBy` on a duplicated bucket
     column splits the write per bucket while keeping ``kb`` as a data
     column (uniform schema across commits — readers take explicit file
     lists, no hive discovery); the hive dirs are renamed to plain
-    names so Spark never infers a partition column from them."""
+    names so Spark never infers a partition column from them.
+
+    ``n_buckets`` (r14): the bucket column has at most this many
+    distinct values, so the pre-write shuffle is sized to exactly that
+    — without it the repartition inherits the session's AQE initial
+    partition count (256 locally) for a ≤n_buckets-value key space,
+    paying empty-task scheduling and an AQE coalesce pass per commit
+    by construction. Two buckets hashing to one partition is fine:
+    partitionBy still writes one file per bucket value."""
     txn_rel = f"txn-{version:010d}-{uuid.uuid4().hex[:8]}"
     txn_abs = os.path.join(_data_dir(table_dir), txn_rel)
     # OPTIMIZED WRITE (r8 verdict #1): repartition by bucket before the
@@ -630,7 +639,10 @@ def _write_txn_files(
     # exists to create.
     out = merged.withColumn("_kb_part", F.col("kb"))
     if not presorted:
-        out = out.repartition(F.col("_kb_part"))
+        if n_buckets is not None:
+            out = out.repartition(int(n_buckets), F.col("_kb_part"))
+        else:
+            out = out.repartition(F.col("_kb_part"))
     writer = out.write.partitionBy("_kb_part")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
@@ -817,11 +829,13 @@ def _dv_write_sidecar(
     txn_rel = f"txn-{new_version:010d}-{uuid.uuid4().hex[:8]}"
     dv_rel = f"{txn_rel}/_dv"
     # partition the sidecar BY FILE: a commit deleting billions of
-    # rows across many files writes one (AQE-coalesced) sidecar
-    # file per data-file group instead of funnelling through a
-    # single writer; for point deletes AQE collapses the shuffle
-    # to one tiny file
-    sidecar.repartition("_file").write.parquet(
+    # rows across many files writes one sidecar file per data-file
+    # group instead of funnelling through a single writer. r14: the
+    # shuffle is sized to the touched-file count (the key space's
+    # exact cardinality) instead of the AQE initial partition count —
+    # a point delete writes through 1 partition, not a 256-partition
+    # exchange coalesced after the fact.
+    sidecar.repartition(max(1, len(counts)), "_file").write.parquet(
         os.path.join(_data_dir(table_dir), dv_rel)
     )
     out = []
@@ -938,7 +952,8 @@ def upsert(
             )
             eff_stats = stats_cols if stats_cols is not None else old_manifest.get("stats_cols")
             new_entries = _write_txn_files(
-                deduped, table_dir, old_version + 1, stats_cols=eff_stats
+                deduped, table_dir, old_version + 1, stats_cols=eff_stats,
+                n_buckets=n_buckets,
             )
             # the manifest schema is the UNION of the old table schema and
             # this epoch's columns — never narrowed by which buckets this
@@ -1040,6 +1055,7 @@ def delete(
             new_entries = _write_txn_files(
                 remaining, table_dir, old_version + 1,
                 stats_cols=old_manifest.get("stats_cols"),
+                n_buckets=n_buckets,
             )
         manifest = dict(
             old_manifest,
@@ -1114,6 +1130,7 @@ def delete_where(
             new_entries = _write_txn_files(
                 remaining, table_dir, old_version + 1,
                 stats_cols=old_manifest.get("stats_cols"),
+                n_buckets=old_manifest["n_buckets"],
             )
         manifest = dict(
             old_manifest,
@@ -1373,6 +1390,7 @@ def merge(
                         pool.submit(
                             _write_txn_files, merged, table_dir, old_version + 1,
                             stats_cols=old_manifest.get("stats_cols"),
+                            n_buckets=n_buckets,
                         )
                         if merged is not None
                         else None
@@ -1383,6 +1401,7 @@ def merge(
                 new_entries = _write_txn_files(
                     merged, table_dir, old_version + 1,
                     stats_cols=old_manifest.get("stats_cols"),
+                    n_buckets=n_buckets,
                 )
             else:
                 new_entries = []
@@ -1507,6 +1526,7 @@ def update_where(
                     f_app = pool.submit(
                         _write_txn_files, updated_rows, table_dir, old_version + 1,
                         stats_cols=old_manifest.get("stats_cols"),
+                        n_buckets=old_manifest["n_buckets"],
                     )
                     new_cand, appended = f_side.result(), f_app.result()
             finally:
@@ -1518,6 +1538,7 @@ def update_where(
             files = keep + _write_txn_files(
                 rewritten, table_dir, old_version + 1,
                 stats_cols=old_manifest.get("stats_cols"),
+                n_buckets=old_manifest["n_buckets"],
             )
         manifest = dict(
             old_manifest,
